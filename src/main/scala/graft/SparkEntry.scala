@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * pipeline extensions) is a named entry in [[queries]]; SQL-expressible
+  * ones carry a DuckDB oracle in [[oracleSql]] that the driver
+  * hash-compares on sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All registered queries, in registration order. */
+  def registry: Seq[Q] =
+    ops.Relational.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The reference's signature computation (MLP.ipynb:44-49): lowercase an
+    * array column, intersect with a keyword list, derive a binary label,
+    * count per class — here over the documents table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tokens", split(lower(col("text")), " "))
+      .withColumn("label",
+        when(size(array_intersect(col("tokens"), lit(Array("hash", "join", "merge")))) > 0, 1)
+          .otherwise(0))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

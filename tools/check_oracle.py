@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query result parquet written by graft.Verify, run the matching
+oracle SQL from oracle_sql.json in DuckDB against the same sf tables, sort
+columns by name, and compare row-by-row (exact; floats must match bit-for-
+bit thanks to the engine's determinism measures — SURVEY.md §7.4).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+            exp_rel = con.sql(sql)
+            if sorted(got_rel.columns) != sorted(exp_rel.columns):
+                print(f"FAIL {name}: columns {sorted(got_rel.columns)} != "
+                      f"{sorted(exp_rel.columns)}")
+                n_fail += 1
+                continue
+            order = ", ".join('"%s"' % c for c in sorted(got_rel.columns))
+            got = con.sql(f"SELECT {order} FROM got_rel").fetchall()
+            exp = con.sql(f"SELECT {order} FROM exp_rel").fetchall()
+            if len(got) != len(exp):
+                print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+                n_fail += 1
+                continue
+            bad = [(i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+            if bad:
+                i, g, e = bad[0]
+                print(f"FAIL {name}: {len(bad)} mismatched rows; first at {i}:")
+                print(f"   got {g}")
+                print(f"   exp {e}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+        except Exception as ex:
+            print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
