@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds the engine's SparkSession with the configs
+  * every entry point (Smoke/Verify/Bench/tests) needs, so no loader ever
+  * mutates session state as a side effect.
+  *
+  * Conf notes:
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the testdata `events.parquet`
+  *    stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects by default;
+  *    reading nanos as long (affects only NANOS fields) lets
+  *    [[Tables.events]] rebuild a micros timestamp losslessly. Set here —
+  *    once, before any read — instead of inside the loader (a per-call
+  *    `spark.conf.set` is order-dependent and racy under concurrent query
+  *    construction).
+  *  - shuffle partitions default to the thread count: at local[N] scale a
+  *    200-partition shuffle is pure scheduling overhead; on a real cluster
+  *    the same queries rely on AQE coalescing instead of this number.
+  */
+object Sessions {
+  def local(cpus: String, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

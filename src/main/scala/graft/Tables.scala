@@ -24,13 +24,14 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default. Read nanos as long (legacy conf, dynamic,
-    * affects only NANOS fields) and rebuild a micros TIMESTAMP via integer
-    * division — `DIV` keeps full int64 precision where `/` (double) would
-    * lose sub-millisecond bits at 2024 epochs.
+    * Spark 4 rejects by default. REQUIRES `spark.sql.legacy.parquet
+    * .nanosAsLong=true` on the session ([[Sessions.local]] sets it; set it
+    * at build time in any other session). The nanos-as-long value is
+    * rebuilt into a micros TIMESTAMP via integer division — `DIV` keeps
+    * full int64 precision where `/` (double) would lose sub-millisecond
+    * bits at 2024 epochs.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

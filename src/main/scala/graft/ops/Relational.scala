@@ -14,12 +14,14 @@ import graft.{Q, Tables}
   *  - Aggregations are plain `groupBy.agg` → Catalyst plans partial+final
   *    HashAggregate (map-side combine), so shuffle volume is per-group not
   *    per-row.
-  *  - Joins against the small dimension tables (customer/nation/part at
-  *    TPC-H ratios) carry an explicit `broadcast()` hint; the big
-  *    fact-fact join (orders⋈lineitem) is left to sort-merge/AQE which is
-  *    the right strategy when both sides are ~TB.
+  *  - Broadcast hints appear ONLY on fixed-cardinality dimensions
+  *    (nation=25, region=5 — constant at every scale factor). Tables that
+  *    grow with SF (customer, orders, lineitem) are never hinted: at the
+  *    100 TB design point a broadcast of an SF-scaling table exceeds
+  *    Spark's broadcast/driver limits. AQE + autoBroadcastJoinThreshold
+  *    pick the strategy from observed sizes at runtime instead.
   *  - Filters/projections sit directly on the scan so parquet pushdown +
-  *    column pruning apply (verified via explain in BenchSpec).
+  *    column pruning apply (asserted via explain in PlanSpec).
   *  - Exact-decimal money math: sums over 2-decimal doubles are cast to
   *    DECIMAL(18,2) first, making the aggregate independent of
   *    partitioning/order in both Spark and DuckDB (SURVEY.md §7.4 risk 1).
@@ -81,9 +83,10 @@ object Relational {
   }
 
   /** 3-way inner join: lineitem⋈orders (fact-fact → shuffle join, AQE
-    * picks SMJ/SHJ) then ⋈customer with an explicit broadcast hint — the
-    * dimension side is tiny at every TPC-H-ish ratio, so no shuffle of the
-    * fact table on custkey is ever needed. */
+    * picks SMJ/SHJ) then ⋈customer with NO hint — customer grows linearly
+    * with SF (~150k×SF rows), so a forced broadcast would OOM at warehouse
+    * scale; AQE broadcasts it only while it is actually under the
+    * threshold. */
   val q03JoinInner: Q = Q.sql(
     "q03_join_revenue",
     """SELECT c_custkey, c_name,
@@ -97,7 +100,7 @@ object Relational {
   ) { (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
@@ -339,8 +342,11 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
-  /** Scalar-subquery pattern: each customer's max-price order, expressed
-    * as agg + self-join with exact double equality (deterministic). */
+  /** Scalar-subquery pattern: each customer's max-price order. Implemented
+    * as a window max + filter — ONE shuffle on o_custkey (the agg+self-join
+    * form shuffles orders twice on the same key and adds a join). Exact
+    * double equality on the max is deterministic: both sides are the same
+    * stored value, no arithmetic. */
   val q18GroupMaxJoin: Q = Q.sql(
     "q18_group_max_join",
     """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
@@ -348,9 +354,10 @@ object Relational {
       |                      WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
   ) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-    val mx = o.groupBy(col("o_custkey").as("mk")).agg(max(col("o_totalprice")).as("max_price"))
-    o.join(mx, col("o_custkey") === col("mk") && col("o_totalprice") === col("max_price"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .withColumn("max_price", max(col("o_totalprice")).over(byCust))
+      .filter(col("o_totalprice") === col("max_price"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -407,9 +414,8 @@ object Relational {
   }
 
   /** Time-bucketed aggregation over the events table (hourly counts —
-    * batch equivalent of a tumbling window; streaming twin in
-    * graft.streaming.Events). Epoch-seconds output avoids cross-engine
-    * timestamp-encoding drift. */
+    * batch equivalent of a tumbling window). Epoch-seconds output avoids
+    * cross-engine timestamp-encoding drift. */
   val q21EventsHourly: Q = Q.sql(
     "q21_events_hourly",
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
@@ -425,11 +431,13 @@ object Relational {
       .orderBy(col("hour"), col("event_type"))
   }
 
-  /** Semi-structured extraction from a JSON string column. */
+  /** Semi-structured extraction from a JSON string column. The oracle uses
+    * DuckDB's json_extract for semantic parity with get_json_object (a
+    * whitespace-sensitive regex would break on format drift). */
   val q22JsonExtract: Q = Q.sql(
     "q22_json_extract",
     """SELECT k, COUNT(*) AS n FROM (
-      |  SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |WHERE k >= 90 GROUP BY k ORDER BY k""".stripMargin
   ) { (s, dir) =>
     Tables.events(s, dir)

@@ -35,8 +35,12 @@ def main():
                 n_fail += 1
                 continue
             order = ", ".join('"%s"' % c for c in sorted(got_rel.columns))
-            got = con.sql(f"SELECT {order} FROM got_rel").fetchall()
-            exp = con.sql(f"SELECT {order} FROM exp_rel").fetchall()
+            # Sort rows in Python: SQL gives no guarantee a subquery's
+            # ORDER BY survives the outer projection, and parquet_scan row
+            # order depends on DuckDB's preserve_insertion_order default.
+            key = lambda r: tuple((v is None, v) for v in r)
+            got = sorted(con.sql(f"SELECT {order} FROM got_rel").fetchall(), key=key)
+            exp = sorted(con.sql(f"SELECT {order} FROM exp_rel").fetchall(), key=key)
             if len(got) != len(exp):
                 print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
                 n_fail += 1
