@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
-    ops.Relational.all
+    ops.Relational.all ++ ops.Dedup.all ++ ops.Similarity.all ++
+      ops.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,294 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators over the `documents` table — the LLM-training-
+  * data-pipeline family (builder prompt north star; no analog in the
+  * reference, which never dedups — its nearest idiom is the
+  * distinct/groupBy pair at MLP.ipynb:53-54,520).
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is a hash-groupBy: map-side partial min/count then one
+  *    shuffle keyed by the 128-bit content hash. Shuffle volume is one
+  *    small row per DISTINCT document, never per input row.
+  *  - Near-dup NEVER does all-pairs. Candidate generation is an
+  *    inverted-index equi-join (q25) or MinHash band buckets (q26): a
+  *    pair is compared only if it shares a shingle / lands in the same
+  *    LSH band bucket. With b bands of r rows, a pair of true Jaccard s
+  *    collides with probability 1-(1-s^r)^b — at b=4, r=4 that is >0.999
+  *    for s≥0.95 and <0.01 for s≤0.25, so candidate count stays ~linear
+  *    in corpus size for non-pathological corpora.
+  *  - Shingle width is 5 words: measured on this corpus's 31-word
+  *    vocabulary, 3-gram shingles average ~45 docs/shingle and the
+  *    inverted index explodes to 1.27M candidate pairs at sf0.1 where
+  *    5-grams give 13.5k (94× less) while every planted near-dup pair
+  *    (Jaccard ≥ 0.8) is still found. The production-scale guards for
+  *    hot shingles are the same shape: widen the shingle and/or cap
+  *    shingle doc-frequency (stop-shingle removal), plus AQE skew-join.
+  *  - MinHash signatures hash each shingle with md5 ONCE, then derive
+  *    the k=16 hash family via universal hashing (a_j·h + b_j) mod p,
+  *    p=2^31-1 — 16× fewer digest computations than k independent md5s,
+  *    and every product stays < 2^62 so the arithmetic is exact int64 on
+  *    both engines. All constants are md5-derived ([[Hashes]]) and
+  *    inlined identically into the DuckDB oracle, so the gate checks the
+  *    FULL pipeline — signatures, banding, candidate set — not just the
+  *    final filter.
+  */
+object Dedup {
+
+  import Hashes._
+
+  /** Universal-hash family modulus: the Mersenne prime 2^31-1. */
+  private val P = 2147483647L
+
+  /** k=16 (a_j, b_j) universal-hash constants, md5-derived so they are
+    * reproducible, with a_j ∈ [1, p-1] and b_j ∈ [0, p-1]. */
+  private[ops] val MinhashAB: Seq[(Long, Long)] = (0 until 16).map { j =>
+    def h(tag: String): Long =
+      java.lang.Long.parseLong(md5Hex(s"$tag$j").substring(0, 15), 16)
+    (h("mh_a") % (P - 1) + 1, h("mh_b") % P)
+  }
+
+  /** Word 5-gram shingling, Spark side: 0-based `get`, position order
+    * identical to the oracle's 1-based `range(1, len(w)-3)`. */
+  private def shingles5(w: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - 5), i =>
+      concat_ws(" ", get(w, i), get(w, i + 1), get(w, i + 2), get(w, i + 3), get(w, i + 4))))
+
+  /** documents → (doc_id, sh: distinct 5-gram shingles); <5-token rows
+    * dropped (Spark `sequence` counts DOWN for start>stop). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), shingles5(col("w")).as("sh"))
+
+  /** documents → (doc_id, hs: 60-bit md5 hashes of the distinct 5-gram
+    * shingles), materialized behind a by-doc_id aggregation barrier.
+    * Three deliberate scale choices, measured at sf0.1 (16.1 s → 1.1 s
+    * for q25's full pipeline):
+    *  1. Everything downstream (explode, self-join, signatures, verify
+    *     intersections) operates on 8-byte hashes, never ~30-byte shingle
+    *     strings — shuffle volume and join-key compares shrink ~4×, and
+    *     the candidate join becomes a long-key hash join.
+    *  2. The trailing groupBy(doc_id).agg(first(hs)) is a no-op on the
+    *     data (doc_id is unique) but a load-bearing plan barrier: without
+    *     it, Catalyst's InferFiltersFromGenerate/-Constraints clone the
+    *     ENTIRE shingling+hashing expression into inferred `size(..)>0` /
+    *     `isnotnull(..)` filters below the explode (alias substitution
+    *     pushes them through any Project or even an Exchange), so the
+    *     most expensive expression in the query evaluates 3× per row.
+    *     Filters cannot transpose through an aggregate on a non-grouping
+    *     column, so behind the barrier the plan stays evaluate-once.
+    *  3. The barrier's exchange is also the materialization point all
+    *     2-4 downstream consumers reuse (Spark ReuseExchange) — the
+    *     library-safe alternative to cache(), one compact row per doc.
+    * Hash collisions (60-bit) first matter near ~2^30 distinct shingles;
+    * the oracle hashes identically, so semantics stay mirrored anyway. */
+  private def docHashedShingles(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
+      .select(col("doc_id"), transform(col("sh"), sh => hexLong(sh)).as("hs"))
+      .groupBy(col("doc_id")).agg(first(col("hs")).as("hs"))
+
+  /** Oracle twin of [[docShingles]] — shared CTE text. */
+  private val oracleDocs: String =
+    """docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+      |      i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5)""".stripMargin
+
+  /** Oracle twin of [[docHashedShingles]] (requires [[oracleDocs]]). */
+  private val oracleHashed: String =
+    """hashed AS (
+      |  SELECT doc_id, list_transform(sh,
+      |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      |  FROM docs)""".stripMargin
+
+  /** Exact dedup: group by full-content hash, keep the smallest doc_id.
+    * Emitting the md5 itself makes the oracle verify hash parity row by
+    * row, not just group counts. */
+  val q24DedupExact: Q = Q.sql(
+    "q24_dedup_exact",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Exact n-gram Jaccard near-dup via inverted-index candidate
+    * generation: explode hashed 5-gram shingles, equi-join on the hash
+    * (only pairs sharing ≥1 shingle are ever scored — a Jaccard>0
+    * precondition, so this is exact, not approximate), then verify
+    * Jaccard ≥ 0.8 from intersection counts. The Jaccard division takes
+    * identical integer operands on both engines → bit-identical doubles. */
+  val q25NeardupJaccard: Q = Q.sql(
+    "q25_neardup_jaccard",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+       |sizes AS (SELECT doc_id, len(hs) AS n FROM hashed),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT i, j, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+       |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8
+       |ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    val docs = docHashedShingles(s, dir)
+    val sh = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+    // Set sizes straight off the (already materialized) arrays — no
+    // second explode+groupBy shuffle; AQE broadcasts this 1-row-per-doc
+    // side into the pair-verify joins.
+    val sizes = docs.select(col("doc_id"), size(col("hs")).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** MinHash + LSH banding near-dup — the 100 TB path (see object doc).
+    * 16 universal-hash min-hashes per doc, banded 4×4; docs sharing a
+    * band bucket become candidates; candidates verified with exact
+    * Jaccard ≥ 0.8. */
+  val q26NeardupMinhash: Q = {
+    val aList = MinhashAB.map(_._1).mkString("[", ", ", "]")
+    val bList = MinhashAB.map(_._2).mkString("[", ", ", "]")
+    Q.sql(
+      "q26_neardup_minhash",
+      s"""WITH $oracleDocs,
+         |$oracleHashed,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), j ->
+         |      list_min(list_transform(hs, h ->
+         |        ($aList[j+1] * (h % $P) + $bList[j+1]) % $P))) AS sig
+         |  FROM hashed),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+         |SELECT p.i, p.j,
+         |  CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
+         |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) AS jaccard
+         |FROM pairs p JOIN hashed da ON da.doc_id = p.i JOIN hashed dc ON dc.doc_id = p.j
+         |WHERE CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
+         |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) >= 0.8
+         |ORDER BY i, j""".stripMargin
+    ) { (s, dir) =>
+      val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
+      val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
+      val docs = docHashedShingles(s, dir)
+      val sigs = docs.select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          array_min(transform(col("hs"), h =>
+            (get(aLit, j) * (h % P) + get(bLit, j)) % P))).as("sig"))
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("b"),
+          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)).cast("array<string>")).as("bkey")
+        ))).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+      val pairs = bands.as("a")
+        .join(bands.as("c"),
+          col("a.b") === col("c.b") && col("a.bkey") === col("c.bkey") &&
+            col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("i"), col("c.doc_id").as("j"))
+        .distinct()
+      val inter = size(array_intersect(col("da.hs"), col("dc.hs")))
+      val jac = inter.cast("double") / (size(col("da.hs")) + size(col("dc.hs")) - inter)
+      pairs
+        .join(docs.as("da"), col("i") === col("da.doc_id"))
+        .join(docs.as("dc"), col("j") === col("dc.doc_id"))
+        .select(col("i"), col("j"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("i"), col("j"))
+    }
+  }
+
+  /** Document fingerprinting: min-hash sketch of the shingle set — the
+    * single smallest hash plus the 3 smallest concatenated (a winnowing-
+    * style sketch). Equal fp3 ⇒ near-certain duplicate; grouping by fp
+    * is the O(n) pre-cluster a 100 TB dedup pass runs before any pairwise
+    * work. Row-local (no shuffle until the final order). */
+  val q33Fingerprint: Q = Q.sql(
+    "q33_fingerprint",
+    s"""WITH $oracleDocs
+       |SELECT doc_id,
+       |  list_min(h) AS fp,
+       |  array_to_string(list_sort(h)[1:3], ',') AS fp3
+       |FROM (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+       |  FROM docs)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    docShingles(s, dir)
+      .select(col("doc_id"), transform(col("sh"), sh => hexLong(sh)).as("h"))
+      .select(
+        col("doc_id"),
+        array_min(col("h")).as("fp"),
+        concat_ws(",", slice(array_sort(col("h")), 1, 3).cast("array<string>")).as("fp3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash (32-bit, from 48-bit md5 token hashes): bit b of the
+    * fingerprint is the sign of Σ_tokens (±1 by bit b of H(token)).
+    * Near-dup docs differ in few bits (Hamming), so grouping by simhash
+    * (or by its bands) buckets near-dups without any join — row-local
+    * compute, one fingerprint per document. Bit arithmetic sticks to
+    * shiftright/%/pow that both engines evaluate exactly on <2^48 ints. */
+  val q34Simhash: Q = Q.sql(
+    "q34_simhash",
+    """SELECT doc_id,
+      |  list_sum(list_transform(range(0, 32), b ->
+      |    CASE WHEN list_sum(list_transform(th, h ->
+      |             CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+      |FROM (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    t -> CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT)) AS th
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // SQL-expression form: shiftright needs a non-literal bit index (the
+    // lambda variable b), which the Scala DSL's shiftright(Column, Int)
+    // signature can't express.
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "transform(array_distinct(split(text, ' ')), " +
+          "t -> cast(conv(substring(md5(t), 1, 12), 16, 10) as long)) AS th")
+      .selectExpr(
+        "doc_id",
+        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+          |  CASE WHEN aggregate(th, 0, (a, h) ->
+          |         a + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+          |       THEN CAST(pow(2, b) AS BIGINT) ELSE 0L END) AS simhash""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash)
+}

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the LLM-data-pipeline ANN family (builder prompt north star; the
+  * reference has no vector search — its nearest idiom is the per-row
+  * horizontal score at category_model.ipynb:152).
+  *
+  * Scale design (100 TB):
+  *  - q27 is the exact brute-force baseline: every query × every vector.
+  *    It is the CORRECTNESS reference, deliberately kept for a small,
+  *    bounded query set (the probe side is tiny, so Spark broadcasts it
+  *    and the candidate scan streams — no shuffle of the big side).
+  *  - q28/q29 are the scale path: random-hyperplane LSH. Each vector gets
+  *    an 8-bit bucket from the signs of 8 fixed hyperplane projections,
+  *    turning the O(N·Q) scan into an equi-join on bucket — at 1000
+  *    executors that is one hash shuffle on a key with 256 values ×
+  *    whatever banding multiplicity is configured. Recall is tuned by
+  *    bucket bits / multi-probe; candidates within a bucket are scored
+  *    exactly.
+  *  - All arithmetic is double with a left-fold accumulation order that
+  *    DuckDB's list_reduce reproduces exactly; hyperplanes are md5-derived
+  *    ([[Hashes.pseudoUniform]]) so the oracle rebuilds the same planes
+  *    from SQL. Similarities are rounded to 9 dp on both sides before
+  *    compare/output (double noise lives at ~1e-16, data distinctions at
+  *    ~1e-3).
+  */
+object Similarity {
+
+  import Hashes.pseudoUniform
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  /** The 8 fixed md5-derived hyperplanes, computed once at plan build. */
+  private val planes: Seq[Array[Double]] =
+    (0 until NPlanes).map(p => Array.tabulate(Dim)(d => pseudoUniform(s"hp$p", d)))
+
+  /** Left-fold dot product of two array<double> columns — matches DuckDB
+    * `list_reduce(list_transform(list_zip(a,b), p -> p[1]*p[2]), (x,y) -> x+y)`
+    * term-for-term (0.0+x == x exactly, so the missing init is harmless). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, v2) => acc + v2))
+
+  /** vec_id, v (array<double>), nrm. Float→double widening is exact. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** 8-bit LSH bucket: concatenated signs of the hyperplane projections. */
+  private def bucket(v: Column): Column =
+    concat(planes.map(p =>
+      when(dot(v, lit(p)) > 0, "1").otherwise("0")): _*)
+
+  // Lambda var deliberately NOT 'p' — it would capture the planes CTE's
+  // p column in DuckDB's binder instead of the lambda argument.
+  private val oracleDot =
+    "list_reduce(list_transform(list_zip(%s, %s), zz -> zz[1]*zz[2]), (a,b) -> a+b)"
+
+  /** Brute-force exact cosine top-k (k=5) for a fixed probe set
+    * (vec_id < 10). The exact baseline every ANN variant is judged
+    * against. Probe side is constant-size → broadcast; candidates stream. */
+  val q27AnnTopk: Q = Q.sql(
+    "q27_ann_topk",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${oracleDot.format("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+       |  FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = vecs(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def oracleBuckets: String =
+    s"""planes AS (
+       |  SELECT p, list(val ORDER BY d) AS pv FROM (
+       |    SELECT p, d,
+       |      (CAST(concat('0x', substr(md5(concat('hp', p, ':', d)), 1, 15)) AS BIGINT)
+       |       % 2001 - 1000) / 1000.0 AS val
+       |    FROM (SELECT unnest(range(0, $NPlanes)) AS p),
+       |         (SELECT unnest(range(0, $Dim)) AS d))
+       |  GROUP BY p),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm,
+       |    (SELECT string_agg(
+       |       CASE WHEN ${oracleDot.format("e.v", "pl.pv")} > 0 THEN '1' ELSE '0' END,
+       |       '' ORDER BY pl.p) FROM planes pl) AS bucket
+       |  FROM e)""".stripMargin
+
+  /** LSH-bucketed ANN: top-3 within the query's hyperplane bucket. The
+    * 100 TB plan shape — equi-join on the bucket key instead of a full
+    * cross product; exact scoring inside the bucket. */
+  val q28AnnLsh: Q = Q.sql(
+    "q28_ann_lsh",
+    s"""WITH $oracleBuckets,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${oracleDot.format("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+       |  FROM norms q JOIN norms c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = vecs(s, dir).withColumn("bucket", bucket(col("v")))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-dup: all same-bucket pairs with cosine ≥ 0.1.
+    * Same LSH equi-join shape as q28 but symmetric (i<j) — the dedup
+    * variant of similarity search. Exact all-pairs would be O(N²) and is
+    * exactly what the bucketing avoids at scale; the threshold is low
+    * because the synthetic embeddings have no true near-dups (max pair
+    * cosine ≈ 0.51 across buckets). */
+  val q29EmbNeardup: Q = Q.sql(
+    "q29_emb_neardup",
+    s"""WITH $oracleBuckets,
+       |scored AS (
+       |  SELECT a.vec_id AS i, c.vec_id AS j,
+       |    round(${oracleDot.format("a.v", "c.v")} / (a.nrm * c.nrm), 9) AS sim
+       |  FROM norms a JOIN norms c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT i, j, sim FROM scored WHERE sim >= 0.1
+       |ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    val n = vecs(s, dir).withColumn("bucket", bucket(col("v")))
+    val a = n.select(col("vec_id").as("i"), col("v").as("av"),
+      col("nrm").as("an"), col("bucket").as("ab"))
+    a.join(n, col("ab") === col("bucket") && col("i") < col("vec_id"))
+      .select(
+        col("i"), col("vec_id").as("j"),
+        round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9).as("sim"))
+      .filter(col("sim") >= 0.1)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup)
+}

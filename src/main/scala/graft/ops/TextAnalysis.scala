@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators over `documents` — the LLM-training-data
+  * quality/statistics family (builder prompt north star). All are
+  * row-local expression pipelines: no shuffle until the final output
+  * order, so at 100 TB they run at scan speed and the only exchange is
+  * whatever the downstream consumer (filter/groupBy) needs.
+  *
+  * Every ratio is a division of identical integer operands in both
+  * engines → bit-identical doubles, no rounding tolerance needed
+  * (except the composite quality score, rounded to 9 dp as insurance on
+  * multi-term double arithmetic).
+  */
+object TextAnalysis {
+
+  /** Quality-scoring stopword list (fixed config, like the reference's
+    * custom stopword set at model.py:51-54). */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Language marker lists for the n-gram/keyword language-ID heuristic.
+    * Priority order breaks score ties (first match wins, like the
+    * reference's first-match category UDF at MLP.ipynb:618-625). */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "order", "table"),
+    "de" -> Seq("hash", "join", "row"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("small", "customer", "column"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Per-document statistics + composite quality score: length, token
+    * counts, type-token ratio, mean word length, stopword ratio —
+    * the length/punct/stopword quality-filter family. */
+  val q30TextStats: Q = Q.sql(
+    "q30_text_stats",
+    s"""SELECT doc_id, n_chars, n_words, n_distinct,
+       |  CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+       |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+       |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |  round(0.25 * (least(n_words, 100) / 100.0)
+       |      + 0.25 * (CAST(n_stop AS DOUBLE) / n_words)
+       |      + 0.25 * (CAST(n_distinct AS DOUBLE) / n_words)
+       |      + 0.25 * (least(CAST(sum_wlen AS DOUBLE) / n_words, 8.0) / 8.0), 9) AS quality
+       |FROM (
+       |  SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+       |    len(list_distinct(w)) AS n_distinct,
+       |    list_reduce(list_transform(w, x -> length(x)), (a,b) -> a+b) AS sum_wlen,
+       |    len(list_filter(w, x -> list_contains(${sqlList(Stopwords)}, x))) AS n_stop
+       |  FROM (SELECT doc_id, length(text) AS _c, string_split(text, ' ') AS w, text
+       |        FROM documents)
+       |  WHERE len(w) >= 1)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val stats = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        aggregate(transform(col("w"), x => length(x)), lit(0), (a, b) => a + b).as("sum_wlen"),
+        size(filter(col("w"), x => array_contains(lit(Stopwords.toArray), x))).as("n_stop"))
+    stats.select(
+      col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+      (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
+      (col("sum_wlen").cast("double") / col("n_words")).as("mean_wlen"),
+      (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+      round(
+        lit(0.25) * (least(col("n_words"), lit(100)) / 100.0)
+          + lit(0.25) * (col("n_stop").cast("double") / col("n_words"))
+          + lit(0.25) * (col("n_distinct").cast("double") / col("n_words"))
+          + lit(0.25) * (least(col("sum_wlen").cast("double") / col("n_words"), lit(8.0)) / 8.0),
+        9).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Keyword/n-gram language-ID heuristic: score each language by marker
+    * occurrences, argmax with fixed priority tiebreak, emit the confusion
+    * matrix against the labeled `lang` column (the reference's
+    * classify-then-crosstab shape, MLP.ipynb:94-95). Accuracy on this
+    * synthetic uniform-vocabulary corpus is chance — the operator under
+    * test is the deterministic scoring/argmax/crosstab plan. */
+  val q31Langid: Q = {
+    // Chained CASE: first language (in priority order) whose score is >=
+    // every other language's score wins.
+    val scoreSql = LangMarkers.map { case (l, ms) =>
+      s"len(list_filter(w, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val predSql = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    Q.sql(
+      "q31_langid",
+      s"""SELECT lang, pred, COUNT(*) AS n FROM (
+         |  SELECT lang, $predSql AS pred FROM (
+         |    SELECT lang, $scoreSql
+         |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))
+         |GROUP BY lang, pred
+         |ORDER BY lang, pred""".stripMargin
+    ) { (s, dir) =>
+      def score(ms: Seq[String]): Column =
+        size(filter(col("w"), x => array_contains(lit(ms.toArray), x)))
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .select(col("lang") +: LangMarkers.map { case (l, ms) => score(ms).as(s"s_$l") }: _*)
+      val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+        val geAll = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+      }
+      scored.select(col("lang"), pred.as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenization
+    * ([a-z]+ | digit runs — the pattern kept within the Java-regex ∩ RE2
+    * common subset so both engines tokenize identically). */
+  val q32TokenCount: Q = Q.sql(
+    "q32_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+      |  length(text) AS n_chars,
+      |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+      |    AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
+        length(col("text")).as("n_chars"))
+      .withColumn("chars_per_token", col("n_chars").cast("double") / col("re_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount)
+}
