@@ -28,7 +28,7 @@ object Bench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-bench")
     def once(): (Seq[(String, Double)], Seq[(String, String)]) = {
       val errors = Seq.newBuilder[(String, String)]
-      val times = SparkEntry.registry.map { q =>
+      val times = SparkEntry.registry.filter(_.inBench).map { q =>
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).count()

@@ -28,6 +28,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate applies builder confs to a PRE-EXISTING session only as
+    // runtime confs — a session built first elsewhere (e.g. by a test)
+    // would silently miss the parquet-nanos conf and break Tables.events
+    // at first read. Fail fast instead.
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
+      "existing SparkSession lacks spark.sql.legacy.parquet.nanosAsLong=true; " +
+        "build sessions via Sessions.local first")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.Dedup.all ++ ops.Similarity.all ++
-      ops.TextAnalysis.all
+      ops.TextAnalysis.all ++ allergen.Labels.all ++ allergen.Train.all ++
+      ops.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -52,11 +52,18 @@ object Tables {
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    inBench: Boolean = true)
 
 object Q {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+  /** Non-oracle AND excluded from the per-round bench: ML training
+    * entries whose iterative fit cost would swamp the query timings the
+    * bench tracks (they are exercised by Verify at sf0.01 and by the
+    * ScalaTest suite instead). */
+  def heavy(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None, inBench = false)
 }

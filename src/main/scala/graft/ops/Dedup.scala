@@ -45,7 +45,7 @@ object Dedup {
 
   /** k=16 (a_j, b_j) universal-hash constants, md5-derived so they are
     * reproducible, with a_j ∈ [1, p-1] and b_j ∈ [0, p-1]. */
-  private[ops] val MinhashAB: Seq[(Long, Long)] = (0 until 16).map { j =>
+  private[graft] val MinhashAB: Seq[(Long, Long)] = (0 until 16).map { j =>
     def h(tag: String): Long =
       java.lang.Long.parseLong(md5Hex(s"$tag$j").substring(0, 15), 16)
     (h("mh_a") % (P - 1) + 1, h("mh_b") % P)

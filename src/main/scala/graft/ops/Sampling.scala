@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Sampling / split operators (SURVEY.md §2.5 rows 32-35) — the family
+  * every reference workload runs before every fit. Cross-engine
+  * randomness is not reproducible (Spark's per-partition XORShift vs
+  * DuckDB), so these are non-oracle entries; their contracts
+  * (determinism across runs for a fixed seed+partitioning, split
+  * disjointness/coverage, count windows) are asserted in SamplingSpec.
+  *
+  * Scale notes: `sample`/`randomSplit` are NARROW — per-partition
+  * Bernoulli draws, no shuffle, no driver involvement; they run at scan
+  * speed on any cluster. `orderBy(rand(seed)).limit(n)` (the reference's
+  * exact-n undersample, MLP.ipynb:63) costs a full range-exchange sort
+  * at scale and is kept for parity — Catalyst plans the limit as
+  * TakeOrderedAndProject so only n rows survive per partition, but the
+  * rand sort key still materializes for every row. Prefer fraction
+  * sampling when exact n is not required.
+  */
+object Sampling {
+
+  /** Seeded Bernoulli fraction sample (model.py:42 / sample(frac)). */
+  val q40SampleFraction: Q = Q.noOracle("q40_sample_fraction") { (s, dir) =>
+    Tables.documents(s, dir)
+      .sample(withReplacement = false, fraction = 0.2, seed = 42)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seeded randomSplit 80/20 (MLP.ipynb:79) — emits per-split counts;
+    * SamplingSpec asserts disjointness and exact coverage. */
+  val q41RandomSplit: Q = Q.noOracle("q41_random_split") { (s, dir) =>
+    val Array(train, test) =
+      Tables.documents(s, dir).randomSplit(Array(0.8, 0.2), seed = 42)
+    train.select(lit("train").as("split"), col("doc_id"))
+      .union(test.select(lit("test").as("split"), col("doc_id")))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+  }
+
+  /** Random-shuffle + limit undersample (MLP.ipynb:63), seeded. */
+  val q42RandLimit: Q = Q.noOracle("q42_rand_limit") { (s, dir) =>
+    Tables.documents(s, dir)
+      .orderBy(rand(42))
+      .limit(50)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Two-stage train/val/test split (model.py:90-91: 10% test, then 15%
+    * of the remainder as val) via chained seeded randomSplits. */
+  val q43TwoStageSplit: Q = Q.noOracle("q43_two_stage_split") { (s, dir) =>
+    val Array(rest, test) =
+      Tables.documents(s, dir).randomSplit(Array(0.9, 0.1), seed = 1010)
+    val Array(train, valid) = rest.randomSplit(Array(0.85, 0.15), seed = 1010)
+    train.select(lit("1_train").as("split"), col("doc_id"))
+      .union(valid.select(lit("2_val").as("split"), col("doc_id")))
+      .union(test.select(lit("3_test").as("split"), col("doc_id")))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+  }
+
+  val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit)
+}

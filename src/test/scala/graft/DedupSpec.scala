@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the dedup/similarity family beyond the
+  * DuckDB oracle (which checks exact values at sf0.01): pair ordering,
+  * threshold respect, LSH-candidate ⊆ exact-candidate containment, and
+  * signature determinism. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairs(name: String): Seq[(Long, Long, Double)] =
+    SparkEntry.queries(name)(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("exact dedup groups cover every document exactly once") {
+    val rows = SparkEntry.queries("q24_dedup_exact")(spark, Sf0001).collect()
+    val total = Tables.documents(spark, Sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total)    // n_copies sums to corpus
+    assert(rows.map(_.getString(0)).distinct.length == rows.length) // hash unique
+  }
+
+  test("near-dup pairs respect i<j ordering and the 0.8 threshold") {
+    Seq("q25_neardup_jaccard", "q26_neardup_minhash").foreach { name =>
+      val ps = pairs(name)
+      assert(ps.forall { case (i, j, jac) => i < j && jac >= 0.8 && jac <= 1.0 }, name)
+    }
+  }
+
+  test("MinHash-LSH candidates never invent pairs the exact join misses") {
+    val exact = pairs("q25_neardup_jaccard").map(p => (p._1, p._2)).toSet
+    val lsh = pairs("q26_neardup_minhash").map(p => (p._1, p._2)).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH produced non-exact pairs: ${lsh.diff(exact)}")
+  }
+
+  test("minhash universal-hash constants are in range and deterministic") {
+    val ab = graft.ops.Dedup.MinhashAB
+    assert(ab.size == 16)
+    val p = 2147483647L
+    assert(ab.forall { case (a, b) => a >= 1 && a < p && b >= 0 && b < p })
+    assert(ab == graft.ops.Dedup.MinhashAB) // stable across calls
+  }
+
+  test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
+    val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to byRank.length))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+}

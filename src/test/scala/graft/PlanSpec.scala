@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Explain-plan assertions: the scale properties the Scaladoc in
+  * ops.Relational claims are verified here, not just asserted in prose.
+  *
+  * AQE note: at tiny SF, AQE may legitimately broadcast an SF-scaling
+  * table at RUNTIME from observed sizes — that is the desired adaptive
+  * behavior, not a plan bug. What must never appear is a STATIC
+  * broadcast hint on an SF-scaling table, so the hint assertions run
+  * against the logical plan, where hints live.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, Sf0001)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 pushes its filters into the parquet scan") {
+    val plan = formatted(q("q02_filter_project"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"), plan)
+    assert(plan.contains("LessThan(l_quantity,10.0)"), plan)
+  }
+
+  test("q02 prunes the read schema to referenced columns only") {
+    val plan = formatted(q("q02_filter_project"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    // 4 projected + 3 filter columns; the other 4 lineitem columns must
+    // not be read.
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_shipdate", "l_discount").foreach(c => assert(readSchema.contains(c), readSchema))
+    Seq("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey", "l_tax")
+      .foreach(c => assert(!readSchema.contains(c), readSchema))
+  }
+
+  test("q03 carries no static broadcast hint (SF-scaling sides left to AQE)") {
+    val logical = q("q03_join_revenue").queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"), logical)
+  }
+
+  test("q23 broadcast-hints ONLY the constant-cardinality nation dimension") {
+    val logical = q("q23_snowflake_join").queryExecution.optimizedPlan.toString
+    val hintLines = logical.linesIterator.filter(_.toLowerCase.contains("strategy=broadcast")).toSeq
+    assert(hintLines.nonEmpty, logical)
+    // the hint must sit on the nation side of the first join only —
+    // customer/orders must not appear on a hinted side
+    assert(!logical.contains("rightHint=(strategy=broadcast)") ||
+      !hintLines.exists(l => l.contains("customer") || l.contains("orders")), logical)
+  }
+
+  test("q18 window rewrite shuffles exactly once on o_custkey") {
+    val plan = formatted(q("q18_group_max_join"))
+    // formatted mode puts the partitioning on the Exchange's Arguments
+    // line; the final ORDER BY's range exchange is expected and excluded.
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash Exchange (the window), got $hashExchanges:\n$plan")
+  }
+
+  test("q25/q26 dedup plans contain no cartesian product") {
+    Seq("q25_neardup_jaccard", "q26_neardup_minhash").foreach { name =>
+      val plan = formatted(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
+  test("every registered query keeps its aggregates partial (no single-point pre-agg shuffle of raw rows)") {
+    // HashAggregate must appear in partial+final pairs — spot-check q01.
+    val plan = formatted(q("q01_pricing_summary"))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+}
