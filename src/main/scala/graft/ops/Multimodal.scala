@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing (builder prompt north star): media as
+  * opaque `binary` payloads beside a typed metadata struct, with
+  * decode/feature-extraction as partition-batch functions. The real
+  * image/audio codecs are not in this environment, so the decode step is
+  * a clearly-marked DETERMINISTIC FAKE ([[fakeDecode]]) — the Spark-side
+  * contract (schema, binary column, partition batching, feature-vector
+  * shape) is real and tested.
+  *
+  * Scale design:
+  *  - Payloads stay opaque bytes end-to-end; Spark never interprets
+  *    them, so the scan is a straight parquet binary read and the only
+  *    per-row cost is the extractor itself.
+  *  - Extraction runs via mapPartitions on a typed Dataset — one
+  *    function invocation per PARTITION, not per row (the JVM analog of
+  *    arrow-batched pandas UDFs): codec/session setup amortizes across
+  *    the batch, the iterator streams without materializing the
+  *    partition, and output rows carry only compact features.
+  *  - No shuffle anywhere before the output ordering.
+  */
+object Multimodal {
+
+  /** Typed rows for the extractor stage. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Long)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, histogram: Array[Double])
+
+  /** documents → media table: utf8 bytes as the opaque payload plus a
+    * metadata struct (format/width/source) — the schema a real
+    * image/audio table would carry. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("utf8-text").as("format"),
+        col("n_chars").as("width"),
+        col("source").as("source")).as("meta"))
+
+  /** FAKE DECODE — deterministic stand-in for an image/audio codec:
+    * 16-bucket byte histogram, L1-normalized. A real deployment swaps
+    * this body for the codec call; the partition-batch contract and
+    * output shape stay identical. */
+  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+    val n = math.max(1.0, payload.length.toDouble)
+    hist.map(_ / n)
+  }
+
+  /** Partition-batched feature extraction over the typed Dataset. */
+  def extractFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir)
+      .select(col("doc_id"), col("payload"),
+        col("meta.format").as("format"), col("meta.width").as("width"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition setup would open the codec ONCE here
+        rows.map(r => MediaFeatures(r.doc_id, r.payload.length, fakeDecode(r.payload)))
+      }
+      .toDF()
+  }
+
+  /** Binary-column scalar surface — oracle-checked: byte length, first
+    * byte, payload digest all computed on the binary payload (DuckDB
+    * mirrors via encode()/octet_length; md5 of the blob equals md5 of
+    * the utf8 text it encodes). */
+  val q55BinaryMeta: Q = Q.sql(
+    "q55_binary_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  md5(text) AS payload_md5,
+      |  length(text) AS width
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    media(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"), // length(binary) = byte count
+        ascii(col("payload").cast("string")).as("first_byte"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.width").as("width"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Histogram features via the mapPartitions extractor — non-oracle
+    * (typed-Dataset stage; DuckDB has no byte-histogram); shape and
+    * determinism are asserted in MultimodalSpec. Bench-included: the
+    * extractor IS the workload a media pipeline times. */
+  val q56MediaFeatures: Q = Q.noOracle("q56_media_features") { (s, dir) =>
+    extractFeatures(s, dir)
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("histogram"), 7), 9).as("h6"),
+        round(aggregate(col("histogram"), lit(0.0), (a, x) => a + x), 9).as("h_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q55BinaryMeta, q56MediaFeatures)
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Remaining §2 row-op inventory: na.drop (§2.2 row 10,
+  * category_model.ipynb:43 / model.py:242), row-wise horizontal sum
+  * (§2.4 row 25, category_model.ipynb:152,159 — both the plain
+  * expression sum and the higher-order aggregate-over-array form), and
+  * the wide grouped mean (§2.4 rows 22/27, category_model.ipynb:66).
+  * Row-local expressions + partial hash aggregates — scan-speed then
+  * one per-group-sized shuffle at any scale.
+  */
+object RelationalExt {
+
+  /** na.drop: nulls are introduced deterministically (nullif on zero
+    * discount/tax) and then dropped with how="any" — equivalent to the
+    * oracle's IS-NOT-NULL conjunction. */
+  val q48NaDrop: Q = Q.sql(
+    "q48_na_drop",
+    """SELECT l_orderkey, l_linenumber, d, t FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    nullif(l_discount, 0) AS d, nullif(l_tax, 0) AS t
+      |  FROM lineitem)
+      |WHERE d IS NOT NULL AND t IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0)).as("d"),
+        nullif(col("l_tax"), lit(0)).as("t"))
+      .na.drop("any", Seq("d", "t"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Row-wise horizontal sum across columns — the plain expression form
+    * (qty+disc+tax) AND the higher-order aggregate(array(...)) form the
+    * reference's per-row category scoring maps to. Left-fold double
+    * addition evaluates identically in DuckDB's list_reduce. */
+  val q49HorizontalSum: Q = Q.sql(
+    "q49_horizontal_sum",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity + l_discount + l_tax AS expr_sum,
+      |  list_reduce([l_quantity, l_discount, l_tax], (a, x) -> a + x) AS hof_sum
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_discount") + col("l_tax")).as("expr_sum"),
+        aggregate(
+          array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          lit(0.0), (a, x) => a + x).as("hof_sum"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Wide grouped mean: one groupBy, many avg columns (the reference's
+    * ~380-column per-cluster mean). Means go through exact DECIMAL sums
+    * divided by counts so the result is partitioning-independent in both
+    * engines (SURVEY §7.4 risk 1 — a naive avg(double) depends on
+    * accumulation order). */
+  val q50WideMean: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Q.sql(
+      "q50_wide_mean",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_$c").mkString(", ")}
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          cols.map(c =>
+            (sum(col(c).cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+              .as(s"mean_$c")): _*)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q48NaDrop, q49HorizontalSum, q50WideMean)
+}
