@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.Dedup.all ++ ops.Similarity.all ++
       ops.TextAnalysis.all ++ allergen.Labels.all ++ allergen.Train.all ++
       ops.Sampling.all ++ ops.Text.all ++ ops.RelationalExt.all ++
-      restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all
+      restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all ++
+      streaming.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -238,6 +238,39 @@ object Train {
       (cat, cvModel.avgMetrics(bestIdx), bestNf)
     }
 
+  /** classification_report parity (MLP.ipynb:389 via sklearn;
+    * SURVEY §2.4 row "classification_report / MulticlassMetrics"):
+    * per-class precision/recall/F1/support derived natively from the
+    * (label, prediction) confusion counts — one hash aggregate over the
+    * predictions, no RDD API, no driver-side loops; AllergenSpec
+    * cross-checks the numbers against mllib's MulticlassMetrics. */
+  def classificationReport(pred: DataFrame, labelCol: String = "label",
+                           predCol: String = "prediction"): DataFrame = {
+    val cells = pred.groupBy(col(labelCol).as("cls"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cells.filter(col("cls") === col("p"))
+      .select(col("cls"), col("n").as("tp"))
+    val support = cells.groupBy(col("cls")).agg(sum(col("n")).as("support"))
+    val predicted = cells.groupBy(col("p").as("cls")).agg(sum(col("n")).as("predicted"))
+    support
+      .join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("support", "predicted", "tp"))
+      .select(
+        col("cls").as("class"),
+        (col("tp") / when(col("predicted") === 0, 1).otherwise(col("predicted")))
+          .as("precision"),
+        (col("tp") / when(col("support") === 0, 1).otherwise(col("support")))
+          .as("recall"),
+        col("support"), col("tp"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .select(col("class"), col("precision"), col("recall"), col("f1"), col("support"))
+      .orderBy(col("class"))
+  }
+
   // ------------------------------------------------------- registry entries
 
   /** The three binary models' held-out metrics as a DataFrame —
@@ -275,5 +308,39 @@ object Train {
       .orderBy(col("category"))
   }
 
-  val all: Seq[Q] = Seq(q37TrainBinary, q38TrainMulticlass, q39TrainMultilabelCv)
+  /** Training-metrics-log analytics (model.py:238-253 / model.eval.py:36-53
+    * parity): the reference plots per-epoch loss curves from a metrics
+    * CSV; Spark's LogisticRegression exposes the same series natively as
+    * trainingSummary.objectiveHistory. Emitted per iteration with the
+    * running best — the loss-curve aggregation the reference computes in
+    * pandas. */
+  val q59TrainingCurve: Q = Q.heavy("q59_training_curve") { (s, dir) =>
+    import s.implicits._
+    val data = trainData(s, dir)
+    val (tf, idf) = tfidf(512)
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features").setMaxIter(50)
+    val model = new Pipeline().setStages(Array(tf, idf, lr)).fit(data)
+    val history = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      .summary.objectiveHistory
+    history.zipWithIndex
+      .scanLeft((0, Double.MaxValue, Double.MaxValue)) { case ((_, _, best), (loss, i)) =>
+        (i, loss, math.min(best, loss))
+      }.drop(1)
+      .toSeq.toDF("iteration", "loss", "best_loss")
+      .orderBy(col("iteration"))
+  }
+
+  /** Per-class report for the weighted-LR model's held-out predictions. */
+  val q58ClassReport: Q = Q.heavy("q58_classification_report") { (s, dir) =>
+    val data = trainData(s, dir)
+    val (model, _) = binaryWeightedLR(data, numFeatures = 512)
+    val Array(_, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    classificationReport(model.transform(
+      test.withColumn("classWeight", lit(1.0))))
+  }
+
+  val all: Seq[Q] = Seq(q37TrainBinary, q38TrainMulticlass, q39TrainMultilabelCv,
+    q58ClassReport, q59TrainingCurve)
 }

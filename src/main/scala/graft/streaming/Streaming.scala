@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Structured Streaming surface (SURVEY §2.11 — an extension beyond the
+  * reference, which has no streaming; the driver's `events` table is the
+  * designated target). Every transform here is defined once against a
+  * DataFrame and works identically for a batch read and a readStream —
+  * the streaming twin of q21's hourly rollup, session windows, and a
+  * custom-state counter via mapGroupsWithState.
+  *
+  * Scale design: all aggregations key on (window/session, group) so
+  * state is bounded per key; the watermark bounds total state by evicting
+  * windows older than the lateness horizon — without it a 100 TB/day
+  * stream accretes state forever. session_window merges are Spark-native
+  * (no per-event driver work).
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserRunningCount(user_id: Long, n_events: Long)
+
+  /** Hourly tumbling-window counts — q21's streaming twin. On an
+    * unbounded source the 2h watermark finalizes each hour window once
+    * events 2h past its end arrive. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session windows with a 1-day inactivity gap: Spark's
+    * session_window merges events whose [ts, ts+gap) extents overlap —
+    * a new session starts exactly when the inter-event gap is ≥ the
+    * configured gap. Works identically in batch and streaming. */
+  def userSessions(events: DataFrame, gap: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user event
+    * counter (the KeyValueGroupedDataset custom-state path for semantics
+    * session_window can't express). Update-mode output: one row per
+    * user per micro-batch. */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          UserRunningCount(user, total)
+      }
+  }
+
+  /** Batch registry entry for the session-window operator — oracle-able
+    * because session windows are gaps-and-islands in SQL: a session
+    * breaks where the inter-event gap ≥ 1 day; session_end is
+    * last_event + gap. All comparisons in exact integer microseconds. */
+  val q57SessionWindow: Q = Q.sql(
+    "q57_session_window",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 86400000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |, s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  MIN(epoch_us(ts)) AS session_start,
+      |  MAX(epoch_us(ts)) + 86400000000 AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, dir) =>
+    userSessions(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[Q] = Seq(q57SessionWindow)
+}

@@ -139,6 +139,48 @@ class AllergenSpec extends AnyFunSuite {
     assert(Seq(32, 64).contains(nf))
   }
 
+  test("RegexTokenizer matches regexp_extract_all tokenization (model.py:71 config)") {
+    import spark.implicits._
+    val df = Seq((0L, "Mix the Flour-Water12 dough")).toDF("id", "text")
+    val tok = new org.apache.spark.ml.feature.RegexTokenizer()
+      .setInputCol("text").setOutputCol("words")
+      .setPattern("[a-z]+").setGaps(false).setToLowercase(true)
+    val viaStage = tok.transform(df).select("words").head.getSeq[String](0)
+    val viaExpr = df.selectExpr("regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
+      .head.getSeq[String](0)
+    assert(viaStage == viaExpr)
+    assert(viaStage == Seq("mix", "the", "flour", "water", "dough"))
+  }
+
+  test("training curve exposes a non-increasing best loss (metrics-log parity)") {
+    val rows = SparkEntry.queries("q59_training_curve")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length > 5)
+    assert(rows.map(_._1).toSeq == rows.indices.toSeq)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 <= a._3; case _ => true })
+    assert(rows.last._3 < rows.head._2, "optimization must improve on the initial loss")
+  }
+
+  test("classificationReport matches mllib MulticlassMetrics exactly") {
+    import spark.implicits._
+    // deterministic (label, prediction) fixture with both error kinds
+    val pred = Seq(
+      (1.0, 1.0), (1.0, 1.0), (1.0, 0.0),          // class 1: tp=2 fn=1
+      (0.0, 0.0), (0.0, 0.0), (0.0, 0.0), (0.0, 1.0) // class 0: tp=3 fp(1)=1
+    ).toDF("label", "prediction")
+    val report = Train.classificationReport(pred).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val mm = new org.apache.spark.mllib.evaluation.MulticlassMetrics(
+      pred.rdd.map(r => (r.getDouble(1), r.getDouble(0))))
+    Seq(0.0, 1.0).foreach { c =>
+      val (p, rcl, f1, support) = report(c)
+      assert(math.abs(p - mm.precision(c)) < 1e-12, s"precision($c)")
+      assert(math.abs(rcl - mm.recall(c)) < 1e-12, s"recall($c)")
+      assert(math.abs(f1 - mm.fMeasure(c, 1.0)) < 1e-12, s"f1($c)")
+      assert(support == pred.filter($"label" === c).count(), s"support($c)")
+    }
+  }
+
   test("label queries agree with direct derivation on sf0.001") {
     val viaQuery = SparkEntry.queries("q35_label_multiclass")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

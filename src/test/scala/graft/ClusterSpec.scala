@@ -60,6 +60,23 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("Summarizer.mean on the category vector matches the unpivoted profile means") {
+    import org.apache.spark.ml.stat.Summarizer
+    import spark.implicits._
+    // vector-native grouped mean (SURVEY §2.4 row 22's ~380-col form)
+    val vecMeans = fitted.clustered
+      .groupBy($"cluster")
+      .agg(Summarizer.mean($"catVec").as("meanVec"))
+      .collect().map(r => r.getInt(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    val profile = Recommend.clusterProfile(fitted).collect()
+    val vocabIdx = fitted.vocabulary.zipWithIndex.toMap
+    profile.foreach { r =>
+      val (cluster, cat, mean) = (r.getInt(0), r.getString(2), r.getDouble(3))
+      assert(math.abs(vecMeans(cluster)(vocabIdx(cat)) - mean) < 1e-12,
+        s"cluster $cluster category $cat")
+    }
+  }
+
   test("recommender returns n matching rows ordered by cluster rank") {
     val rec = Recommend.recommend(fitted, Seq("red", "ECONOMY"), 20).collect()
     assert(rec.length == 20)

@@ -39,8 +39,19 @@ def main():
             # ORDER BY survives the outer projection, and parquet_scan row
             # order depends on DuckDB's preserve_insertion_order default.
             key = lambda r: tuple((v is None, v) for v in r)
-            got = sorted(con.sql(f"SELECT {order} FROM got_rel").fetchall(), key=key)
-            exp = sorted(con.sql(f"SELECT {order} FROM exp_rel").fetchall(), key=key)
+            got_raw = con.sql(f"SELECT {order} FROM got_rel").fetchall()
+            exp_raw = con.sql(f"SELECT {order} FROM exp_rel").fetchall()
+            got = sorted(got_raw, key=key)
+            exp = sorted(exp_raw, key=key)
+            # Ordering check (advisory): when the oracle's OUTER query
+            # declares ORDER BY, the engine's parquet (written with
+            # coalesce(1), insertion order preserved) must already be in
+            # the oracle's order. Subquery ORDER BYs don't survive the
+            # outer projection, so only flag, never fail, on mismatch.
+            if "order by" in sql.rsplit(")", 1)[-1].lower() and got_raw != exp_raw \
+                    and got == exp:
+                print(f"WARN {name}: values match but output ordering differs "
+                      f"from the declared ORDER BY")
             if len(got) != len(exp):
                 print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
                 n_fail += 1
