@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.Md5Long64
+
+/** Engine extension point (SparkSessionExtensions): registers graft's
+  * custom Catalyst expressions so they resolve by name in SQL text and
+  * via call_function — the sanctioned path for native codegen'd
+  * functions (preferred over UDFs, which are optimizer-opaque and
+  * codegen-breaking). Installed by [[Sessions.local]]; any external
+  * session opts in with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long64"),
+      new ExpressionInfo(classOf[Md5Long64].getName, "graft_md5long64"),
+      (children: Seq[Expression]) => Md5Long64(children.head)))
+  }
+}

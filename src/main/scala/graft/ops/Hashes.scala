@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Hashes {
 
-  /** md5-derived 60-bit non-negative hash of a string column. */
+  /** md5-derived 60-bit non-negative hash of a string column — the
+    * custom codegen'd [[graft.expressions.Md5Long64]] (registered via
+    * [[graft.GraftExtensions]]); semantically identical to
+    * `conv(substring(md5(c),1,15),16,10)::long` but one fused native
+    * call (Md5Long64Spec asserts the equivalence). */
   def hexLong(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_md5long64", c)
 
   /** Driver-side md5 hex (same digest the engines compute) for deriving
     * constant hyperplanes / seeds at plan-build time. */
