@@ -178,5 +178,47 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
-  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup)
+  /** IVF-style ANN (the other classic scale path beside q28's LSH):
+    * a KMeans(16, seed 30) coarse quantizer assigns every vector to an
+    * inverted list; each query probes its 2 nearest centroids and ranks
+    * exact cosine only within those lists. At 100 TB this is the
+    * FAISS-IVF plan shape on a cluster: centroids are tiny and
+    * broadcast, the probe turns the scan into an equi-join on list_id,
+    * and recall/cost is tuned by nlist/nprobe. ML-dependent (KMeans) →
+    * non-oracle; AnnSpec measures recall@5 against the exact q27. */
+  val q60AnnIvf: Q = Q.heavy("q60_ann_ivf") { (s, dir) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = vecs(s, dir).withColumn("mlVec", array_to_vector(col("v")))
+    val km = new KMeans().setK(16).setSeed(30)
+      .setFeaturesCol("mlVec").setPredictionCol("list_id").fit(e)
+    val indexed = km.transform(e)
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = s.createDataFrame(centroids).toDF("list_id", "centroid")
+    // each query probes its 2 nearest centroids (L2 to centroid)
+    val qSide = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val l2 = aggregate(
+      zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("list_id"))
+    val probes = qSide.crossJoin(broadcast(centroidDf)) // 16 rows — constant
+      .withColumn("dist", l2)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 2)
+      .select(col("query_id"), col("qv"), col("qn"), col("list_id"))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(indexed, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf)
 }

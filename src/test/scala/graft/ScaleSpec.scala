@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout scale techniques the query inventory can't carry
+  * (they live on the write path): bucketed co-located joins and
+  * partition-pruned scans — asserted at the plan level, the same way a
+  * 100 TB deployment would validate its table layout. Plus the sketch
+  * error bound for q63. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("bucketed tables join with ZERO exchange (co-located shuffle-free join)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but their
+    // managed locations persist on disk — remove them or CTAS refuses
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    Tables.orders(spark, Sf0001).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, Sf0001).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val plan = formatted(joined)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    // and it still computes the right thing
+    val viaBuckets = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Tables.orders(spark, Sf0001)
+      .join(Tables.lineitem(spark, Sf0001), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuckets == plain)
+  }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val path = "target/fixtures/events_by_type"
+    Tables.events(spark, Sf0001).write
+      .partitionBy("event_type").mode("overwrite").parquet(path)
+    val pruned = spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)))
+    val plan = formatted(pruned)
+    assert(plan.contains("PartitionFilters:"), plan)
+    assert(plan.contains("event_type"), plan)
+    // pruned read must equal the filtered full read
+    val n = pruned.head.getLong(0)
+    val expected = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(n == expected)
+  }
+
+  test("approx_count_distinct stays within its 2% rsd band (q63)") {
+    val rows = SparkEntry.queries("q63_approx_distinct")(spark, Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.1, s"$flag: exact=$exact approx=$approx err=$err")
+    }
+  }
+
+  test("salted join/agg match their plain equivalents (beyond the oracle, at sf0.001)") {
+    val saltedAgg = SparkEntry.queries("q61_salted_agg")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plainAgg = Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(saltedAgg == plainAgg)
+  }
+}
