@@ -18,7 +18,8 @@ object SparkEntry {
       ops.TextAnalysis.all ++ allergen.Labels.all ++ allergen.Train.all ++
       ops.Sampling.all ++ ops.Text.all ++ ops.RelationalExt.all ++
       restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all ++
-      streaming.Streaming.all ++ ops.Skew.all ++ recipes.Prep.all
+      streaming.Streaming.all ++ ops.Skew.all ++ recipes.Prep.all ++
+      ops.AsOf.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** Temporal joins Spark has no native operator for: backward AS-OF join
+  * and a banded range join, both over the `events` stream table.
+  *
+  * Neither uses a join condition Catalyst can hash on alone — naive
+  * formulations (`a.ts >= b.ts` in the ON clause) plan as
+  * BroadcastNestedLoopJoin or CartesianProduct, an O(n·m) scale-killer.
+  * Both operators here instead reduce to equi-shuffles:
+  *
+  *  - AS-OF = union the two inputs, one shuffle on the key, and a
+  *    running `last(value, ignoreNulls)` ordered by time within each
+  *    key: O(n log n) per key, one Exchange, no pairwise expansion.
+  *    This is the standard streaming/time-series formulation (Flink's
+  *    temporal join and kdb's aj work the same way).
+  *  - Banded range join (|t₁-t₂| bounded by W) = bucket time into
+  *    W-sized buckets; a probe row can only match reference rows in its
+  *    own or the next bucket, so probing (b, b+1) via a plain equi-join
+  *    on (key, bucket) covers every band candidate with a fixed 2×
+  *    fanout — candidate count stays linear in the input at any scale.
+  *
+  * At 100 TB both plans are a single hash Exchange on (user_id[, bucket])
+  * plus per-partition sort — the same shape as any large groupBy; a hot
+  * user is bounded by that user's own event count, never by n·m.
+  * AsOfSpec checks both against a brute-force join at sf0.001 and
+  * asserts the plans stay free of nested-loop/cartesian operators.
+  */
+object AsOf {
+
+  /** Reference side deduped to one row per (user_id, ts): ties broken by
+    * max event_id, so the as-of pick is well-defined in both engines. */
+  private def latestPurchasePerInstant(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "event_id")
+  }
+
+  /** Backward AS-OF: each click event picks up the value of the same
+    * user's most recent purchase at-or-before its timestamp (ties at
+    * equal ts include the purchase, matching ASOF's `>=`). Union-tag +
+    * running last(): purchases sort before clicks at equal ts (_tag 0
+    * < 1), so the window's last non-null purchase value at each click
+    * row IS the as-of match. One shuffle on user_id. */
+  val q66AsofJoin: Q = Q.sql(
+    "q66_asof_join",
+    """WITH ref0 AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |ref AS (SELECT user_id, ts, value FROM ref0 WHERE rn = 1),
+      |probe AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  r.value AS last_purchase_value
+      |FROM probe p ASOF LEFT JOIN ref r
+      |  ON p.user_id = r.user_id AND p.ts >= r.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ref = latestPurchasePerInstant(ev)
+      .select(col("user_id"), col("ts"), lit(0).as("_tag"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("value").as("_ref_value"))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("_tag"),
+        col("event_id"), col("value"), lit(null).cast("double").as("_ref_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref.unionByName(probe)
+      .withColumn("last_purchase_value", last(col("_ref_value"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val BandSeconds = 600L // 10 minutes, also the bucket width
+
+  /** Banded range join: per purchase, how many clicks the same user made
+    * in the following 10 minutes (ts in (p.ts, p.ts + 10 min]). Each
+    * purchase probes its own and the next 600 s bucket — every click in
+    * the band lives in one of the two — then the exact band predicate
+    * filters inside the equi-join's output. A click joins at most one of
+    * the two probe keys, so matches count once, and LEFT join keeps
+    * zero-click purchases with count(NULL) = 0. */
+  val q67RangeJoinCount: Q = Q.sql(
+    "q67_range_join_count",
+    """SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_10m
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def bucket(ts: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(ts) / BandSeconds)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), bucket(col("ts")).as("_b"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("_b", explode(array(bucket(col("ts")), bucket(col("ts")) + 1)))
+    purchases
+      .join(clicks,
+        purchases("user_id") === clicks("c_user") && purchases("_b") === clicks("_b") &&
+          clicks("c_ts") > purchases("ts") &&
+          clicks("c_ts") <= purchases("ts") + expr(s"INTERVAL $BandSeconds SECONDS"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_ts")).as("n_clicks_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q66AsofJoin, q67RangeJoinCount)
+}
