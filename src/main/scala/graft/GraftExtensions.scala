@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.Md5Long64
+import graft.expressions.{DotF64, Md5Long64}
 
 /** Engine extension point (SparkSessionExtensions): registers graft's
   * custom Catalyst expressions so they resolve by name in SQL text and
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_md5long64"),
       new ExpressionInfo(classOf[Md5Long64].getName, "graft_md5long64"),
       (children: Seq[Expression]) => Md5Long64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "graft_dot_f64"),
+      (children: Seq[Expression]) => DotF64(children.head, children(1))))
   }
 }

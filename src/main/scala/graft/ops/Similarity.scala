@@ -40,14 +40,15 @@ object Similarity {
   private val planes: Seq[Array[Double]] =
     (0 until NPlanes).map(p => Array.tabulate(Dim)(d => pseudoUniform(s"hp$p", d)))
 
-  /** Left-fold dot product of two array<double> columns — matches DuckDB
+  /** Left-fold dot product of two array<double> columns — the native
+    * codegen'd [[graft.expressions.DotF64]]; bit-identical to DuckDB's
     * `list_reduce(list_transform(list_zip(a,b), p -> p[1]*p[2]), (x,y) -> x+y)`
-    * term-for-term (0.0+x == x exactly, so the missing init is harmless). */
+    * and to the composed zip_with+aggregate HOF form it replaced
+    * (DotF64Spec asserts both; same fold order, 0.0+x == x exactly). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot_f64", a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, v2) => acc + v2))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** vec_id, v (array<double>), nrm. Float→double widening is exact. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
