@@ -198,11 +198,13 @@ object Dedup {
       val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
       val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
       val docs = docHashedShingles(s, dir)
+      // One native pass per document ([[graft.expressions.MinHashSig]]):
+      // all 16 mins in a single loop over hs, vs 16 interpreted
+      // transform+array_min rounds — the composed-HOF equivalence is
+      // asserted by MinHashSigSpec.
       val sigs = docs.select(
         col("doc_id"),
-        transform(sequence(lit(0), lit(15)), j =>
-          array_min(transform(col("hs"), h =>
-            (get(aLit, j) * (h % P) + get(bLit, j)) % P))).as("sig"))
+        call_function("graft_minhash", col("hs"), aLit, bLit, lit(P)).as("sig"))
       val bands = sigs.select(
         col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b => struct(
