@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Quantile operators — exact and sketch forms.
+  *
+  * Scale design (100 TB): exact `percentile` must materialize every
+  * value of a group on one reducer (sort-based, unbounded state) — fine
+  * for bounded groups, a scale-killer for hot ones. The production path
+  * is `approx_percentile` (Greenwald-Khanna sketch): one streaming pass,
+  * bounded memory (O(accuracy) per group), and MERGEABLE partials — the
+  * map side combines sketches before the shuffle exactly like a partial
+  * sum, so shuffle volume is one sketch per (partition × group), not one
+  * row per value. q68 is the exact form the oracle can check; q69 runs
+  * both side by side and QuantileSpec bounds the sketch's rank error.
+  */
+object Quantiles {
+
+  /** Exact grouped quantiles: median and p95 of lineitem quantity per
+    * return flag. Spark `percentile` and DuckDB `quantile_cont` both
+    * use the standard (n-1)·q linear interpolation on the sorted
+    * values; rounding both engines to 6 dp absorbs any final-ulp noise
+    * in the interpolation arithmetic. */
+  val q68GroupedQuantiles: Q = Q.sql(
+    "q68_grouped_quantiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+      |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS p95_qty,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS median_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_quantity").cast("double"), lit(0.95)), 6).as("p95_qty"),
+        round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 6).as("median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact vs sketch, side by side (same shape as q63's HLL row): the
+    * per-event-type value quantiles computed exactly and via the
+    * mergeable Greenwald-Khanna sketch at accuracy 10000 (max rank error
+    * ≈ n/10000 per group). QuantileSpec asserts the sketch lands within
+    * the exact group's value range and close to the exact answer;
+    * non-oracle because DuckDB's approx_quantile is a different sketch
+    * (t-digest) with different — equally valid — approximation noise. */
+  val q69QuantileSketch: Q = Q.noOracle("q69_quantile_sketch") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("exact_p50"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("sketch_p50"),
+        percentile(col("value"), lit(0.99)).as("exact_p99"),
+        approx_percentile(col("value"), lit(0.99), lit(10000)).as("sketch_p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q68GroupedQuantiles, q69QuantileSketch)
+}
