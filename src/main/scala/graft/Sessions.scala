@@ -37,6 +37,14 @@ object Sessions {
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
       "existing SparkSession lacks spark.sql.legacy.parquet.nanosAsLong=true; " +
         "build sessions via Sessions.local first")
+    // The nanos conf IS applied to a pre-existing session as a runtime conf,
+    // so the check above can pass while .withExtensions was silently ignored
+    // (extensions only apply at session construction). Verify the extension
+    // actually took effect, or graft_* functions fail much later at resolve.
+    require(
+      spark.catalog.functionExists("graft_md5long64"),
+      "existing SparkSession was built without GraftExtensions (graft_md5long64 " +
+        "unresolved); build sessions via Sessions.local first")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -91,7 +91,7 @@ object Labels {
     * prints this per category before each CV fit, MLP.ipynb:833-846). */
   val q36LabelMultilabel: Q = {
     val sums = Categories.map { case (cat, kws) =>
-      s"SUM(CASE WHEN len(list_intersect(toks, ${kwSql(kws)})) > 0 THEN 1 ELSE 0 END) AS n_$cat"
+      s"CAST(SUM(CASE WHEN len(list_intersect(toks, ${kwSql(kws)})) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_$cat"
     }.mkString(", ")
     Q.sql(
       "q36_label_multilabel",

@@ -66,6 +66,9 @@ object MinHashSig {
   /** Static entry shared by interpreted eval and generated code. */
   def compute(hs: ArrayData, a: ArrayData, b: ArrayData, p: Long): ArrayData = {
     val k = a.numElements()
+    require(b.numElements() == k,
+      s"graft_minhash: coefficient arrays differ in length (a=$k, " +
+        s"b=${b.numElements()}) — reading past the shorter would be undefined")
     val n = hs.numElements()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)

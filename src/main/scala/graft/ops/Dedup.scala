@@ -264,10 +264,10 @@ object Dedup {
   val q34Simhash: Q = Q.sql(
     "q34_simhash",
     """SELECT doc_id,
-      |  list_sum(list_transform(range(0, 32), b ->
+      |  CAST(list_sum(list_transform(range(0, 32), b ->
       |    CASE WHEN list_sum(list_transform(th, h ->
       |             CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-      |         THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+      |         THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
       |FROM (
       |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
       |    t -> CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT)) AS th

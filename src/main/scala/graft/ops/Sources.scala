@@ -42,7 +42,7 @@ object Sources {
   /** Shared oracle: per-language counts + exact char sum + a quote-
     * sensitive concat check (the text field roundtrips verbatim). */
   private val oracleAgg =
-    """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  MIN(md5(text)) AS min_text_hash
       |FROM documents
       |GROUP BY lang
@@ -61,12 +61,13 @@ object Sources {
     * forced via quoteAll). */
   val q53CsvScan: Q = Q.sql("q53_csv_scan", oracleAgg) { (s, dir) =>
     val path = s"${fixtureRoot(dir)}/documents_csv"
-    if (!Files.exists(Paths.get(path))) {
-      Tables.documents(s, dir).write
-        .option("header", "true").option("quoteAll", "true")
-        .option("quote", "\"").option("escape", "\"")
-        .mode("overwrite").csv(path)
-    }
+    // Always rewrite: a Files.exists early-exit would serve a stale fixture
+    // the first time the testdata generator changes across rounds, turning a
+    // data refresh into a false oracle failure. 500 rows at sf0.01 — cheap.
+    Tables.documents(s, dir).write
+      .option("header", "true").option("quoteAll", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .mode("overwrite").csv(path)
     agg(s.read
       .schema(docSchema)
       .option("header", "true").option("quote", "\"").option("escape", "\"")
@@ -78,12 +79,11 @@ object Sources {
     * reference relies on inference; we pin the schema per SURVEY §1.3). */
   val q54JsonMultiline: Q = Q.sql("q54_json_multiline", oracleAgg) { (s, dir) =>
     val path = s"${fixtureRoot(dir)}/documents_json/docs.json"
-    if (!Files.exists(Paths.get(path))) {
-      Files.createDirectories(Paths.get(path).getParent)
-      val rows = Tables.documents(s, dir).orderBy(col("doc_id"))
-        .toJSON.collect() // fixture scaffolding: one small table, driver-side
-      Files.writeString(Paths.get(path), rows.mkString("[\n", ",\n", "\n]"))
-    }
+    // Always rewrite — same staleness rationale as the CSV fixture above.
+    Files.createDirectories(Paths.get(path).getParent)
+    val rows = Tables.documents(s, dir).orderBy(col("doc_id"))
+      .toJSON.collect() // fixture scaffolding: one small table, driver-side
+    Files.writeString(Paths.get(path), rows.mkString("[\n", ",\n", "\n]"))
     agg(s.read
       .schema(docSchema)
       .option("multiline", "true")

@@ -34,6 +34,28 @@ def main():
                       f"{sorted(exp_rel.columns)}")
                 n_fail += 1
                 continue
+            # Type check: the driver's gate hashes a TYPED representation,
+            # so BIGINT vs HUGEINT (DuckDB promotes SUM(BIGINT)) fails there
+            # even when values match. Match that sensitivity — but no more:
+            # CORRECTNESS_r03 shows the driver accepts int32-vs-int64 (11
+            # queries with Spark INTEGER vs oracle BIGINT all hash-matched),
+            # so integer widths up to 64 bits are one equivalence class;
+            # HUGEINT (int128) is what actually fails there.
+            def norm(t):
+                s = str(t)
+                return "INT<=64" if s in ("TINYINT", "SMALLINT", "INTEGER",
+                                          "BIGINT", "UTINYINT", "USMALLINT",
+                                          "UINTEGER") else s
+            got_types = sorted(zip(got_rel.columns,
+                                   (norm(t) for t in got_rel.types)))
+            exp_types = sorted(zip(exp_rel.columns,
+                                   (norm(t) for t in exp_rel.types)))
+            if got_types != exp_types:
+                diff = [(g, e) for g, e in zip(got_types, exp_types) if g != e]
+                print(f"FAIL {name}: column types differ (spark vs oracle): "
+                      f"{diff}")
+                n_fail += 1
+                continue
             order = ", ".join('"%s"' % c for c in sorted(got_rel.columns))
             # Sort rows in Python: SQL gives no guarantee a subquery's
             # ORDER BY survives the outer projection, and parquet_scan row
