@@ -28,7 +28,13 @@ object SparkEntry {
     * count per class — here over the documents table.
     */
   def entry(spark: SparkSession): DataFrame =
-    Tables.documents(spark, "/root/testdata/sf0.001")
+    entry(spark, "/root/testdata/sf0.001") // driver contract: sf0.001 default
+
+  /** sfDir-parameterized flagship, sharing the same loader path as every
+    * [[queries]] entry (the 1-arg overload above keeps the driver's exact
+    * signature). */
+  def entry(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("tokens", split(lower(col("text")), " "))
       .withColumn("label",
         when(size(array_intersect(col("tokens"), lit(Array("hash", "join", "merge")))) > 0, 1)

@@ -66,4 +66,8 @@ object Q {
     * ScalaTest suite instead). */
   def heavy(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None, inBench = false)
+  /** Bench-excluded (iterative ML fit in the plan) but still
+    * oracle-paired: the non-ML tail of the query is SQL-expressible. */
+  def heavySql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle), inBench = false)
 }

@@ -7,7 +7,9 @@ import org.apache.spark.ml.feature.{HashingTF, IDF, IndexToString, NGram, StopWo
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.tuning.CrossValidator
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import graft.{Q, Tables}
 
 /** W1 allergen-detection training pipelines re-expressed over the
@@ -309,12 +311,27 @@ object Train {
   }
 
   /** Training-metrics-log analytics (model.py:238-253 / model.eval.py:36-53
-    * parity): the reference plots per-epoch loss curves from a metrics
-    * CSV; Spark's LogisticRegression exposes the same series natively as
-    * trainingSummary.objectiveHistory. Emitted per iteration with the
-    * running best — the loss-curve aggregation the reference computes in
-    * pandas. */
-  val q59TrainingCurve: Q = Q.heavy("q59_training_curve") { (s, dir) =>
+    * parity): the reference WRITES a per-epoch metrics CSV during training
+    * and READS it back with pandas to plot loss curves. Mirrored exactly:
+    * the fit's objectiveHistory is written as a real CSV metrics log, read
+    * back through the explicit-schema CSV scan (same reader path as q53),
+    * and the running best is a window aggregate over that scan — so the
+    * DuckDB oracle can replay the read + aggregation off the same file
+    * (training itself is not SQL; the CSV round-trip and running-min are).
+    * Doubles survive the round-trip bit-for-bit: Java's Double.toString is
+    * the shortest round-trippable decimal form, which both CSV parsers
+    * recover exactly. */
+  val q59TrainingCurve: Q = Q.heavySql(
+    "q59_training_curve",
+    // The driver verifies at sf0.01 only — the fixture path is pinned to
+    // that sf dir (graft.ops.Sources.fixtureRoot keys fixtures by basename).
+    """SELECT iteration, loss,
+      |  MIN(loss) OVER (ORDER BY iteration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_loss
+      |FROM read_csv('/root/repo/target/fixtures/sf0.01/metrics_csv/*.csv',
+      |              header = true,
+      |              columns = {'iteration': 'BIGINT', 'loss': 'DOUBLE'})
+      |ORDER BY iteration""".stripMargin) { (s, dir) =>
     import s.implicits._
     val data = trainData(s, dir)
     val (tf, idf) = tfidf(512)
@@ -324,11 +341,19 @@ object Train {
     val history = model.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
       .summary.objectiveHistory
-    history.zipWithIndex
-      .scanLeft((0, Double.MaxValue, Double.MaxValue)) { case ((_, _, best), (loss, i)) =>
-        (i, loss, math.min(best, loss))
-      }.drop(1)
-      .toSeq.toDF("iteration", "loss", "best_loss")
+    val path = s"${graft.ops.Sources.fixtureRoot(dir)}/metrics_csv"
+    history.zipWithIndex.map { case (loss, i) => (i.toLong, loss) }.toSeq
+      .toDF("iteration", "loss")
+      .coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(path)
+    val metrics = s.read
+      .schema(StructType(Seq(
+        StructField("iteration", LongType), StructField("loss", DoubleType))))
+      .option("header", "true").csv(path)
+    metrics
+      .withColumn("best_loss",
+        min(col("loss")).over(Window.orderBy(col("iteration"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("iteration"))
   }
 

@@ -90,11 +90,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Histogram features via the mapPartitions extractor — non-oracle
-    * (typed-Dataset stage; DuckDB has no byte-histogram); shape and
-    * determinism are asserted in MultimodalSpec. Bench-included: the
-    * extractor IS the workload a media pipeline times. */
-  val q56MediaFeatures: Q = Q.noOracle("q56_media_features") { (s, dir) =>
+  /** Histogram features via the mapPartitions extractor — oracle-paired:
+    * the fake decode is a deterministic 16-bucket byte histogram, which
+    * DuckDB replays from character codes (the corpus is pure ASCII —
+    * verified octet_length(encode(text)) == length(text) at every sf —
+    * so char code == byte value and char count == byte count). Each
+    * bucket fraction is the same exact double cnt/n in both engines;
+    * round(...,9) absorbs summation-order differences in h_sum.
+    * Bench-included: the extractor IS the workload a media pipeline
+    * times. */
+  val q56MediaFeatures: Q = Q.sql(
+    "q56_media_features",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  round(len(list_filter(codes, c -> c // 16 = 6)) / greatest(1.0, len(codes)), 9) AS h6,
+      |  round(list_sum(list_transform(range(0, 16), b ->
+      |    len(list_filter(codes, c -> c // 16 = b)) / greatest(1.0, len(codes)))), 9) AS h_sum
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
     extractFeatures(s, dir)
       .select(col("doc_id"), col("n_bytes"),
         round(element_at(col("histogram"), 7), 9).as("h6"),

@@ -36,7 +36,7 @@ object Sources {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def fixtureRoot(dir: String): String =
+  private[graft] def fixtureRoot(dir: String): String =
     s"/root/repo/target/fixtures/${Paths.get(dir).getFileName}"
 
   /** Shared oracle: per-language counts + exact char sum + a quote-

@@ -9,9 +9,10 @@ import graft.{Q, Tables}
   * read → parse stringified lists → clean → prompt/target format →
   * train/val/test split → tokenize — as ONE lazy Spark plan. Everything
   * through formatting is deterministic column algebra (oracle-paired,
-  * q64); the seeded split + token-length accounting entry (q65) mirrors
-  * the reference's max_length 128/256 truncation bookkeeping
-  * (model.py:103-117). The fit itself is out of Spark scope (§2.10);
+  * q64); the split + token-length accounting entry (q65) mirrors the
+  * reference's max_length 128/256 truncation bookkeeping
+  * (model.py:103-117) with a deterministic hash-bucket split in place
+  * of the seeded sampler. The fit itself is out of Spark scope (§2.10);
   * the engine's neural stand-in is allergen.Train's MLP.
   *
   * "Recipes" are synthesized deterministically from `documents`: first
@@ -50,9 +51,8 @@ object Prep {
         array_join(transform(col("directions"),
           (x, i) => concat((i + 1).cast("string"), lit(". "), x)), "\n")).as("target"))
 
-  /** The oracle-paired formatting stage. */
-  val q64RecipeFormat: Q = Q.sql(
-    "q64_recipe_format",
+  /** DuckDB replay of [[formatted]] (no ORDER BY — shared by q64/q65). */
+  private val formattedSql =
     """SELECT doc_id,
       |  printf('Generate a structured recipe for: %s', title) AS prompt,
       |  'Title: ' || title || chr(10) || 'Ingredients:' || chr(10) ||
@@ -67,29 +67,58 @@ object Prep {
       |    w[4:10] AS ingredients,
       |    CASE WHEN len(w) >= 11 THEN w[11:len(w)] ELSE CAST([] AS VARCHAR[]) END AS directions
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 4)
-      |ORDER BY doc_id""".stripMargin
+      |  WHERE len(w) >= 4)""".stripMargin
+
+  /** The oracle-paired formatting stage. */
+  val q64RecipeFormat: Q = Q.sql(
+    "q64_recipe_format",
+    formattedSql + "\nORDER BY doc_id"
   ) { (s, dir) => formatted(s, dir).orderBy(col("doc_id")) }
 
-  /** Split + tokenize accounting (model.py:90-122): two-stage seeded
-    * split, BPE-ish regex token counts, truncation at the reference's
-    * max_length 128 (prompt) / 256 (target). Split membership is
-    * seed-dependent → non-oracle; PrepSpec asserts coverage and
-    * determinism. */
-  val q65RecipeSplits: Q = Q.noOracle("q65_recipe_splits") { (s, dir) =>
-    val df = formatted(s, dir)
-    val Array(rest, test) = df.randomSplit(Array(0.9, 0.1), seed = 1010)
-    val Array(train, valid) = rest.randomSplit(Array(0.85, 0.15), seed = 1010)
+  /** Split + tokenize accounting (model.py:90-122): the reference's
+    * two-stage seeded split (0.9/0.1 then 0.85/0.15 of the rest →
+    * 76.5/13.5/10), BPE-ish regex token counts, truncation at the
+    * reference's max_length 128 (prompt) / 256 (target).
+    *
+    * Split mechanism: a DETERMINISTIC hash-bucket tag —
+    * `graft_md5long64(doc_id) % 1000` banded at 765/900 — computed in
+    * the same pass as the token counts. One scan of documents total;
+    * the previous union-of-`randomSplit` form evaluated the formatted()
+    * subtree once per split branch (3 full scans at 100 TB) and was
+    * seed-bound to Spark's sampler, so it could carry no oracle. The
+    * md5-derived tag is cross-engine reproducible → oracle-paired, and
+    * at scale it is also what a real corpus pipeline wants: membership
+    * is a pure function of doc_id, stable across reruns, cluster
+    * topologies, and engines. */
+  val q65RecipeSplits: Q = Q.sql(
+    "q65_recipe_splits",
+    s"""SELECT split, COUNT(*) AS n,
+       |  MAX(pt) AS max_prompt_tokens, MAX(tt) AS max_target_tokens,
+       |  MAX(LEAST(pt, 128)) AS max_prompt_trunc128,
+       |  MAX(LEAST(tt, 256)) AS max_target_trunc256
+       |FROM (
+       |  SELECT
+       |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 765
+       |           THEN '1_train'
+       |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900
+       |           THEN '2_val'
+       |         ELSE '3_test' END AS split,
+       |    len(regexp_extract_all(prompt, '[a-z0-9]+')) AS pt,
+       |    len(regexp_extract_all(target, '[a-z0-9]+')) AS tt
+       |  FROM ($formattedSql))
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  ) { (s, dir) =>
     def toks(c: org.apache.spark.sql.Column) =
       size(regexp_extract_all(c, lit("[a-z0-9]+"), lit(0)))
-    Seq(("1_train", train), ("2_val", valid), ("3_test", test))
-      .map { case (name, part) =>
-        part.select(
-          lit(name).as("split"),
-          toks(col("prompt")).as("pt"),
-          toks(col("target")).as("tt"))
-      }
-      .reduce(_ union _)
+    val bucket = call_function("graft_md5long64", col("doc_id").cast("string")) % 1000
+    formatted(s, dir)
+      .select(
+        when(bucket < 765, "1_train")
+          .when(bucket < 900, "2_val")
+          .otherwise("3_test").as("split"),
+        toks(col("prompt")).as("pt"),
+        toks(col("target")).as("tt"))
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n"),

@@ -154,9 +154,9 @@ class AllergenSpec extends AnyFunSuite {
 
   test("training curve exposes a non-increasing best loss (metrics-log parity)") {
     val rows = SparkEntry.queries("q59_training_curve")(spark, Sf0001)
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(rows.length > 5)
-    assert(rows.map(_._1).toSeq == rows.indices.toSeq)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong).toSeq)
     assert(rows.sliding(2).forall { case Array(a, b) => b._3 <= a._3; case _ => true })
     assert(rows.last._3 < rows.head._2, "optimization must improve on the initial loss")
   }
