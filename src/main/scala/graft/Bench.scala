@@ -41,18 +41,34 @@ object Bench {
       }
       (times, errors.result())
     }
+    // Best-of-N (VERDICT r3 item 6): single-pass timings carry ~±15%
+    // process noise at sf0.1 (GC, page cache, 61 queries sharing one JVM),
+    // which is the same magnitude as a real regression. The headline
+    // per-query number is the MIN of N timed passes — noise only ever
+    // inflates a timing, so min converges on true cost — and the per-query
+    // max-min spread is reported alongside so a round-over-round delta can
+    // be judged against measured run noise instead of guessed at.
+    val Passes = 3
     once() // warm-up
-    val (results, errors) = once()
+    val passes = Seq.fill(Passes)(once())
+    val errors = passes.flatMap(_._2).distinctBy(_._1)
+    val byQuery = passes.map(_._1)
+    val results = byQuery.head.indices.map { i =>
+      val name = byQuery.head(i)._1
+      val ts = byQuery.map(_(i)._2).filter(_ >= 0)
+      if (ts.isEmpty) (name, -1.0, 0.0) else (name, ts.min, ts.max - ts.min)
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => jstr(k) + ":" + s }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$Passes,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     spark.stop()
     // Last clean stdout line — after spark.stop() so no shutdown logs follow.

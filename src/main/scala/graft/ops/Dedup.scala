@@ -24,9 +24,12 @@ import graft.{Q, Tables}
   *    vocabulary, 3-gram shingles average ~45 docs/shingle and the
   *    inverted index explodes to 1.27M candidate pairs at sf0.1 where
   *    5-grams give 13.5k (94× less) while every planted near-dup pair
-  *    (Jaccard ≥ 0.8) is still found. The production-scale guards for
-  *    hot shingles are the same shape: widen the shingle and/or cap
-  *    shingle doc-frequency (stop-shingle removal), plus AQE skew-join.
+  *    (Jaccard ≥ 0.8) is still found. Hot shingles are additionally
+  *    capped by doc-frequency ([[MaxShingleDf]]): stop-shingles are
+  *    removed from candidate generation (never verification), the
+  *    inverted-index analog of stopword removal, killing the O(df²)
+  *    blowup a boilerplate shingle causes; AQE skew-join handles what
+  *    remains below the cap.
   *  - MinHash signatures hash each shingle with md5 ONCE, then derive
   *    the k=16 hash family via universal hashing (a_j·h + b_j) mod p,
   *    p=2^31-1 — 16× fewer digest computations than k independent md5s,
@@ -123,45 +126,81 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Doc-frequency cap for the inverted-index candidate join: a shingle
+    * occurring in more than this many documents is dropped from CANDIDATE
+    * GENERATION (never from verification). A df-f shingle alone yields
+    * O(f²) candidate pairs — one boilerplate 5-gram in 1% of a 10B-doc
+    * corpus is 10^16 pairs, the classic inverted-index quadratic blowup.
+    * Observed real df at sf0.1 maxes at 4, so 256 is a pure pathological-
+    * data guard; the stop-set cardinality is bounded by
+    * total_occurrences/maxDf, so it always fits a broadcast. */
+  private[graft] val MaxShingleDf = 256L
+
+  /** Inverted-index Jaccard near-dup, factored for testability: docs =
+    * (doc_id, hs distinct shingle hashes). Candidates come from the
+    * df-capped inverted index; verification computes the intersection
+    * from the FULL arrays (array_intersect), so the cap never distorts a
+    * reported Jaccard — it can only miss pairs whose every shared shingle
+    * is hot, which at maxDf=256 requires boilerplate-only overlap. */
+  private[graft] def jaccardCandidates(docs: DataFrame, maxDf: Long): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+    // df via groupBy, NOT a window over PARTITION BY h: the window form
+    // saves a shuffle locally but lands a hot shingle's ENTIRE posting
+    // list in one window task — exactly the skew this cap exists to kill.
+    // The groupBy has map-side partial aggregation (the hot key ships one
+    // partial count per mapper, not its postings), and the broadcast
+    // anti-join then drops hot postings BEFORE the candidate shuffle, so
+    // no stage ever materializes a hot posting list. Stop-set cardinality
+    // ≤ total_occurrences/maxDf → always broadcastable.
+    val stop = sh.groupBy(col("h")).count()
+      .filter(col("count") > maxDf).select(col("h"))
+    val cold = sh.join(broadcast(stop), Seq("h"), "left_anti")
+    cold.as("a")
+      .join(cold.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  private[graft] def neardupJaccard(docs: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
+    jaccardCandidates(docs, maxDf)
+      .join(docs.select(col("doc_id").as("i"), col("hs").as("hi")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("hs").as("hj")), "j")
+      .withColumn("inter", size(array_intersect(col("hi"), col("hj"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("hi")) + size(col("hj")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Exact n-gram Jaccard near-dup via inverted-index candidate
     * generation: explode hashed 5-gram shingles, equi-join on the hash
-    * (only pairs sharing ≥1 shingle are ever scored — a Jaccard>0
-    * precondition, so this is exact, not approximate), then verify
-    * Jaccard ≥ 0.8 from intersection counts. The Jaccard division takes
-    * identical integer operands on both engines → bit-identical doubles. */
+    * (only pairs sharing ≥1 cold shingle are scored; see [[MaxShingleDf]]),
+    * then verify Jaccard ≥ 0.8 from full-array intersections. The Jaccard
+    * division takes identical integer operands on both engines →
+    * bit-identical doubles. */
   val q25NeardupJaccard: Q = Q.sql(
     "q25_neardup_jaccard",
     s"""WITH $oracleDocs,
        |$oracleHashed,
        |sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
-       |sizes AS (SELECT doc_id, len(hs) AS n FROM hashed),
-       |pairs AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT i, j, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
-       |FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
-       |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8
+       |stop AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |         WHERE df > $MaxShingleDf),
+       |cold AS (SELECT doc_id, h FROM sh ANTI JOIN stop USING (h)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT i, j,
+       |    len(list_intersect(hi.hs, hj.hs)) AS inter,
+       |    len(hi.hs) AS na, len(hj.hs) AS nb
+       |  FROM cand JOIN hashed hi ON hi.doc_id = i JOIN hashed hj ON hj.doc_id = j)
+       |SELECT i, j, CAST(inter AS DOUBLE)/(na + nb - inter) AS jaccard
+       |FROM scored
+       |WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8
        |ORDER BY i, j""".stripMargin
   ) { (s, dir) =>
-    val docs = docHashedShingles(s, dir)
-    val sh = docs.select(col("doc_id"), explode(col("hs")).as("h"))
-    // Set sizes straight off the (already materialized) arrays — no
-    // second explode+groupBy shuffle; AQE broadcasts this 1-row-per-doc
-    // side into the pair-verify joins.
-    val sizes = docs.select(col("doc_id"), size(col("hs")).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("i"), col("j"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    neardupJaccard(docHashedShingles(s, dir), MaxShingleDf, 0.8)
   }
 
   /** MinHash + LSH banding near-dup — the 100 TB path (see object doc).

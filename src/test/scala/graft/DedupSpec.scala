@@ -42,6 +42,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ab == graft.ops.Dedup.MinhashAB) // stable across calls
   }
 
+  test("hot-shingle df cap kills quadratic candidate blowup, keeps near-dup recall") {
+    import spark.implicits._
+    // 60 docs: every one carries the same HOT shingle hash (999L) plus 9
+    // unique shingles; docs 0 and 1 additionally share 9 of 10 shingles
+    // (the planted near-dup, Jaccard 9/11 ≈ 0.818 > 0.8).
+    val docs = (0L until 60L).map { d =>
+      val own =
+        if (d == 0L) (1L to 9L).toArray
+        else if (d == 1L) (1L to 8L).toArray :+ 100L
+        else (1L to 9L).map(k => d * 100 + k).toArray
+      (d, own :+ 999L)
+    }.toDF("doc_id", "hs")
+    val uncapped = graft.ops.Dedup.jaccardCandidates(docs, maxDf = 1000L).count()
+    val capped = graft.ops.Dedup.jaccardCandidates(docs, maxDf = 10L).count()
+    assert(uncapped == 60L * 59 / 2, "hot shingle pairs every doc with every other")
+    assert(capped == 1, "capped candidates reduce to the genuinely-overlapping pair")
+    val found = graft.ops.Dedup.neardupJaccard(docs, maxDf = 10L, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.toSeq == Seq((0L, 1L, 9.0 / 11)),
+      "planted near-dup survives the cap with its FULL-array Jaccard (hot shingle included)")
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
