@@ -56,6 +56,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append mode: hourly windows emit only when the watermark closes them; too-late events dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_append").outputMode("append").start()
+    try {
+      val sorted = events.sortBy(_.ts.getTime)
+      val (a, b) = sorted.splitAt(sorted.size / 2)
+      val maxTs = sorted.last.ts.getTime
+      // sentinel 3h past the last real event: advances the watermark
+      // (maxTs+1h) beyond every real window's end; its own window is never
+      // finalized, so it cannot appear in the append output.
+      val sentinel = Event(-1L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -999L, "sentinel", 0.0)
+      // a too-late replay of the earliest event: far older than the
+      // watermark by then → must be dropped, not re-open its window.
+      val tooLate = sorted.head.copy(event_id = -2L)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      stream.addData(sentinel); q.processAllAvailable()
+      stream.addData(tooLate); q.processAllAvailable()
+      val streamed = spark.table("hourly_append")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // batch twin over the REAL events only: equality simultaneously
+      // proves every real window finalized, the sentinel window was
+      // withheld (open), and the late replay did not inflate any count.
+      val batch = Streaming.hourlyCounts(Tables.events(spark, Sf0001))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("append mode: sessions converge to q57's batch gaps-and-islands once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.userSessions(stream.toDF())
+      .writeStream.format("memory").queryName("sessions_append").outputMode("append").start()
+    try {
+      val sorted = events.sortBy(_.ts.getTime)
+      val (a, b) = sorted.splitAt(sorted.size / 2)
+      val maxTs = sorted.last.ts.getTime
+      // sessions close when watermark >= last_event + 1d gap; push it
+      // 1d+3h past the last event (sentinel's own session stays open and
+      // unemitted — distinct user -999 keeps it off real users' sessions).
+      val sentinel = Event(-1L,
+        new java.sql.Timestamp(maxTs + (24L + 3L) * 3600 * 1000), -999L, "sentinel", 0.0)
+      // halves in watermark order (each batch internally unsorted): in
+      // append mode anything older than the advancing watermark is
+      // DROPPED by contract, so unbounded out-of-order delivery belongs
+      // to the complete-mode test above, not here.
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      stream.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("sessions_append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Streaming.userSessions(Tables.events(spark, Sf0001))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
