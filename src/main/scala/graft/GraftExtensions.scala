@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotF64, Md5Long64, MinHashSig}
+import graft.expressions.{DotF64, Md5Long64, MinHashSig, SimHash48}
 
 /** Engine extension point (SparkSessionExtensions): registers graft's
   * custom Catalyst expressions so they resolve by name in SQL text and
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "graft_dot_f64"),
       (children: Seq[Expression]) => DotF64(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
+      (children: Seq[Expression]) => SimHash48(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),

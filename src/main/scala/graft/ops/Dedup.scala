@@ -330,6 +330,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** 48-bit SHINGLE SimHash (doc_id, sim): bit b is the sign of
+    * Σ_shingles ±1 by bit b of the 60-bit shingle hash. Shingle-based
+    * (vs q34's token-set simhash) because sequences discriminate where a
+    * 31-word vocabulary's token SETS collide: measured at sf0.01, token
+    * simhash puts 33% of docs in one band bucket and 496 random pairs at
+    * Hamming 0; shingle simhash maxes band df at 4 with only true
+    * near-dups below distance 4. Reuses [[docHashedShingles]]'s
+    * materialized arrays (ReuseExchange with q25/q26 when composed). */
+  private[graft] def simhash48(s: SparkSession, dir: String): DataFrame =
+    docHashedShingles(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_simhash48", col("hs")).as("sim"))
+
+  /** SimHash-banded near-dup pairs — the third full near-dup path beside
+    * exact-Jaccard (q25) and MinHash-LSH (q26). 4 bands × 12 bits: by
+    * pigeonhole, ANY pair within Hamming distance 3 agrees on at least
+    * one whole band, so the band equi-join finds every such pair exactly
+    * (no probabilistic recall like MinHash). Candidates flow through the
+    * same df-capped inverted index as q25 ([[jaccardCandidates]] — a
+    * band code is just a shingle-hash of the fingerprint space); the cap
+    * only bites on degenerate fingerprint mass (observed band df ≤ 4).
+    * Verification is a 1-row-per-doc join + bit_count(xor) — exact
+    * integer ops both engines share. */
+  val q70SimhashNeardup: Q = Q.sql(
+    "q70_simhash_neardup",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 48), b ->
+       |      CASE WHEN list_sum(list_transform(hs, h ->
+       |               CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sim
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4),
+       |    b -> b * 4096 + (sim >> (12*b)) % 4096)) AS h
+       |  FROM sim),
+       |stop AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM bands GROUP BY h)
+       |         WHERE df > $MaxShingleDf),
+       |cold AS (SELECT doc_id, h FROM bands ANTI JOIN stop USING (h)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT i, j, bit_count(xor(si.sim, sj.sim)) AS hamming
+       |FROM cand JOIN sim si ON si.doc_id = i JOIN sim sj ON sj.doc_id = j
+       |WHERE bit_count(xor(si.sim, sj.sim)) <= 3
+       |ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    val sim = simhash48(s, dir)
+    val bands = sim.select(col("doc_id"),
+      array((0 until 4).map(b =>
+        lit(b * 4096L) + shiftright(col("sim"), 12 * b) % 4096): _*).as("hs"))
+    jaccardCandidates(bands, MaxShingleDf)
+      .join(sim.select(col("doc_id").as("i"), col("sim").as("si")), "i")
+      .join(sim.select(col("doc_id").as("j"), col("sim").as("sj")), "j")
+      .withColumn("hamming", expr("bit_count(si ^ sj)"))
+      .filter(col("hamming") <= 3)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] = Seq(
-    q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash)
+    q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
+    q70SimhashNeardup)
 }

@@ -62,5 +62,33 @@ object Sampling {
       .orderBy(col("split"))
   }
 
-  val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit)
+  /** Deterministic hash-stratified sampling — the scale-correct sibling
+    * of `sampleBy`/`sample(frac)`: membership is `md5(salt+doc_id) mod
+    * 10⁴ < rateₗₐₙₐ·10⁴`, a pure row-local function of the key. Unlike
+    * seeded Bernoulli (whose draws depend on partition layout), the
+    * sample is identical across reruns, cluster topologies, AND engines
+    * — so this family's one oracle-paired member checks exact membership
+    * row by row, not just counts. Rates stratify by language (downsample
+    * over-represented 'en', keep minority langs) — the class-rebalance
+    * idiom of the reference's undersample (MLP.ipynb:63) without the
+    * exact-n range sort. No shuffle: filter + scan only. */
+  val q71StratifiedSample: Q = Q.sql(
+    "q71_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000
+      |  < CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 5000 ELSE 7500 END
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val bucket = call_function("graft_md5long64",
+      concat(lit("strat:"), col("doc_id").cast("string"))) % 10000
+    val thresh = when(col("lang") === "en", 2500)
+      .when(col("lang") === "zh", 5000).otherwise(7500)
+    Tables.documents(s, dir)
+      .filter(bucket < thresh)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit,
+    q71StratifiedSample)
 }

@@ -64,6 +64,20 @@ class DedupSpec extends AnyFunSuite {
       "planted near-dup survives the cap with its FULL-array Jaccard (hot shingle included)")
   }
 
+  test("simhash banding finds EXACTLY the brute-force Hamming<=3 pairs (pigeonhole)") {
+    val sims = graft.ops.Dedup.simhash48(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      ai <- sims.indices; bi <- ai + 1 until sims.length
+      d = java.lang.Long.bitCount(sims(ai)._2 ^ sims(bi)._2) if d <= 3
+    } yield (sims(ai)._1, sims(bi)._1, d)).toSet
+    val banded = SparkEntry.queries("q70_simhash_neardup")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      "4x12-bit banding must be lossless for Hamming<=3 (any such pair shares a whole band)")
+    assert(brute.nonEmpty, "fixture corpus must contain at least one near-dup pair")
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

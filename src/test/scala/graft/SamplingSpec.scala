@@ -15,6 +15,34 @@ class SamplingSpec extends AnyFunSuite {
   private lazy val total =
     Tables.documents(spark, Sf0001).count()
 
+  test("hash-stratified sample hits per-language rates and is partition-independent") {
+    val rows = SparkEntry.queries("q71_stratified_sample")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = Tables.documents(spark, Sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = Map("en" -> 0.25, "zh" -> 0.5).withDefaultValue(0.75)
+    rows.groupBy(_._2).foreach { case (lang, sampled) =>
+      val expected = byLang(lang) * rate(lang)
+      // 4σ binomial window — deterministic data, so this never flakes
+      val sigma = math.sqrt(byLang(lang) * rate(lang) * (1 - rate(lang)))
+      assert(math.abs(sampled.size - expected) <= 4 * sigma + 1,
+        s"$lang: got ${sampled.size}, expected ~$expected")
+    }
+    // membership is a pure function of doc_id — replicate it exactly in
+    // plain Scala (partition layout, engine, and run order can't matter)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val d = md.digest(s"strat:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xFF}%02x").mkString.take(15), 16) % 10000
+    }
+    val thresh = Map("en" -> 2500L, "zh" -> 5000L).withDefaultValue(7500L)
+    val expectedRows = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) => bucket(id) < thresh(lang) }
+    assert(rows.sortBy(_._1).toSeq == expectedRows.sortBy(_._1).toSeq)
+  }
+
   test("sample(fraction, seed) is deterministic and lands near the expected size") {
     val a = SparkEntry.queries("q40_sample_fraction")(spark, Sf0001)
       .collect().map(_.getLong(0)).toSeq
