@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Connected components over the near-dup pair graph — the stage that
+  * turns pairwise dedup output into survivors. Every near-dup path
+  * (q25/q26/q70) emits PAIRS; a dedup pass must then group transitively
+  * linked documents and keep one per group. No analog in the reference
+  * (which never dedups); this is the standard closing step of a corpus
+  * dedup pipeline.
+  *
+  * Algorithm: Pregel-style min-label propagation on DataFrames — each
+  * round every node takes the min of its own label and its neighbors',
+  * until no label changes. Rounds = graph diameter; near-dup components
+  * are small dense clusters (diameter 2-3 in practice), so the loop
+  * terminates in a handful of rounds. Per round: one shuffle for the
+  * (edges ⋈ labels) min-aggregation, one broadcast-or-shuffle join to
+  * merge, one `localCheckpoint` to truncate lineage (without it the plan
+  * doubles per round and Catalyst analysis goes quadratic), and one
+  * `count` action for the convergence check — driver-side scalars only,
+  * never row data. For adversarial long-chain graphs the same loop
+  * structure admits the large-star/small-star optimization (Kiveris et
+  * al.), which contracts chains in O(log n) rounds; not needed for
+  * near-dup shapes.
+  *
+  * Scale: state is one (id, label) row per node appearing in any pair —
+  * proportional to DUPLICATED docs only, typically a small fraction of
+  * the corpus. Labels are doc_ids, so the final component id is the min
+  * doc_id of the component: deterministic, engine-independent, and
+  * directly usable as the survivor key.
+  */
+object Components {
+
+  /** Min-label connected components over an undirected edge list with
+    * columns (i, j). Returns (id, component) for every node in the edge
+    * list, component = min doc_id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("i").as("src"), col("j").as("dst"))
+      .union(edges.select(col("j").as("src"), col("i").as("dst")))
+      .distinct()
+      .localCheckpoint() // evaluate the (possibly expensive) pair pipeline once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbrMin"))
+      val next = labels
+        .join(prop, labels("id") === prop("dst"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Dedup components over the MinHash-LSH pair graph (q26's pairs):
+    * (doc_id, component) with component = min doc_id — the survivor key.
+    * The oracle replays the ENTIRE pipeline — shingles → signatures →
+    * bands → verified pairs → transitive closure — via a recursive CTE,
+    * so the gate checks label propagation against DuckDB's fixpoint
+    * semantics, not just the pair list. */
+  val q72DedupComponents: Q = Q.sql(
+    "q72_dedup_components",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS component FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    connectedComponents(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q72DedupComponents)
+}

@@ -207,66 +207,78 @@ object Dedup {
     * 16 universal-hash min-hashes per doc, banded 4×4; docs sharing a
     * band bucket become candidates; candidates verified with exact
     * Jaccard ≥ 0.8. */
-  val q26NeardupMinhash: Q = {
+  /** Oracle body for the full MinHash-LSH pair pipeline, WITHOUT the
+    * trailing ORDER BY — shared by q26 and (as a nested-WITH subquery) by
+    * the connected-components oracle in [[Components]]. */
+  private[graft] val oracleMinhashPairsBody: String = {
     val aList = MinhashAB.map(_._1).mkString("[", ", ", "]")
     val bList = MinhashAB.map(_._2).mkString("[", ", ", "]")
-    Q.sql(
-      "q26_neardup_minhash",
-      s"""WITH $oracleDocs,
-         |$oracleHashed,
-         |sigs AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 16), j ->
-         |      list_min(list_transform(hs, h ->
-         |        ($aList[j+1] * (h % $P) + $bList[j+1]) % $P))) AS sig
-         |  FROM hashed),
-         |bands AS (
-         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
-         |SELECT p.i, p.j,
-         |  CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
-         |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) AS jaccard
-         |FROM pairs p JOIN hashed da ON da.doc_id = p.i JOIN hashed dc ON dc.doc_id = p.j
-         |WHERE CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
-         |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) >= 0.8
-         |ORDER BY i, j""".stripMargin
-    ) { (s, dir) =>
-      val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
-      val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
-      val docs = docHashedShingles(s, dir)
-      // One native pass per document ([[graft.expressions.MinHashSig]]):
-      // all 16 mins in a single loop over hs, vs 16 interpreted
-      // transform+array_min rounds — the composed-HOF equivalence is
-      // asserted by MinHashSigSpec.
-      val sigs = docs.select(
-        col("doc_id"),
-        call_function("graft_minhash", col("hs"), aLit, bLit, lit(P)).as("sig"))
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)), b => struct(
-          b.as("b"),
-          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)).cast("array<string>")).as("bkey")
-        ))).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
-      val pairs = bands.as("a")
-        .join(bands.as("c"),
-          col("a.b") === col("c.b") && col("a.bkey") === col("c.bkey") &&
-            col("a.doc_id") < col("c.doc_id"))
-        .select(col("a.doc_id").as("i"), col("c.doc_id").as("j"))
-        .distinct()
-      val inter = size(array_intersect(col("da.hs"), col("dc.hs")))
-      val jac = inter.cast("double") / (size(col("da.hs")) + size(col("dc.hs")) - inter)
-      pairs
-        .join(docs.as("da"), col("i") === col("da.doc_id"))
-        .join(docs.as("dc"), col("j") === col("dc.doc_id"))
-        .select(col("i"), col("j"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy(col("i"), col("j"))
-    }
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), j ->
+       |      list_min(list_transform(hs, h ->
+       |        ($aList[j+1] * (h % $P) + $bList[j+1]) % $P))) AS sig
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+       |SELECT p.i, p.j,
+       |  CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
+       |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) AS jaccard
+       |FROM pairs p JOIN hashed da ON da.doc_id = p.i JOIN hashed dc ON dc.doc_id = p.j
+       |WHERE CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
+       |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) >= 0.8""".stripMargin
   }
+
+  /** The MinHash-LSH pair pipeline as a reusable stage: (i, j, jaccard)
+    * for every verified near-dup pair. Unordered — callers sort or feed
+    * the pairs onward (q26 orders; [[Components]] consumes). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
+    val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
+    val docs = docHashedShingles(s, dir)
+    // One native pass per document ([[graft.expressions.MinHashSig]]):
+    // all 16 mins in a single loop over hs, vs 16 interpreted
+    // transform+array_min rounds — the composed-HOF equivalence is
+    // asserted by MinHashSigSpec.
+    val sigs = docs.select(
+      col("doc_id"),
+      call_function("graft_minhash", col("hs"), aLit, bLit, lit(P)).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("b"),
+        concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)).cast("array<string>")).as("bkey")
+      ))).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+    val pairs = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bkey") === col("c.bkey") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("i"), col("c.doc_id").as("j"))
+      .distinct()
+    val inter = size(array_intersect(col("da.hs"), col("dc.hs")))
+    val jac = inter.cast("double") / (size(col("da.hs")) + size(col("dc.hs")) - inter)
+    pairs
+      .join(docs.as("da"), col("i") === col("da.doc_id"))
+      .join(docs.as("dc"), col("j") === col("dc.doc_id"))
+      .select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** MinHash + LSH banding near-dup — the 100 TB path (see object doc).
+    * 16 universal-hash min-hashes per doc, banded 4×4; docs sharing a
+    * band bucket become candidates; candidates verified with exact
+    * Jaccard ≥ 0.8. */
+  val q26NeardupMinhash: Q = Q.sql(
+    "q26_neardup_minhash",
+    oracleMinhashPairsBody + "\nORDER BY i, j"
+  ) { (s, dir) => minhashPairs(s, dir).orderBy(col("i"), col("j")) }
 
   /** Document fingerprinting: min-hash sketch of the shingle set — the
     * single smallest hash plus the 3 smallest concatenated (a winnowing-

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Components
+
+/** Connected-components invariants: exact labels on hand graphs,
+  * convergence past one propagation round (long chains), and agreement
+  * with an independent union-find over the real near-dup pair graph. */
+class ComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("min-label components on a hand graph") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L)))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L)
+    assert(got == expected)
+  }
+
+  test("a diameter-12 chain converges (multiple propagation rounds)") {
+    val chain = (0L until 12L).map(k => (k, k + 1))
+    val got = cc(chain)
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
+  test("q72 components agree with an independent union-find over q26's pairs") {
+    val pairs = SparkEntry.queries("q26_neardup_minhash")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = SparkEntry.queries("q72_dedup_components")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture corpus must contain near-dup pairs")
+  }
+}
