@@ -91,5 +91,36 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q72DedupComponents)
+  /** The deduplicated corpus: every document except non-survivor
+    * near-dups (component members other than the min doc_id). This is
+    * the pipeline's end product — what a training run actually reads.
+    * Non-survivors are a small set (near-dup docs only), so the
+    * anti-join broadcasts; the corpus itself streams through unshuffled. */
+  val q73DedupSurvivors: Q = Q.sql(
+    "q73_dedup_survivors",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |  WHERE id != component)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d ANTI JOIN dropped ON d.doc_id = dropped.id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val dropped = connectedComponents(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    graft.Tables.documents(s, dir)
+      .join(broadcast(dropped), col("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors)
 }

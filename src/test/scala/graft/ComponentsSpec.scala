@@ -46,4 +46,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture corpus must contain near-dup pairs")
   }
+
+  test("survivors = corpus minus non-min component members, exactly") {
+    val comps = SparkEntry.queries("q72_dedup_components")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val droppedIds = comps.filter { case (id, c) => id != c }.map(_._1).toSet
+    val all = Tables.documents(spark, Sf0001).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val survivors = SparkEntry.queries("q73_dedup_survivors")(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == all.diff(droppedIds))
+    assert(droppedIds.nonEmpty, "dedup must actually drop something on the fixture")
+  }
 }
