@@ -19,7 +19,7 @@ object SparkEntry {
       ops.Sampling.all ++ ops.Text.all ++ ops.RelationalExt.all ++
       restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all ++
       streaming.Streaming.all ++ ops.Skew.all ++ recipes.Prep.all ++
-      ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all
+      ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all ++ ops.Packing.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
