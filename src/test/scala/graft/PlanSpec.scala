@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 simhash banding plans no cartesian product") {
+    val plan = formatted(q("q70_simhash_neardup"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q73 drops non-survivors via a BROADCAST anti-join (corpus side never shuffles)") {
+    val plan = formatted(q("q73_dedup_survivors"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("q74 packing runs window + aggregation on ONE shard exchange") {
+    // the window hash-partitions by shard; groupBy(shard, bin) is already
+    // clustered by shard, so no second hash exchange may appear (the
+    // final ORDER BY's range exchange is expected and excluded)
+    val plan = formatted(q("q74_token_packing"))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash Exchange (the shard window), got $hashExchanges:\n$plan")
+  }
+
   test("every registered query keeps its aggregates partial (no single-point pre-agg shuffle of raw rows)") {
     // HashAggregate must appear in partial+final pairs — spot-check q01.
     val plan = formatted(q("q01_pricing_summary"))
