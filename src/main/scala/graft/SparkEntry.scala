@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Sampling.all ++ ops.Text.all ++ ops.RelationalExt.all ++
       restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all ++
       streaming.Streaming.all ++ ops.Skew.all ++ recipes.Prep.all ++
-      ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all ++ ops.Packing.all
+      ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all ++ ops.Packing.all ++
+      ops.Curate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -34,12 +34,11 @@ object TextAnalysis {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  /** Per-document statistics + composite quality score: length, token
-    * counts, type-token ratio, mean word length, stopword ratio —
-    * the length/punct/stopword quality-filter family. */
-  val q30TextStats: Q = Q.sql(
-    "q30_text_stats",
-    s"""SELECT doc_id, n_chars, n_words, n_distinct,
+  /** Oracle twin of [[textStats]]'s output (doc_id, lang, n_chars,
+    * n_words, n_distinct, ttr, mean_wlen, stop_ratio, quality) — no
+    * ORDER BY; shared by q30 and the curation query in [[Curate]]. */
+  private[graft] val oracleTextStats: String =
+    s"""SELECT doc_id, lang, n_chars, n_words, n_distinct,
        |  CAST(n_distinct AS DOUBLE) / n_words AS ttr,
        |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
        |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
@@ -48,27 +47,29 @@ object TextAnalysis {
        |      + 0.25 * (CAST(n_distinct AS DOUBLE) / n_words)
        |      + 0.25 * (least(CAST(sum_wlen AS DOUBLE) / n_words, 8.0) / 8.0), 9) AS quality
        |FROM (
-       |  SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+       |  SELECT doc_id, lang, length(text) AS n_chars, len(w) AS n_words,
        |    len(list_distinct(w)) AS n_distinct,
        |    list_reduce(list_transform(w, x -> length(x)), (a,b) -> a+b) AS sum_wlen,
        |    len(list_filter(w, x -> list_contains(${sqlList(Stopwords)}, x))) AS n_stop
-       |  FROM (SELECT doc_id, length(text) AS _c, string_split(text, ' ') AS w, text
+       |  FROM (SELECT doc_id, lang, length(text) AS _c, string_split(text, ' ') AS w, text
        |        FROM documents)
-       |  WHERE len(w) >= 1)
-       |ORDER BY doc_id""".stripMargin
-  ) { (s, dir) =>
+       |  WHERE len(w) >= 1)""".stripMargin
+
+  /** Per-document statistics + composite quality score as a reusable
+    * stage (row-local; quality is the length/stopword/TTR composite). */
+  private[graft] def textStats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val stats = Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).as("n_chars"),
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"),
         split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 1)
       .select(
-        col("doc_id"), col("n_chars"),
+        col("doc_id"), col("lang"), col("n_chars"),
         size(col("w")).as("n_words"),
         size(array_distinct(col("w"))).as("n_distinct"),
         aggregate(transform(col("w"), x => length(x)), lit(0), (a, b) => a + b).as("sum_wlen"),
         size(filter(col("w"), x => array_contains(lit(Stopwords.toArray), x))).as("n_stop"))
     stats.select(
-      col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+      col("doc_id"), col("lang"), col("n_chars"), col("n_words"), col("n_distinct"),
       (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
       (col("sum_wlen").cast("double") / col("n_words")).as("mean_wlen"),
       (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
@@ -78,7 +79,18 @@ object TextAnalysis {
           + lit(0.25) * (col("n_distinct").cast("double") / col("n_words"))
           + lit(0.25) * (least(col("sum_wlen").cast("double") / col("n_words"), lit(8.0)) / 8.0),
         9).as("quality"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document statistics + composite quality score: length, token
+    * counts, type-token ratio, mean word length, stopword ratio —
+    * the length/punct/stopword quality-filter family. */
+  val q30TextStats: Q = Q.sql(
+    "q30_text_stats",
+    s"""SELECT doc_id, n_chars, n_words, n_distinct, ttr, mean_wlen, stop_ratio, quality
+       |FROM ($oracleTextStats)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    textStats(s, dir).drop("lang").orderBy(col("doc_id"))
   }
 
   /** Keyword/n-gram language-ID heuristic: score each language by marker
