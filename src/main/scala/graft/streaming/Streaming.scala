@@ -72,6 +72,35 @@ object Streaming {
       }
   }
 
+  final case class Doc(doc_id: Long, content_hash: String)
+
+  /** Streaming exact dedup: first occurrence of each content hash wins,
+    * later copies are dropped — the incremental twin of q24's batch
+    * dedup (a corpus that arrives as a stream dedups as it lands instead
+    * of in a nightly batch). Keyed state via flatMapGroupsWithState is
+    * one boolean per DISTINCT hash; emission happens at most once per
+    * key, so output volume equals the deduped corpus. State never
+    * expires here (exact dedup is unbounded by definition); a production
+    * variant bounds it with a TTL timeout, trading exactness past the
+    * horizon — same contract as every windowed-state operator. */
+  def dedupStream(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, Doc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // keep the smallest doc_id in this first batch for the key —
+            // deterministic across arrival interleavings within a batch
+            Iterator.single(batch.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Batch registry entry for the session-window operator — oracle-able
     * because session windows are gaps-and-islands in SQL: a session
     * breaks where the inter-event gap ≥ 1 day; session_end is

@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps exactly the first occurrence of each content hash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.Doc
+    val stream = MemoryStream[Doc]
+    val q = Streaming.dedupStream(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      // duplicates within a batch AND across batches
+      stream.addData(Doc(3, "a"), Doc(1, "a"), Doc(2, "b"))
+      q.processAllAvailable()
+      stream.addData(Doc(4, "a"), Doc(5, "c"), Doc(6, "b"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // hash "a": min doc_id of its FIRST batch (1); later copies dropped
+      assert(got == Set((1L, "a"), (2L, "b"), (5L, "c")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
