@@ -160,5 +160,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount)
+  /** Distinctive vocabulary per language (c-TF-IDF shape): per-language
+    * term counts vs corpus-wide counts, affinity = tf_lang / tf_total,
+    * top-5 per language. Scoring is RATIO-ONLY (no logarithms): ln from
+    * two libm implementations can differ in the last ulp, which a
+    * hash-compared oracle cannot tolerate, while a division of identical
+    * int64 operands is bit-exact in both engines. Ties (equal rationals)
+    * are broken by term for a total order.
+    *
+    * Scale: the token explode feeds ONE map-side-combined aggregation
+    * keyed (lang, term) — shuffle volume ∝ distinct vocabulary per
+    * language, not token occurrences; the corpus-wide counts derive from
+    * that aggregate (vocabulary-sized, no second pass over tokens); the
+    * top-k window partitions by lang over vocabulary-sized input. */
+  val q76DistinctiveTerms: Q = Q.sql(
+    "q76_distinctive_terms",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+      |df AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS total FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.lang, tf.term, tf.tf, df.total,
+      |    CAST(tf.tf AS DOUBLE) / df.total AS affinity
+      |  FROM tf JOIN df USING (term)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY affinity DESC, term) AS rk
+      |  FROM scored WHERE tf >= 5)
+      |SELECT lang, rk, term, tf, total, affinity
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+  ) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(sum(col("tf")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("affinity").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("affinity", col("tf").cast("double") / col("total"))
+      .filter(col("tf") >= 5)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("total"), col("affinity"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms)
 }
