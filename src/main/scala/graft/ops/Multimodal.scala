@@ -119,5 +119,80 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q55BinaryMeta, q56MediaFeatures)
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"${b & 0xFF}%02x").mkString
+  }
+
+  final case class MediaResized(doc_id: Long, n_bytes_in: Int, n_bytes_out: Int, out_md5: String)
+  final case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int, sample_md5: String)
+
+  /** FAKE RESIZE — stride-4 byte decimation, the codec-free stand-in for
+    * an image downscale. Same partition-batch contract as [[fakeDecode]]:
+    * a real deployment swaps the body for the codec call. */
+  def fakeResize(payload: Array[Byte], stride: Int): Array[Byte] =
+    Iterator.range(0, payload.length, stride).map(payload).toArray
+
+  /** Resize over the media table (stride 4): emits output size + digest
+    * so the oracle verifies the RESIZED BYTES, not just a count. */
+  val q77MediaResize: Q = Q.sql(
+    "q77_media_resize",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes_in,
+      |  len(range(1, length(text)+1, 4)) AS n_bytes_out,
+      |  md5(array_to_string(list_transform(range(1, length(text)+1, 4),
+      |      i -> substr(text, i, 1)), '')) AS out_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    media(s, dir)
+      .select(col("doc_id"), col("payload"),
+        col("meta.format").as("format"), col("meta.width").as("width"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = fakeResize(r.payload, 4)
+          MediaResized(r.doc_id, r.payload.length, out.length, md5Hex(out))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** FAKE FRAME-SAMPLE — treat the payload as a "video" of fixed 64-byte
+    * frames and keep every 4th, the codec-free stand-in for keyframe
+    * extraction. Digest of the concatenated sample proves frame
+    * boundaries and order survived. */
+  def fakeFrameSample(payload: Array[Byte], frameLen: Int, every: Int): (Int, Array[Array[Byte]]) = {
+    val frames = payload.grouped(frameLen).toArray
+    (frames.length, Iterator.range(0, frames.length, every).map(frames).toArray)
+  }
+
+  val q78FrameSample: Q = Q.sql(
+    "q78_frame_sample",
+    """SELECT doc_id,
+      |  CAST((length(text) + 63) // 64 AS INTEGER) AS n_frames,
+      |  len(range(0, (length(text) + 63) // 64, 4)) AS n_sampled,
+      |  md5(array_to_string(list_transform(range(0, (length(text) + 63) // 64, 4),
+      |      f -> substr(text, f*64 + 1, 64)), '')) AS sample_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    media(s, dir)
+      .select(col("doc_id"), col("payload"),
+        col("meta.format").as("format"), col("meta.width").as("width"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (n, sampled) = fakeFrameSample(r.payload, 64, 4)
+          FrameSample(r.doc_id, n, sampled.length, md5Hex(sampled.flatten))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q55BinaryMeta, q56MediaFeatures, q77MediaResize, q78FrameSample)
 }

@@ -38,6 +38,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+
+  test("fakeResize keeps exactly the stride-indexed bytes in order") {
+    val p = (0 until 23).map(_.toByte).toArray
+    val out = graft.ops.Multimodal.fakeResize(p, 4)
+    assert(out.toSeq == Seq[Byte](0, 4, 8, 12, 16, 20))
+  }
+
+  test("fakeFrameSample handles ragged final frames and sub-frame payloads") {
+    val p = (0 until 130).map(_.toByte).toArray // 3 frames: 64+64+2
+    val (n, sampled) = graft.ops.Multimodal.fakeFrameSample(p, 64, 4)
+    assert(n == 3 && sampled.length == 1 && sampled.head.length == 64)
+    val tiny = graft.ops.Multimodal.fakeFrameSample(Array[Byte](7), 64, 4)
+    assert(tiny._1 == 1 && tiny._2.head.toSeq == Seq[Byte](7))
+  }
+
   test("extractor output is deterministic across runs") {
     def run() = SparkEntry.queries("q56_media_features")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
