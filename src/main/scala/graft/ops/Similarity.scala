@@ -221,5 +221,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf)
+  /** Per-label centroids (mean pooling) — the vector-average primitive
+    * behind IVF coarse-quantizer training and cluster profiling. Float
+    * summation is evaluation-order-dependent, so a raw SUM(float) would
+    * violate the determinism contract on a 1000-executor shuffle; each
+    * component is instead quantized to fixed-point (round(x·2²⁰) — the
+    * float→double widening and the product are exact, HALF_UP matches
+    * DuckDB's round-half-away-from-zero) and summed as int64, making the
+    * aggregate partition-order-independent and the oracle bit-exact. The
+    * mean divides two exact integers in double — deterministic. Shuffle
+    * volume: one 4-long row per label after map-side combine. */
+  val q79LabelCentroids: Q = Q.sql(
+    "q79_label_centroids",
+    """SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) / (COUNT(*) * 1048576.0) AS c1,
+      |  CAST(SUM(CAST(round(CAST(embedding[2] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) / (COUNT(*) * 1048576.0) AS c2,
+      |  CAST(SUM(CAST(round(CAST(embedding[3] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) / (COUNT(*) * 1048576.0) AS c3,
+      |  CAST(SUM(CAST(round(CAST(embedding[4] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) / (COUNT(*) * 1048576.0) AS c4
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    def fx(k: Int): Column =
+      sum(round(element_at(col("embedding"), k).cast("double") * 1048576).cast("long"))
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (fx(1) / (count(lit(1)) * 1048576.0)).as("c1"),
+        (fx(2) / (count(lit(1)) * 1048576.0)).as("c2"),
+        (fx(3) / (count(lit(1)) * 1048576.0)).as("c3"),
+        (fx(4) / (count(lit(1)) * 1048576.0)).as("c4"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids)
 }
