@@ -83,6 +83,46 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
+  /** Forward AS-OF: each click picks up the value of the same user's
+    * NEXT purchase at-or-after its timestamp — q66's mirror (the "what
+    * did this exposure lead to" direction). Clicks sort before purchases
+    * at equal ts (_tag 0 < 1) and the window runs current→following with
+    * a running first(): same single user_id shuffle, no pairwise
+    * expansion. */
+  val q81AsofForward: Q = Q.sql(
+    "q81_asof_forward",
+    """WITH ref0 AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |ref AS (SELECT user_id, ts, value FROM ref0 WHERE rn = 1),
+      |probe AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  r.value AS next_purchase_value
+      |FROM probe p ASOF LEFT JOIN ref r
+      |  ON p.user_id = r.user_id AND p.ts <= r.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ref = latestPurchasePerInstant(ev)
+      .select(col("user_id"), col("ts"), lit(1).as("_tag"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("value").as("_ref_value"))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("_tag"),
+        col("event_id"), col("value"), lit(null).cast("double").as("_ref_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ref.unionByName(probe)
+      .withColumn("next_purchase_value", first(col("_ref_value"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   private val BandSeconds = 600L // 10 minutes, also the bucket width
 
   /** Banded range join: per purchase, how many clicks the same user made
@@ -121,5 +161,5 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q66AsofJoin, q67RangeJoinCount)
+  val all: Seq[Q] = Seq(q66AsofJoin, q81AsofForward, q67RangeJoinCount)
 }

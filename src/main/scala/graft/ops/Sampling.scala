@@ -89,6 +89,27 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic exact-n sample: top-50 by md5 order — the
+    * reproducible twin of q42's `orderBy(rand(seed)).limit(n)`. Same
+    * TakeOrderedAndProject physical shape (per-partition top-n, merge on
+    * the driver — no full sort materializes), but the order key is a
+    * pure function of doc_id, so the selected set is identical across
+    * engines, reruns, and partitionings, and the oracle checks exact
+    * membership. The hash key also decorrelates the sample from any
+    * insertion/clustering order — the property the rand() sort was
+    * buying, without the irreproducibility. */
+  val q80HashTopnSample: Q = Q.sql(
+    "q80_hash_topn_sample",
+    """SELECT doc_id, lang FROM documents
+      |ORDER BY md5(concat('topn:', CAST(doc_id AS VARCHAR))), doc_id
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .orderBy(md5(concat(lit("topn:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit,
-    q71StratifiedSample)
+    q71StratifiedSample, q80HashTopnSample)
 }

@@ -37,6 +37,27 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.count() == probe.count()) // left semantics: every click kept
   }
 
+  test("forward as-of matches the brute-force min-over-inequality-join form") {
+    val ev = Tables.events(spark, Sf0001)
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+    // brute force: all candidates at-or-after, keep the ts-min (ties by
+    // max event_id — the deduped-ref convention both engines share)
+    val brute = probe
+      .join(ref, col("p_user") === col("r_user") && col("r_ts") >= col("p_ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(min_by(col("r_value"), struct(col("r_ts"), -col("r_id"))).as("expected"))
+    val got = SparkEntry.queries("q81_asof_forward")(spark, Sf0001)
+      .select(col("event_id"), col("next_purchase_value"))
+    val diff = got.join(brute, "event_id")
+      .filter(!(col("next_purchase_value") <=> col("expected")))
+    assert(diff.count() == 0, diff.show())
+    assert(got.count() == probe.count())
+  }
+
   test("range-join counts match the brute-force inequality join") {
     val ev = Tables.events(spark, Sf0001)
     val p = ev.filter(col("event_type") === "purchase")
@@ -55,7 +76,7 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("neither temporal join plans a nested-loop or cartesian operator") {
-    for (name <- Seq("q66_asof_join", "q67_range_join_count")) {
+    for (name <- Seq("q66_asof_join", "q81_asof_forward", "q67_range_join_count")) {
       val s = plan(name)
       assert(!s.contains("CartesianProduct"), s"$name:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$name:\n$s")
