@@ -84,4 +84,51 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(saltedAgg == plainAgg)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows of one hot key vs uniform keys: the hot post-shuffle
+      // partition dwarfs the advisory size, so AQE must mark it skewed
+      // and split it instead of letting one task carry the whole key.
+      val left = spark.range(60000)
+        .select(when($"id" < 50000, 7L).otherwise($"id").as("k"),
+          concat(lit("padpadpadpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(2000).select(($"id" % 100).as("k"), $"id".as("v"))
+      // inspect the SAME query execution that runs: a count() on the
+      // join would plan its own (different) adaptive query
+      val counted = left.join(right, "k").groupBy().count()
+      counted.collect() // materialize so AQE finalizes the adaptive plan
+      val finalPlan = counted.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("range-partitioned sorted layout: rangepartitioning exchange + partition-local sort, no global sort") {
+    // the write-side layout for ordered parquet (min/max zone-map
+    // friendly): repartitionByRange clusters key ranges per file,
+    // sortWithinPartitions orders inside each — crucially WITHOUT a
+    // global sort barrier
+    val df = Tables.lineitem(spark, Sf0001)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"), col("l_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("Sort [l_shipdate"), plan)
+    assert(plan.contains("false, 0") || !plan.contains("Sort [l_shipdate#_ global=true"),
+      "sort must be partition-local (global=false)")
+    val sortLine = plan.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse("")
+    assert(!sortLine.contains("true"), s"global sort leaked into the layout plan: $sortLine")
+  }
 }
