@@ -205,5 +205,55 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
-  val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms)
+  /** Bigram collocations by lift — which adjacent word pairs co-occur
+    * more than their unigram frequencies predict (the phrase-mining /
+    * tokenizer-merge-candidate primitive). Lift = c₁₂·N / (c₁·c₂), the
+    * PMI ratio WITHOUT the log (ln is not cross-engine bit-stable) and
+    * with both products in double (int64 c₁·c₂ overflows at corpus
+    * scale: two 10¹²-count unigrams square past 2⁶³). Same one-pass
+    * aggregation shape as q76: shuffle ∝ distinct bigrams. */
+  val q82Collocations: Q = Q.sql(
+    "q82_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))) AS bigram
+      |  FROM w WHERE len(w) >= 2),
+      |bc AS (SELECT bigram, COUNT(*) AS c12 FROM bi GROUP BY bigram),
+      |uni AS (SELECT unnest(w) AS term FROM w),
+      |uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
+      |SELECT bc.bigram, bc.c12,
+      |  CAST(bc.c12 AS DOUBLE) * n.n / (CAST(u1.c AS DOUBLE) * u2.c) AS lift
+      |FROM bc, n
+      |JOIN uc u1 ON u1.term = string_split(bc.bigram, ' ')[1]
+      |JOIN uc u2 ON u2.term = string_split(bc.bigram, ' ')[2]
+      |WHERE bc.c12 >= 10
+      |ORDER BY lift DESC, bigram
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val words = Tables.documents(s, dir).select(split(col("text"), " ").as("w"))
+    val bigrams = words.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+        concat(get(col("w"), i), lit(" "), get(col("w"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val unigrams = words.select(explode(col("w")).as("term"))
+    val uc = unigrams.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // corpus size as a broadcast 1-row join, not a driver-side action —
+    // the whole query stays one lazy plan
+    val nDf = unigrams.agg(count(lit(1)).as("n"))
+    bigrams
+      .join(uc.select(col("term").as("t1"), col("c").as("c1")),
+        split(col("bigram"), " ").getItem(0) === col("t1"))
+      .join(uc.select(col("term").as("t2"), col("c").as("c2")),
+        split(col("bigram"), " ").getItem(1) === col("t2"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("c12") >= 10)
+      .select(col("bigram"), col("c12"),
+        (col("c12").cast("double") * col("n") / (col("c1").cast("double") * col("c2"))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
+    q82Collocations)
 }
