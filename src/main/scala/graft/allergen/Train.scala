@@ -323,12 +323,14 @@ object Train {
     * recover exactly. */
   val q59TrainingCurve: Q = Q.heavySql(
     "q59_training_curve",
-    // The driver verifies at sf0.01 only — the fixture path is pinned to
-    // that sf dir (graft.ops.Sources.fixtureRoot keys fixtures by basename).
+    // sf-INDEPENDENT fixture path: the query writes the log, then reads
+    // it back; the oracle reads the same fixed path, so whichever sf the
+    // verifier runs at, it compares against exactly the CSV this run
+    // wrote (an sf-keyed path made the oracle read a stale other-sf log).
     """SELECT iteration, loss,
       |  MIN(loss) OVER (ORDER BY iteration
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_loss
-      |FROM read_csv('/root/repo/target/fixtures/sf0.01/metrics_csv/*.csv',
+      |FROM read_csv('/root/repo/target/fixtures/metrics_csv/*.csv',
       |              header = true,
       |              columns = {'iteration': 'BIGINT', 'loss': 'DOUBLE'})
       |ORDER BY iteration""".stripMargin) { (s, dir) =>
@@ -341,7 +343,7 @@ object Train {
     val history = model.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
       .summary.objectiveHistory
-    val path = s"${graft.ops.Sources.fixtureRoot(dir)}/metrics_csv"
+    val path = "/root/repo/target/fixtures/metrics_csv"
     history.zipWithIndex.map { case (loss, i) => (i.toLong, loss) }.toSeq
       .toDF("iteration", "loss")
       .coalesce(1)
