@@ -280,6 +280,92 @@ object Dedup {
     oracleMinhashPairsBody + "\nORDER BY i, j"
   ) { (s, dir) => minhashPairs(s, dir).orderBy(col("i"), col("j")) }
 
+  /** (doc_id, b, bkey) LSH band rows for a hashed-shingle doc set. */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
+    val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
+    docs
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("hs"), aLit, bLit, lit(P)).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("b"),
+          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)).cast("array<string>")).as("bkey")
+        ))).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+  }
+
+  /** Incremental near-dup: match an INCOMING batch against an EXISTING
+    * corpus — the daily-increment workflow (a production pipeline never
+    * re-dedups the whole corpus; it checks the new 1 TB against the
+    * standing 100 TB's band index). Same signatures/banding as q26, but
+    * the candidate join is existing-bands ⋈ incoming-bands instead of a
+    * self-join — shuffle is keyed on band buckets, the standing side's
+    * bands would in production be a materialized (bucketed) table, and
+    * incoming docs with no band collision never join anything. Modeled
+    * here by splitting `documents` on doc_id parity (even = existing,
+    * odd = incoming); output = incoming docs that near-dup something
+    * standing, with their best match. */
+  val q83IncrementalNeardup: Q = {
+    val aList = MinhashAB.map(_._1).mkString("[", ", ", "]")
+    val bList = MinhashAB.map(_._2).mkString("[", ", ", "]")
+    Q.sql(
+      "q83_incremental_neardup",
+      s"""WITH $oracleDocs,
+         |$oracleHashed,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), j ->
+         |      list_min(list_transform(hs, h ->
+         |        ($aList[j+1] * (h % $P) + $bList[j+1]) % $P))) AS sig
+         |  FROM hashed),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT e.doc_id AS i, n.doc_id AS j
+         |  FROM bands e JOIN bands n ON e.b = n.b AND e.bkey = n.bkey
+         |  WHERE e.doc_id % 2 = 0 AND n.doc_id % 2 = 1),
+         |scored AS (
+         |  SELECT c.j AS incoming_id, c.i AS existing_id,
+         |    CAST(len(list_intersect(de.hs, dn.hs)) AS DOUBLE)
+         |      / (len(de.hs) + len(dn.hs) - len(list_intersect(de.hs, dn.hs))) AS jaccard
+         |  FROM cand c JOIN hashed de ON de.doc_id = c.i JOIN hashed dn ON dn.doc_id = c.j
+         |  WHERE CAST(len(list_intersect(de.hs, dn.hs)) AS DOUBLE)
+         |      / (len(de.hs) + len(dn.hs) - len(list_intersect(de.hs, dn.hs))) >= 0.8)
+         |SELECT incoming_id, existing_id AS best_match, jaccard AS best_jaccard
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY incoming_id
+         |    ORDER BY jaccard DESC, existing_id) AS rn
+         |  FROM scored)
+         |WHERE rn = 1
+         |ORDER BY incoming_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = docHashedShingles(s, dir)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val cand = bandsOf(existing).as("e")
+        .join(bandsOf(incoming).as("n"),
+          col("e.b") === col("n.b") && col("e.bkey") === col("n.bkey"))
+        .select(col("e.doc_id").as("i"), col("n.doc_id").as("j"))
+        .distinct()
+      val inter = size(array_intersect(col("de.hs"), col("dn.hs")))
+      val jac = inter.cast("double") / (size(col("de.hs")) + size(col("dn.hs")) - inter)
+      cand
+        .join(docs.as("de"), col("i") === col("de.doc_id"))
+        .join(docs.as("dn"), col("j") === col("dn.doc_id"))
+        .select(col("j").as("incoming_id"), col("i").as("existing_id"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("incoming_id"))
+            .orderBy(col("jaccard").desc, col("existing_id"))))
+        .filter(col("rn") === 1)
+        .select(col("incoming_id"), col("existing_id").as("best_match"),
+          col("jaccard").as("best_jaccard"))
+        .orderBy(col("incoming_id"))
+    }
+  }
+
   /** Document fingerprinting: min-hash sketch of the shingle set — the
     * single smallest hash plus the 3 smallest concatenated (a winnowing-
     * style sketch). Equal fp3 ⇒ near-certain duplicate; grouping by fp
@@ -406,5 +492,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
-    q70SimhashNeardup)
+    q70SimhashNeardup, q83IncrementalNeardup)
 }

@@ -78,6 +78,20 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture corpus must contain at least one near-dup pair")
   }
 
+  test("incremental near-dup agrees with the full self-join restricted to cross-parity pairs") {
+    val full = pairs("q26_neardup_minhash")
+    val crossParity = full.filter { case (i, j, _) => i % 2 != j % 2 }
+    // expected: for each odd (incoming) member, the best-scoring even match
+    val expected = crossParity
+      .map { case (i, j, jac) => if (j % 2 == 1) (j, i, jac) else (i, j, jac) }
+      .groupBy(_._1)
+      .map { case (inc, ms) => ms.minBy(m => (-m._3, m._2)) }
+      .toSet
+    val got = SparkEntry.queries("q83_incremental_neardup")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
