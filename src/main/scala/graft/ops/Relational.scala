@@ -469,14 +469,21 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
   ) { (s, dir) =>
+    // Same eager-aggregation rewrite as q03: orders collapse to one row
+    // per customer BEFORE the join, so the join and final aggregation run
+    // at customer grain, and COUNT(DISTINCT c_custkey) degenerates to a
+    // plain COUNT (custkey is customer's key; each row is one customer) —
+    // no two-phase distinct expansion in the plan.
+    val ordersPerCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
     Tables.region(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
-      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+      .join(ordersPerCust, col("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        countDistinct(col("c_custkey")).as("n_customers"),
-        count(col("o_orderkey")).as("n_orders"))
+        count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_ord"), lit(0L))).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
