@@ -70,5 +70,44 @@ object Packing {
        |ORDER BY shard, bin""".stripMargin
   ) { (s, dir) => pack(shardedTokens(s, dir), BinBudget) }
 
-  val all: Seq[Q] = Seq(q74TokenPacking)
+  /** Corpus mixture report — the bookkeeping behind data-mixture
+    * weighting: per source, document and token counts, each source's
+    * share of total tokens, and the resampling factor that would hit a
+    * uniform target mix. All shares are divisions of exact int64 totals
+    * (bit-identical both engines); the global totals enter as a
+    * broadcast one-row join so the query stays one lazy plan. At scale
+    * this is two map-side-combined aggregations over the scan — shuffle
+    * ∝ number of sources. */
+  val q84MixtureReport: Q = Q.sql(
+    "q84_mixture_report",
+    """WITH per_doc AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |per_src AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens
+      |  FROM per_doc GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS n_src FROM per_src)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / tot.t AS token_share,
+      |  (CAST(tot.t AS DOUBLE) / tot.n_src) / n_tokens AS uniform_resample_factor
+      |FROM per_src, tot
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n_src"))
+    perSrc
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("t")).as("token_share"),
+        ((col("t").cast("double") / col("n_src")) / col("n_tokens")).as("uniform_resample_factor"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(q74TokenPacking, q84MixtureReport)
 }
