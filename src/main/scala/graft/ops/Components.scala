@@ -50,15 +50,17 @@ object Components {
       val prop = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbrMin"))
-      val next = labels
+      // the change flag rides along in the propagated row, so the
+      // convergence check is an aggregate over the already-checkpointed
+      // blocks — no extra join (and shuffle) per round
+      val staged = labels
         .join(prop, labels("id") === prop("dst"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
+          (coalesce(col("nbrMin"), col("label")) < col("label")).cast("long").as("chg"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
-      labels = next
+      val changed = staged.agg(sum(col("chg"))).head.getLong(0)
+      labels = staged.drop("chg")
       converged = changed == 0
       it += 1
     }
