@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Public library facade — the engine's operators over YOUR DataFrames,
+  * not just the registry's test tables. Every method is a thin alias of
+  * the factored pipeline the oracle-checked registry queries run, so the
+  * semantics a user gets here are exactly the semantics the DuckDB gate
+  * verifies every round.
+  *
+  * Input conventions: document frames carry `(doc_id: long, text:
+  * string)` (extra columns pass through where noted); edge frames carry
+  * `(i: long, j: long)`. Build sessions via [[Sessions.local]] or add
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` so the
+  * native expressions (graft_md5long64 / graft_minhash / graft_simhash48
+  * / graft_dot_f64) resolve.
+  */
+object Graft {
+
+  /** Verified MinHash-LSH near-duplicate pairs (i, j, jaccard) with
+    * exact Jaccard ≥ 0.8 over 5-gram shingles — the 100 TB dedup path
+    * (bucketed candidates, never all-pairs). */
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    ops.Dedup.minhashPairsOf(ops.Dedup.hashedShinglesOf(docs))
+
+  /** Exact n-gram Jaccard near-dup pairs via the df-capped inverted
+    * index; `maxShingleDf` guards the quadratic hot-shingle blowup,
+    * verification always uses full shingle sets. */
+  def jaccardNearDupPairs(docs: DataFrame,
+                          maxShingleDf: Long = ops.Dedup.MaxShingleDf,
+                          minJaccard: Double = 0.8): DataFrame =
+    ops.Dedup.neardupJaccard(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
+
+  /** Min-label connected components over an undirected (i, j) edge
+    * list: (id, label) with label = min reachable id. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    ops.Components.connectedComponents(edges)
+
+  /** The deduplicated corpus: drops every near-dup that is not its
+    * component's min doc_id. All non-key columns pass through. */
+  def dedup(docs: DataFrame): DataFrame = {
+    val dropped = ops.Components
+      .connectedComponents(nearDupPairs(docs).select(col("i"), col("j")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    docs.join(broadcast(dropped), docs("doc_id") === dropped("id"), "left_anti")
+  }
+
+  /** Per-document quality statistics (token counts, TTR, stopword
+    * ratio, composite quality score); requires (doc_id, lang, text). */
+  def textQuality(docs: DataFrame): DataFrame = {
+    // textStats reads (doc_id, lang, text); synthesize lang if absent
+    val withLang =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit("und"))
+    ops.TextAnalysis.statsOf(withLang)
+  }
+
+  /** Greedy token-budget packing: (shard, bin, n_docs, sum_tokens) with
+    * `shards`-way parallelism and deterministic membership. */
+  def packTokens(docs: DataFrame, budget: Long): DataFrame =
+    ops.Packing.pack(
+      docs.select(
+        (call_function("graft_md5long64",
+          concat(lit("pack:"), col("doc_id").cast("string"))) % 32).as("shard"),
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("tokens")),
+      budget)
+
+  /** Streaming first-seen dedup over (doc_id, content_hash) rows. */
+  def dedupStream(docs: Dataset[streaming.Streaming.Doc]): Dataset[streaming.Streaming.Doc] =
+    streaming.Streaming.dedupStream(docs)
+}

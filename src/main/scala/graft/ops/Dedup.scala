@@ -60,13 +60,16 @@ object Dedup {
     array_distinct(transform(sequence(lit(0), size(w) - 5), i =>
       concat_ws(" ", get(w, i), get(w, i + 1), get(w, i + 2), get(w, i + 3), get(w, i + 4))))
 
-  /** documents → (doc_id, sh: distinct 5-gram shingles); <5-token rows
-    * dropped (Spark `sequence` counts DOWN for start>stop). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** (doc_id, text) → (doc_id, sh: distinct 5-gram shingles); <5-token
+    * rows dropped (Spark `sequence` counts DOWN for start>stop). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), shingles5(col("w")).as("sh"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   /** documents → (doc_id, hs: 60-bit md5 hashes of the distinct 5-gram
     * shingles), materialized behind a by-doc_id aggregation barrier.
@@ -90,10 +93,13 @@ object Dedup {
     *     library-safe alternative to cache(), one compact row per doc.
     * Hash collisions (60-bit) first matter near ~2^30 distinct shingles;
     * the oracle hashes identically, so semantics stay mirrored anyway. */
-  private def docHashedShingles(s: SparkSession, dir: String): DataFrame =
-    docShingles(s, dir)
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
       .select(col("doc_id"), transform(col("sh"), sh => hexLong(sh)).as("hs"))
       .groupBy(col("doc_id")).agg(first(col("hs")).as("hs"))
+
+  private def docHashedShingles(s: SparkSession, dir: String): DataFrame =
+    hashedShinglesOf(Tables.documents(s, dir))
 
   /** Oracle twin of [[docShingles]] — shared CTE text. */
   private val oracleDocs: String =
@@ -238,10 +244,13 @@ object Dedup {
   /** The MinHash-LSH pair pipeline as a reusable stage: (i, j, jaccard)
     * for every verified near-dup pair. Unordered — callers sort or feed
     * the pairs onward (q26 orders; [[Components]] consumes). */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docHashedShingles(s, dir))
+
+  /** Generic form over any (doc_id, hs) hashed-shingle set. */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
     val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
-    val docs = docHashedShingles(s, dir)
     // One native pass per document ([[graft.expressions.MinHashSig]]):
     // all 16 mins in a single loop over hs, vs 16 interpreted
     // transform+array_min rounds — the composed-HOF equivalence is

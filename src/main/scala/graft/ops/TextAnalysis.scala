@@ -57,8 +57,12 @@ object TextAnalysis {
 
   /** Per-document statistics + composite quality score as a reusable
     * stage (row-local; quality is the length/stopword/TTR composite). */
-  private[graft] def textStats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val stats = Tables.documents(s, dir)
+  private[graft] def textStats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    statsOf(Tables.documents(s, dir))
+
+  /** Generic form over any (doc_id, lang, text) frame. */
+  private[graft] def statsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = docs
       .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"),
         split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 1)
