@@ -69,6 +69,18 @@ object Graft {
           .cast("long").as("tokens")),
       budget)
 
+  /** Exact cosine top-k: `vectors` and `queries` carry (vec_id, v:
+    * array<double>); queries broadcast, candidates stream. Returns
+    * (query_id, neighbor_id, sim, rk). For unbounded query sides use
+    * the LSH/IVF registry paths instead. */
+  def annTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    ops.Similarity.annTopKOf(vectors, queries, k)
+
+  /** Backward as-of join: probe(key, ts, …) picks up `asof_value` from
+    * the most recent ref(key, ts, value) row at or before its ts. */
+  def asOfBackward(probe: DataFrame, ref: DataFrame): DataFrame =
+    ops.AsOf.asOfBackward(probe, ref)
+
   /** Streaming first-seen dedup over (doc_id, content_hash) rows. */
   def dedupStream(docs: Dataset[streaming.Streaming.Doc]): Dataset[streaming.Streaming.Doc] =
     streaming.Streaming.dedupStream(docs)

@@ -32,6 +32,30 @@ import graft.{Q, Tables}
   */
 object AsOf {
 
+  /** Generic backward as-of: for every probe row, attach the reference
+    * `value` of the most recent reference row with the same `key` at or
+    * before the probe's `ts`. Inputs: probe(key, ts, …) and
+    * ref(key, ts, value) with ref deduped to one row per (key, ts) by
+    * the caller. One shuffle on key; output = probe columns +
+    * `asof_value`. */
+  def asOfBackward(probe: DataFrame, ref: DataFrame): DataFrame = {
+    val probeCols = probe.columns.filterNot(Seq("key", "ts").contains).toSeq
+    val refSide = ref.select(
+      Seq(col("key"), col("ts"), lit(0).as("_tag"), col("value").as("_ref_value")) ++
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probe.select(
+      Seq(col("key"), col("ts"), lit(1).as("_tag"),
+        lit(null).cast(ref.schema("value").dataType).as("_ref_value")) ++
+        probeCols.map(col): _*)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refSide.unionByName(probeSide)
+      .withColumn("asof_value", last(col("_ref_value"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((Seq(col("key"), col("ts")) ++ probeCols.map(col) ++ Seq(col("asof_value"))): _*)
+  }
+
   /** Reference side deduped to one row per (user_id, ts): ties broken by
     * max event_id, so the as-of pick is well-defined in both engines. */
   private def latestPurchasePerInstant(ev: DataFrame): DataFrame = {

@@ -50,6 +50,26 @@ object Similarity {
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Generic exact cosine top-k over user frames: `vectors` and
+    * `queries` both carry (vec_id, v: array<double>). The query side is
+    * broadcast (bounded probe sets are the exact-ANN contract — an
+    * unbounded query side belongs on the LSH/IVF paths); candidates
+    * stream through the scan unshuffled, then a per-query window picks
+    * the top k with a deterministic (sim desc, neighbor) order. */
+  private[graft] def annTopKOf(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val n = vectors.withColumn("nrm", norm(col("v")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** vec_id, v (array<double>), nrm. Float→double widening is exact. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)

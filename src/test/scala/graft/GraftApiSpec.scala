@@ -45,6 +45,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(bins.sum == corpus.count())
   }
 
+  test("annTopK ranks an orthonormal toy basis correctly") {
+    import spark.implicits._
+    // vec 1 is closest to vec 2 (cos 0.8), then vec 3 (cos 0.6), then vec 4 (0.0)
+    val vectors = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.8, 0.6)),
+      (3L, Array(0.6, 0.8)), (4L, Array(0.0, 1.0))
+    ).toDF("vec_id", "v")
+    val got = Graft.annTopK(vectors, vectors.filter($"vec_id" === 1), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    assert(got == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("asOfBackward attaches the latest at-or-before reference value per key") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("key", "ts", "tag")
+    val ref = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 7L, 300.0))
+      .toDF("key", "ts", "value")
+    val got = Graft.asOfBackward(probe, ref)
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(got == Map("a" -> 100.0, "b" -> 200.0, "c" -> -1.0))
+  }
+
   test("jaccardNearDupPairs on the same frame agrees with the minhash path") {
     val jac = Graft.jaccardNearDupPairs(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
