@@ -69,6 +69,18 @@ object Graft {
           .cast("long").as("tokens")),
       budget)
 
+  /** Deterministic stratified sample over (doc_id, lang, …): keep each
+    * row iff md5(salt+doc_id) mod 10⁴ falls under its language's rate —
+    * reproducible membership, no seeded-sampler partition dependence. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double): DataFrame =
+    ops.Sampling.stratifiedOf(docs, rates, defaultRate)
+
+  /** Per-source mixture report over (source, text, …): doc/token counts,
+    * token share, and the uniform-mix resampling factor. */
+  def mixtureReport(docs: DataFrame): DataFrame =
+    ops.Packing.mixtureReportOf(docs)
+
   /** Exact cosine top-k: `vectors` and `queries` carry (vec_id, v:
     * array<double>); queries broadcast, candidates stream. Returns
     * (query_id, neighbor_id, sim, rk). For unbounded query sides use

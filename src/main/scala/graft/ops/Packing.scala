@@ -78,6 +78,22 @@ object Packing {
     * broadcast one-row join so the query stays one lazy plan. At scale
     * this is two map-side-combined aggregations over the scan — shuffle
     * ∝ number of sources. */
+  /** Generic mixture report over any (source, text) frame. */
+  private[graft] def mixtureReportOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n_src"))
+    perSrc
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("t")).as("token_share"),
+        ((col("t").cast("double") / col("n_src")) / col("n_tokens")).as("uniform_resample_factor"))
+  }
+
   val q84MixtureReport: Q = Q.sql(
     "q84_mixture_report",
     """WITH per_doc AS (
@@ -93,21 +109,7 @@ object Packing {
       |  (CAST(tot.t AS DOUBLE) / tot.n_src) / n_tokens AS uniform_resample_factor
       |FROM per_src, tot
       |ORDER BY source""".stripMargin
-  ) { (s, dir) =>
-    val perSrc = Tables.documents(s, dir)
-      .select(col("source"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
-          .cast("long").as("tokens"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
-    val tot = perSrc.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n_src"))
-    perSrc
-      .crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("t")).as("token_share"),
-        ((col("t").cast("double") / col("n_src")) / col("n_tokens")).as("uniform_resample_factor"))
-      .orderBy(col("source"))
-  }
+  ) { (s, dir) => mixtureReportOf(Tables.documents(s, dir)).orderBy(col("source")) }
 
   val all: Seq[Q] = Seq(q74TokenPacking, q84MixtureReport)
 }

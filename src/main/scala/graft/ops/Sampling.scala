@@ -72,6 +72,24 @@ object Sampling {
     * over-represented 'en', keep minority langs) — the class-rebalance
     * idiom of the reference's undersample (MLP.ipynb:63) without the
     * exact-n range sort. No shuffle: filter + scan only. */
+  /** Generic deterministic stratified sample: keep each row iff
+    * `md5(salt + keyCol) mod 10⁴` falls under its stratum's rate.
+    * `rates` maps stratum values (of `stratumCol`) to [0,1] fractions;
+    * unlisted strata use `defaultRate`. Membership is a pure function of
+    * the key — identical across reruns, partitionings, and engines. */
+  private[graft] def stratifiedOf(docs: org.apache.spark.sql.DataFrame,
+                                  rates: Map[String, Double],
+                                  defaultRate: Double,
+                                  salt: String = "strat:"): org.apache.spark.sql.DataFrame = {
+    val bucket = call_function("graft_md5long64",
+      concat(lit(salt), col("doc_id").cast("string"))) % 10000
+    val thresh = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (els, (stratum, rate)) =>
+        when(col("lang") === stratum, (rate * 10000).toInt).otherwise(els)
+    }
+    docs.filter(bucket < thresh)
+  }
+
   val q71StratifiedSample: Q = Q.sql(
     "q71_stratified_sample",
     """SELECT doc_id, lang FROM documents
@@ -79,12 +97,8 @@ object Sampling {
       |  < CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 5000 ELSE 7500 END
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val bucket = call_function("graft_md5long64",
-      concat(lit("strat:"), col("doc_id").cast("string"))) % 10000
-    val thresh = when(col("lang") === "en", 2500)
-      .when(col("lang") === "zh", 5000).otherwise(7500)
-    Tables.documents(s, dir)
-      .filter(bucket < thresh)
+    stratifiedOf(Tables.documents(s, dir),
+      rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.75)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }

@@ -68,6 +68,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Map("a" -> 100.0, "b" -> 200.0, "c" -> -1.0))
   }
 
+  test("stratifiedSample and mixtureReport run on user frames") {
+    val docs = corpus.withColumnRenamed("lang", "lang") // (doc_id, lang, text)
+      .withColumn("source", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"),
+        org.apache.spark.sql.functions.col("doc_id") % 2))
+    val full = Graft.stratifiedSample(docs, rates = Map.empty, defaultRate = 1.0)
+    assert(full.count() == docs.count(), "rate 1.0 keeps everything")
+    val none = Graft.stratifiedSample(docs, rates = Map.empty, defaultRate = 0.0)
+    assert(none.count() == 0, "rate 0.0 keeps nothing")
+    val mix = Graft.mixtureReport(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix.keySet == Set("s0", "s1") && mix.values.sum == docs.count())
+  }
+
   test("jaccardNearDupPairs on the same frame agrees with the minhash path") {
     val jac = Graft.jaccardNearDupPairs(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
