@@ -258,6 +258,40 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Sliding-window document chunking — the embedding-pipeline splitter:
+    * 32-word windows at stride 24 (8-word overlap so no boundary context
+    * is lost). Entirely row-local (transform + explode; no shuffle until
+    * the output order), chunk count = 1 + ⌊(len-1)/24⌋ — identical
+    * arithmetic both engines, so the oracle verifies every chunk's
+    * content digest. Short final windows are kept as-is (clipped slice);
+    * a tail window nested inside its predecessor is retained for
+    * determinism rather than suppressed. */
+  val q85DocChunks: Q = Q.sql(
+    "q85_doc_chunks",
+    """SELECT doc_id, chunk_id,
+      |  len(chunk) AS n_words,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, k AS chunk_id, w[k*24+1 : k*24+32] AS chunk
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS w,
+      |      unnest(range(0, 1 + (len(string_split(text, ' ')) - 1) // 24)) AS k
+      |    FROM documents))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          // Spark's `/` is always double division — floor for the count
+          sequence(lit(0), floor((size(col("w")) - 1) / lit(24)).cast("int")),
+          k => slice(col("w"), k * 24 + 1, lit(32)))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        size(col("col")).as("n_words"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
-    q82Collocations)
+    q82Collocations, q85DocChunks)
 }
