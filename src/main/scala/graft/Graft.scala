@@ -93,6 +93,35 @@ object Graft {
   def asOfBackward(probe: DataFrame, ref: DataFrame): DataFrame =
     ops.AsOf.asOfBackward(probe, ref)
 
+  /** SimHash-banded near-dup pairs (i, j, hamming ≤ 3) — exact by
+    * pigeonhole over 4×12-bit bands of the 48-bit shingle fingerprint. */
+  def simhashNearDupPairs(docs: DataFrame): DataFrame = {
+    val sim = ops.Dedup.hashedShinglesOf(docs)
+      .select(col("doc_id"), call_function("graft_simhash48", col("hs")).as("sim"))
+    val bands = sim.select(col("doc_id"),
+      array((0 until 4).map(b =>
+        lit(b * 4096L) + shiftright(col("sim"), 12 * b) % 4096): _*).as("hs"))
+    ops.Dedup.jaccardCandidates(bands, ops.Dedup.MaxShingleDf)
+      .join(sim.select(col("doc_id").as("i"), col("sim").as("si")), "i")
+      .join(sim.select(col("doc_id").as("j"), col("sim").as("sj")), "j")
+      .withColumn("hamming", expr("bit_count(si ^ sj)"))
+      .filter(col("hamming") <= 3)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Sliding-window chunking over (doc_id, text): (doc_id, chunk_id,
+    * n_words, chunk_md5) with `window`-word windows at `stride`. */
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("w")) - 1) / lit(stride)).cast("int")),
+          k => slice(col("w"), k * stride + 1, lit(window)))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        size(col("col")).as("n_words"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+
   /** Streaming first-seen dedup over (doc_id, content_hash) rows. */
   def dedupStream(docs: Dataset[streaming.Streaming.Doc]): Dataset[streaming.Streaming.Doc] =
     streaming.Streaming.dedupStream(docs)

@@ -82,6 +82,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(mix.keySet == Set("s0", "s1") && mix.values.sum == docs.count())
   }
 
+  test("simhashNearDupPairs finds the planted cluster; chunkDocs covers every word window") {
+    val sh = Graft.simhashNearDupPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hamming<=3 is TIGHTER than Jaccard 0.8: the identical-text pair
+    // (1,3) must surface (distance 0); the one-word-different pairs may
+    // flip >3 fingerprint bits, but nothing outside the Jaccard set may
+    // ever appear.
+    assert(sh.contains((1L, 3L)))
+    assert(sh.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+    val chunks = Graft.chunkDocs(corpus, window = 10, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 4 has 7 words -> exactly one 7-word chunk
+    assert(chunks.filter(_._1 == 4L).map(c => (c._2, c._3)).toSeq == Seq((0, 7)))
+    // every doc's windows tile its word count at the stride
+    corpus.collect().foreach { row =>
+      val id = row.getLong(0)
+      val len = row.getString(2).split(" ").length
+      val expected = 1 + (len - 1) / 8
+      assert(chunks.count(_._1 == id) == expected, s"doc $id")
+    }
+  }
+
   test("jaccardNearDupPairs on the same frame agrees with the minhash path") {
     val jac = Graft.jaccardNearDupPairs(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
