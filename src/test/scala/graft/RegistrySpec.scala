@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide invariants — the contracts every entry must honor for
+  * the driver's hash-compared gate to stay meaningful:
+  *  - names are unique (a duplicate silently shadows in the Map views);
+  *  - every oracle-paired query's plan ends in a GLOBAL sort (the
+  *    determinism contract: without a total output order, a
+  *    partition-count change reorders rows and flips the hash).
+  * Heavy entries (inBench=false: iterative ML fits at plan-build time)
+  * are exercised by Verify and their own suites instead. */
+class RegistrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    val dup = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dup.isEmpty, s"duplicate query names: $dup")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
+  test("every oracle-paired query ends in a global total sort") {
+    def topSortIsGlobal(p: LogicalPlan): Boolean = p match {
+      case s: Sort => s.global
+      case proj: Project => topSortIsGlobal(proj.child) // column pruning above the sort
+      // sort-then-limit (TakeOrderedAndProject): ordered prefix, still total
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => topSortIsGlobal(l.child)
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => topSortIsGlobal(l.child)
+      // a grouping-free aggregate emits exactly one row — trivially ordered
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+    val offenders = SparkEntry.registry
+      .filter(q => q.oracle.isDefined && q.inBench)
+      .flatMap { q =>
+        val plan = q.fn(spark, Sf0001).queryExecution.analyzed
+        if (topSortIsGlobal(plan)) None else Some(q.name)
+      }
+    assert(offenders.isEmpty,
+      s"oracle-paired queries without a global top-level ORDER BY: $offenders")
+  }
+}
