@@ -41,4 +41,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"oracle-paired queries without a global top-level ORDER BY: $offenders")
   }
+
+  /** Queries where a BroadcastNestedLoopJoin is the DELIBERATE plan: a
+    * constant-size broadcast side (probe set, 1-row total, 16 centroids,
+    * md5-derived planes) joined under a non-equi or cross condition. Any
+    * other appearance — or any CartesianProduct anywhere — is a
+    * scale-killer that must fail this suite. */
+  private val BnljAllowed = Set(
+    "q27_ann_topk",            // bounded probe set × candidates, <> condition
+    "q60_ann_ivf",             // 16-row centroid table cross join
+    "q82_collocations",        // 1-row corpus-size cross join
+    "q84_mixture_report")      // 1-row totals cross join
+
+  test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
+    SparkEntry.registry.filter(_.inBench).foreach { q =>
+      val plan = q.fn(spark, Sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      if (!BnljAllowed(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
 }
