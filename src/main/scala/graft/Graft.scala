@@ -93,6 +93,14 @@ object Graft {
   def asOfBackward(probe: DataFrame, ref: DataFrame): DataFrame =
     ops.AsOf.asOfBackward(probe, ref)
 
+  /** Incremental dedup: each `incoming` doc's best near-dup match among
+    * the `existing` corpus (the daily-increment workflow — never
+    * re-dedup the standing corpus). Returns (incoming_id, best_match,
+    * best_jaccard); incoming docs with no band collision never join. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame): DataFrame =
+    ops.Dedup.incrementalPairsOf(
+      ops.Dedup.hashedShinglesOf(existing), ops.Dedup.hashedShinglesOf(incoming))
+
   /** SimHash-banded near-dup pairs (i, j, hamming ≤ 3) — exact by
     * pigeonhole over 4×12-bit bands of the 48-bit shingle fingerprint. */
   def simhashNearDupPairs(docs: DataFrame): DataFrame = {

@@ -351,28 +351,35 @@ object Dedup {
          |ORDER BY incoming_id""".stripMargin
     ) { (s, dir) =>
       val docs = docHashedShingles(s, dir)
-      val existing = docs.filter(col("doc_id") % 2 === 0)
-      val incoming = docs.filter(col("doc_id") % 2 === 1)
-      val cand = bandsOf(existing).as("e")
-        .join(bandsOf(incoming).as("n"),
-          col("e.b") === col("n.b") && col("e.bkey") === col("n.bkey"))
-        .select(col("e.doc_id").as("i"), col("n.doc_id").as("j"))
-        .distinct()
-      val inter = size(array_intersect(col("de.hs"), col("dn.hs")))
-      val jac = inter.cast("double") / (size(col("de.hs")) + size(col("dn.hs")) - inter)
-      cand
-        .join(docs.as("de"), col("i") === col("de.doc_id"))
-        .join(docs.as("dn"), col("j") === col("dn.doc_id"))
-        .select(col("j").as("incoming_id"), col("i").as("existing_id"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("incoming_id"))
-            .orderBy(col("jaccard").desc, col("existing_id"))))
-        .filter(col("rn") === 1)
-        .select(col("incoming_id"), col("existing_id").as("best_match"),
-          col("jaccard").as("best_jaccard"))
+      incrementalPairsOf(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
         .orderBy(col("incoming_id"))
     }
+  }
+
+  /** Generic two-sided near-dup match over hashed-shingle sets: each
+    * incoming doc's best verified match (jaccard ≥ 0.8) among the
+    * existing docs, deterministic (jaccard desc, id) tiebreak. */
+  private[graft] def incrementalPairsOf(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cand = bandsOf(existing).as("e")
+      .join(bandsOf(incoming).as("n"),
+        col("e.b") === col("n.b") && col("e.bkey") === col("n.bkey"))
+      .select(col("e.doc_id").as("i"), col("n.doc_id").as("j"))
+      .distinct()
+    val inter = size(array_intersect(col("de.hs"), col("dn.hs")))
+    val jac = inter.cast("double") / (size(col("de.hs")) + size(col("dn.hs")) - inter)
+    cand
+      .join(existing.as("de"), col("i") === col("de.doc_id"))
+      .join(incoming.as("dn"), col("j") === col("dn.doc_id"))
+      .select(col("j").as("incoming_id"), col("i").as("existing_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("incoming_id"))
+          .orderBy(col("jaccard").desc, col("existing_id"))))
+      .filter(col("rn") === 1)
+      .select(col("incoming_id"), col("existing_id").as("best_match"),
+        col("jaccard").as("best_jaccard"))
   }
 
   /** Document fingerprinting: min-hash sketch of the shingle set — the

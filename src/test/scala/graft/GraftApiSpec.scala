@@ -104,6 +104,16 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDups matches incoming docs against the standing set only") {
+    import spark.implicits._
+    val existing = corpus.filter($"doc_id".isin(1L, 4L))
+    val incoming = corpus.filter($"doc_id".isin(2L, 3L, 5L))
+    val got = Graft.incrementalNearDups(existing, incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 2 and 3 near-dup standing doc 1; 5 matches nothing
+    assert(got == Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("jaccardNearDupPairs on the same frame agrees with the minhash path") {
     val jac = Graft.jaccardNearDupPairs(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
