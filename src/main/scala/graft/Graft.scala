@@ -133,4 +133,32 @@ object Graft {
   /** Streaming first-seen dedup over (doc_id, content_hash) rows. */
   def dedupStream(docs: Dataset[streaming.Streaming.Doc]): Dataset[streaming.Streaming.Doc] =
     streaming.Streaming.dedupStream(docs)
+
+  /** Single-pass long-format column profile: (col_name, n_rows, n_nulls,
+    * n_distinct, min_v, max_v) per profiled column — exact distincts via
+    * one Expand-planned aggregation, no per-column rescans. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Profile.profile(df, cols)
+
+  /** Z-order write layout: range-partition + sort by the Morton code of
+    * (x, y) so parquet zone maps prune scans on EITHER dimension. Write
+    * the result with `.write.parquet(...)`. */
+  def zorderBy(df: DataFrame, x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column, partitions: Int): DataFrame =
+    ops.ZOrder.zorderBy(df, x, y, partitions)
+
+  /** Exact top-k heavy hitters at sketch cost: Misra-Gries candidates →
+    * exact recount. Exact whenever the k-th count exceeds N/(width+1);
+    * `terms` is a one-column string frame. */
+  def topTerms(terms: DataFrame, k: Int, width: Int = 64): DataFrame =
+    ops.HeavyHitters.topTerms(terms, k, width)
+
+  /** Blocked fuzzy record linkage: record pairs whose `value` columns are
+    * within `maxDist` edit distance inside the same `block` — candidates
+    * are generated at DISTINCT-value level (never a record self-join),
+    * then broadcast back onto the records. */
+  def fuzzyPairs(records: DataFrame, id: org.apache.spark.sql.Column,
+                 block: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+                 maxDist: Int): DataFrame =
+    ops.Linkage.fuzzyPairs(records, id, block, value, maxDist)
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       restaurants.Recommend.all ++ ops.Sources.all ++ ops.Multimodal.all ++
       streaming.Streaming.all ++ ops.Skew.all ++ recipes.Prep.all ++
       ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all ++ ops.Packing.all ++
-      ops.Curate.all
+      ops.Curate.all ++ ops.Analytics.all ++ ops.Linkage.all ++ ops.Profile.all ++
+      ops.HeavyHitters.all ++ ops.ZOrder.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

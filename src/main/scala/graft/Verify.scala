@@ -6,11 +6,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional extra args: restrict the dump to named queries (local
+    // fast-iteration path; the driver always passes exactly two args).
+    val only = args.drop(2).toSet
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Registry order so failures are reported in a stable, readable order.
-    SparkEntry.registry.foreach { q =>
+    SparkEntry.registry.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       // coalesce(1) is a harness convenience (single oracle-readable file
       // at sf0.01), NOT an engine pattern — engine queries never coalesce.
       try q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,6 +35,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

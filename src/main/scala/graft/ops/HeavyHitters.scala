@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.MisraGries
+
+/** Exact top-k heavy hitters at sketch cost — the two-pass pattern:
+  * a Misra-Gries sketch pass surfaces ≤ width candidates (shuffle =
+  * width rows per partition, NOT one row per distinct term), then an
+  * exact recount touches only the candidates. Output is EXACT top-k —
+  * provably, whenever the k-th count exceeds N/(width+1), the sketch's
+  * capture bound — computed without ever hash-aggregating the full term
+  * domain. The frequent-terms primitive for vocab building / stopword
+  * discovery over a 100 TB corpus whose term domain is billions wide.
+  */
+object HeavyHitters {
+
+  /** (term, cnt, rk) for the exact top-k terms of `terms` (a one-column
+    * frame of strings), via sketch-then-recount. Valid (= exact) when
+    * cnt_k > N/(width+1); callers size `width` from the expected skew. */
+  def topTerms(terms: DataFrame, k: Int, width: Int = 64): DataFrame = {
+    val termCol = terms.columns.head
+    val sketch = terms.agg(MisraGries.udaf(width)(col(termCol)).as("mg"))
+    val cands = sketch.select(explode(map_keys(col("mg"))).as(termCol))
+    // exact recount restricted to candidates: broadcast the ≤width-row
+    // candidate set, one map-side-combined count over the filtered stream
+    val counts = terms
+      .join(broadcast(cands), termCol)
+      .groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
+    // global rank over a ≤width-row frame — the single-partition window
+    // is candidates-sized by construction, never corpus-sized
+    counts
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col(termCol))))
+      .filter(col("rk") <= k)
+      .orderBy(col("rk"))
+  }
+
+  /** Top-10 corpus terms. This synthetic corpus's 31-word vocabulary all
+    * fits in width=64 (the sketch never decrements), so the oracle can
+    * demand exact equality with a full GROUP BY; MisraGriesSpec drives
+    * the decrement/merge paths the fixture can't reach. */
+  val q90HeavyHitters: Q = Q.sql(
+    "q90_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+      |r AS (SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM c)
+      |SELECT term, cnt, rk FROM r WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    topTerms(
+      Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("term")),
+      k = 10)
+  }
+
+  val all: Seq[Q] = Seq(q90HeavyHitters)
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Column profiling — the data-quality summary a pipeline runs before
+  * trusting a new 100 TB drop: per-column null counts, exact distinct
+  * cardinality, min/max. (The reference's nearest idiom is ad-hoc
+  * df.count/df.distinct inspection, MLP.ipynb:53-63; this is that as one
+  * operator.)
+  *
+  * Scale: TWO narrow passes, not one wide one. Putting every
+  * COUNT(DISTINCT) plus 3×cols plain aggregates into a single
+  * aggregation plans an Expand(cols+1) feeding one 4×cols-buffer
+  * hash aggregate — measured 8.7 s at sf0.1 vs 1.7 s for the distincts
+  * alone (the fused operator is too wide for effective codegen). Split
+  * instead: pass A computes nulls/min/max in one ordinary aggregation
+  * (no Expand, 1 output row); pass B melts rows to (col_name, value)
+  * via `stack` and counts distincts two-level, so its shuffle carries
+  * one row per DISTINCT (column, value) after map-side combine —
+  * 1.0 s total at sf0.1, and at 100 TB each pass is a plain scan with
+  * vocabulary-sized shuffle, no wide-buffer aggregate anywhere.
+  */
+object Profile {
+
+  /** Long-format profile of `cols`: one output row per column with
+    * (col_name, n_rows, n_nulls, n_distinct, min_v, max_v); min/max are
+    * rendered to strings so heterogeneous column types share one schema.
+    * Column names are embedded in generated SQL — callers pass trusted
+    * identifiers. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    // pass A: nulls + native-typed min/max (rendered to string only at
+    // the end — melting first would min/max lexicographically)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val stackArgs = cols.map(c => s"'$c', `nn_$c`, `mn_$c`, `mx_$c`").mkString(", ")
+    val meta = df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, min_v, max_v)",
+        "n_rows")
+    // pass B: melt to (col_name, value-as-string) — injective per column
+    // type — then two-level exact distinct: the (col_name, v) distinct is
+    // map-side combined, the per-column count is a tiny second shuffle
+    val meltArgs = cols.map(c => s"'$c', cast(`$c` AS string)").mkString(", ")
+    val distincts = df
+      .selectExpr(s"stack(${cols.size}, $meltArgs) AS (col_name, v)")
+      .filter(col("v").isNotNull)
+      .distinct()
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    // all-null columns vanish from pass B → left join, distinct count 0
+    meta.join(distincts, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"))
+  }
+
+  /** Profile of lineitem's integer/string columns (doubles and
+    * timestamps are excluded from THIS oracle-paired query only because
+    * double→string rendering differs between engines — the operator
+    * itself profiles any type). */
+  val q89Profile: Q = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_returnflag", "l_linestatus")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+         |FROM lineitem""".stripMargin
+    }
+    Q.sql(
+      "q89_profile",
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    ) { (s, dir) =>
+      profile(Tables.lineitem(s, dir), cols).orderBy(col("col_name"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q89Profile)
+}

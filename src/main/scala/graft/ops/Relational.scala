@@ -29,9 +29,9 @@ import graft.{Q, Tables}
 object Relational {
 
   /** Exact money arithmetic: 2-decimal double → DECIMAL(18,2). */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private[ops] def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   /** Order-independent sum of a 2-decimal double column, emitted as double. */
-  private def msum(c: Column): Column = sum(dec(c)).cast("double")
+  private[ops] def msum(c: Column): Column = sum(dec(c)).cast("double")
 
   // ---------------------------------------------------------------- queries
 

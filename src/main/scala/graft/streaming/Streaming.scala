@@ -101,6 +101,81 @@ object Streaming {
       }
   }
 
+  /** Sliding-window counts (2h windows every 1h): each event lands in
+    * exactly two windows. The overlap is computed by Spark's window
+    * expansion BEFORE the partial aggregate, so the shuffle carries
+    * pre-aggregated (window, type) rows — 2× the tumbling rollup's
+    * groups, never 2× the events. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Stream-stream event-time interval join: each `first`-type event
+    * joined to the same user's `second`-type events within `gapHours`
+    * AFTER it (funnel/attribution shape: click → purchase). In
+    * streaming both sides carry watermarks and the join condition
+    * time-bounds state, so Spark evicts buffered rows once the watermark
+    * passes ts+gap — bounded state on an unbounded stream. */
+  def followWithin(events: DataFrame, first: String, second: String,
+                   gapHours: Int = 1): DataFrame = {
+    val a = events.filter(col("event_type") === first)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val b = events.filter(col("event_type") === second)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gapHours HOUR"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
+  /** Batch registry entry for [[slidingCounts]]: the oracle replays the
+    * two-windows-per-event expansion with exact integer-microsecond
+    * window arithmetic. */
+  val q92SlidingWindow: Q = Q.sql(
+    "q92_sliding_window",
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    epoch_us(ts) // 3600000000 AS k
+      |  FROM events),
+      |w AS (SELECT event_type, value, unnest([k-1, k]) AS s FROM e)
+      |SELECT s * 3600000000 AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w
+      |GROUP BY s, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+  ) { (s, dir) =>
+    slidingCounts(Tables.events(s, dir))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Batch registry entry for [[followWithin]] (click → purchase within
+    * 1h) — the same plan the streaming join runs, oracle-checked. */
+  val q93FollowWithin: Q = Q.sql(
+    "q93_follow_within",
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, dir) =>
+    followWithin(Tables.events(s, dir), "click", "purchase")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Batch registry entry for the session-window operator — oracle-able
     * because session windows are gaps-and-islands in SQL: a session
     * breaks where the inter-event gap ≥ 1 day; session_end is
@@ -132,5 +207,5 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[Q] = Seq(q57SessionWindow)
+  val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin)
 }

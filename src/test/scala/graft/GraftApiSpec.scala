@@ -114,6 +114,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("profile reports nulls, distincts and min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x"), Some(10)), (2L, None, Some(20)),
+      (3L, Some("y"), None), (4L, Some("x"), Some(20))
+    ).toDF("id", "s", "n")
+    val got = Graft.profile(df, Seq("id", "s", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("id") == (4L, 0L, 4L, "1", "4"))
+    assert(got("s") == (4L, 1L, 2L, "x", "y"))
+    assert(got("n") == (4L, 1L, 2L, "10", "20"))
+  }
+
+  test("fuzzyPairs links typo variants within a block, never across blocks") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "b1", "widget"), (2L, "b1", "widgef"), // d=1, same block
+      (3L, "b2", "widget"),                       // same value, other block
+      (4L, "b1", "sprocket"),                     // too far from widget
+      (5L, "b1", "widget")                        // exact dup of 1 — excluded (d>=1)
+    ).toDF("id", "blk", "name")
+    val got = Graft.fuzzyPairs(recs, $"id", $"blk", $"name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // widgef<widget lexically: (2,1) and (2,5)
+    assert(got == Set((2L, 1L), (2L, 5L)))
+  }
+
   test("jaccardNearDupPairs on the same frame agrees with the minhash path") {
     val jac = Graft.jaccardNearDupPairs(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

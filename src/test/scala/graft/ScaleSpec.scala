@@ -115,6 +115,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout clusters BOTH dims; single-dim sort abandons the other dim") {
+    import spark.implicits._
+    // 256×256 grid, one row per cell — file-touch counts are then pure
+    // geometry: 16 z-range files ≈ the 4×4 quadrant grid, so a 1/8-range
+    // filter on EITHER coordinate lives in ~one quadrant row/column
+    // (≈4 files), while an x-sorted layout spreads any y-filter over
+    // every file.
+    val grid = spark.range(65536).select(
+      ($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val zPath = "target/fixtures/grid_zorder"
+    val xPath = "target/fixtures/grid_xsort"
+    ops.ZOrder.zorderBy(grid, $"x", $"y", partitions = 16)
+      .write.mode("overwrite").parquet(zPath)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xPath)
+    def touched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+    def total(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+    assert(total(zPath) == 16 && total(xPath) == 16)
+    // z-layout: both dims cluster (≤ half the files for a 1/8 range)
+    assert(touched(zPath, $"x" < 32) <= 8, "z-order must cluster x")
+    assert(touched(zPath, $"y" < 32) <= 8, "z-order must cluster y")
+    // x-sorted layout: x clusters tightly, y touches (nearly) everything
+    assert(touched(xPath, $"x" < 32) <= 4)
+    assert(touched(xPath, $"y" < 32) >= 12,
+      "an x-sorted layout cannot cluster y — if this fails the comparison is vacuous")
+  }
+
   test("range-partitioned sorted layout: rangepartitioning exchange + partition-local sort, no global sort") {
     // the write-side layout for ordered parquet (min/max zone-map
     // friendly): repartitionByRange clusters key ranges per file,

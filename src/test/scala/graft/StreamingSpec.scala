@@ -138,6 +138,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: incremental micro-batches == batch (each event in two windows)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streaming.slidingCounts(Tables.events(spark, Sf0001))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: funnel pairs over micro-batches == batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.followWithin(stream.toDF(), "click", "purchase")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // split across the middle so some pairs straddle micro-batches
+      // (click arrives a batch before its purchase)
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      val third = sorted.size / 3
+      sorted.grouped(third + 1).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Streaming.followWithin(Tables.events(spark, Sf0001), "click", "purchase")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "fixture must contain at least one click→purchase pair")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
