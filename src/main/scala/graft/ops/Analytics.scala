@@ -83,5 +83,109 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics)
+  /** Full outer join — the one §2.3 join type the registry lacked. Both
+    * sides filtered so both produce unmatched rows; the nullable key
+    * pair (c_custkey, o_orderkey) is a total unique order. */
+  val q94FullOuter: Q = Q.sql(
+    "q94_full_outer",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+      |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Native unpivot (wide → long melt as a FIRST-CLASS operator, not a
+    * stack() expression): one row per (id, metric). Values share one
+    * type — ints are cast to double; the retail prices are 1-dp
+    * decimals, exact in both engines. */
+  val q95Unpivot: Q = Q.sql(
+    "q95_unpivot",
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+  ) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_retailprice"), col("p_size")),
+        "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
+  /** Time-series gap-fill: the dense (hour × event_type) grid over the
+    * observed span, zero-filled where no events landed — resampling for
+    * downstream models that need equally-spaced series. The hour axis is
+    * GENERATED (sequence over the min/max aggregate — a 1-row broadcast,
+    * no driver round-trip), so missing hours appear without a second
+    * scan; the type dim joins by broadcast. */
+  val q96GapFill: Q = Q.sql(
+    "q96_gapfill",
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(ts) // 3600000000) AS hmin,
+      |         MAX(epoch_us(ts) // 3600000000) AS hmax
+      |  FROM events),
+      |h AS (SELECT unnest(generate_series(hmin, hmax)) AS k FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS k, event_type,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT h.k * 3600000000 AS hour_start, t.event_type,
+      |  COALESCE(c.n, 0) AS n, COALESCE(c.sum_value, 0.0) AS sum_value
+      |FROM h CROSS JOIN t
+      |LEFT JOIN c ON c.k = h.k AND c.event_type = t.event_type
+      |ORDER BY hour_start, t.event_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select((unix_micros(col("ts")) / 3600000000L).cast("long").as("k"),
+        col("event_type"), col("value"))
+    val hours = ev.agg(min(col("k")).as("hmin"), max(col("k")).as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("k"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("k"), col("event_type"))
+      .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+    hours.crossJoin(broadcast(types)) // dense axis grid: |hours| × |types|
+      .join(counts, Seq("k", "event_type"), "left")
+      .select((col("k") * 3600000000L).as("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** RANGE-frame rolling window: each event's trailing-24h per-user
+    * count and spend — an event-TIME frame (all rows within the
+    * interval, ties included as peers), not a row-count frame like q12.
+    * The frame bound is exact integer microseconds in both engines. */
+  val q97RollingRange: Q = Q.sql(
+    "q97_rolling_range",
+    """SELECT user_id, event_id, t,
+      |  COUNT(*) OVER w AS n_24h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, t, event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-86400000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .select(col("user_id"), col("event_id"), col("t"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(dec(col("value"))).over(w).cast("double").as("sum_24h"))
+      .orderBy(col("user_id"), col("t"), col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
+    q95Unpivot, q96GapFill, q97RollingRange)
 }

@@ -139,6 +139,16 @@ object Streaming {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment join: the unbounded stream joined to a
+    * static dimension (type → weight). The static side broadcasts and is
+    * re-read per micro-batch; the join keeps NO streaming state — each
+    * stream row enriches and leaves. The standard dimension-lookup shape
+    * for a 100 TB/day stream with slowly-changing reference data. */
+  def enrichTypes(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * col("weight")).as("weighted_value"))
+
   /** Batch registry entry for [[slidingCounts]]: the oracle replays the
     * two-windows-per-event expansion with exact integer-microsecond
     * window arithmetic. */

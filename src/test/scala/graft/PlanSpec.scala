@@ -95,6 +95,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 hash Exchange (the shard window), got $hashExchanges:\n$plan")
   }
 
+  test("q89 profiler plans NO Expand (the fused wide-aggregate regression, 8.7s vs 1.0s)") {
+    val plan = formatted(q("q89_profile"))
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("q86 grouping sets runs ONE scan with one Expand (not a union of group-bys)") {
+    val plan = formatted(q("q86_grouping_sets"))
+    assert(plan.contains("Expand"), plan)
+    // formatted mode prints each scan once in the tree and once in the
+    // detail section — count the detail headers' Location lines instead
+    assert(plan.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1, plan)
+  }
+
+  test("q91 z-order top-100 plans TakeOrderedAndProject (no global sort materialization)") {
+    val plan = formatted(q("q91_zorder"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("every registered query keeps its aggregates partial (no single-point pre-agg shuffle of raw rows)") {
     // HashAggregate must appear in partial+final pairs — spot-check q01.
     val plan = formatted(q("q01_pricing_summary"))

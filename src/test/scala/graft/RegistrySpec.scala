@@ -51,7 +51,8 @@ class RegistrySpec extends AnyFunSuite {
     "q27_ann_topk",            // bounded probe set × candidates, <> condition
     "q60_ann_ivf",             // 16-row centroid table cross join
     "q82_collocations",        // 1-row corpus-size cross join
-    "q84_mixture_report")      // 1-row totals cross join
+    "q84_mixture_report",      // 1-row totals cross join
+    "q96_gapfill")             // dense-axis grid: hour sequence × 5-row type dim
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>

@@ -179,6 +179,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every event from the broadcast dim, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("click", 2.0), ("purchase", 10.0), ("view", 1.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val stream = MemoryStream[Event]
+    val q = Streaming.enrichTypes(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+      val batch = Streaming.enrichTypes(Tables.events(spark, Sf0001), dim)
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+      assert(streamed == batch)
+      assert(streamed.size == events.size, "every event must match a dim row")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
