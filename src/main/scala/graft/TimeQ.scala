@@ -1,6 +1,6 @@
 package graft
 
-/** Ad-hoc single-query timer: `runMain graft.TimeQ <name>... [--sf <dir>]`.
+/** Ad-hoc single-query timer: `runMain graft.TimeQ <name>... [--sf=<dir>]`.
   *
   * Times `count()` per named query (best of 3 after one warm-up, the same
   * protocol as [[Bench]]) so a perf change can be measured in isolation
@@ -9,6 +9,8 @@ package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val (flags, names) = args.partition(_.startsWith("--"))
+    flags.filterNot(_.startsWith("--sf=")).foreach(f =>
+      sys.error(s"unknown flag $f (only --sf=<dir> is supported)"))
     val sfDir = flags.collectFirst { case f if f.startsWith("--sf=") => f.stripPrefix("--sf=") }
       .getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-timeq")

@@ -37,16 +37,12 @@ object Components {
     * columns (i, j). Returns (id, component) for every node in the edge
     * list, component = min doc_id reachable.
     *
-    * Rounds are planned lazily in batches of [[batch]]: one batch = k
-    * propagation rounds chained in a SINGLE plan, then one
-    * `localCheckpoint` + one convergence action. Min-propagation is
+    * Each round materializes via `localCheckpoint` and folds the
+    * convergence check into the same action. Min-propagation is
     * monotone, so a round that changes nothing proves the fixpoint —
-    * checking only the LAST round's change flag per batch is sound, and a
-    * diameter-d graph converges in ⌈(d+1)/k⌉ actions instead of d+1.
-    * (Per-round materialization spent ~10 scheduler round-trips per
-    * propagation round; near-dup graphs have diameter 2-3, so batching
-    * collapses the whole loop to one checkpoint + one count — measured
-    * 1.45s → ~0.5s on the q72 pair graph at sf0.1.) */
+    * the loop exits on the first zero-change round, and near-dup graphs
+    * have diameter 2-3, so that is 3-4 actions total. (See the inline
+    * note below on why multi-round batching was tried and reverted.) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // No `.distinct()` on the symmetrized edges: the min-aggregation is
     // duplicate-tolerant, and near-dup pair generators emit distinct

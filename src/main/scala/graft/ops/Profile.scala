@@ -61,10 +61,10 @@ object Profile {
   /** Profile of lineitem's integer/string columns (doubles and
     * timestamps are excluded from THIS oracle-paired query only because
     * double→string rendering differs between engines — the operator
-    * itself profiles any type). */
+    * itself profiles any type; ProfileSpec covers a double column). */
   val q89Profile: Q = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_returnflag", "l_linestatus")
+      "l_returnflag", "l_linestatus")
     val arms = cols.map { c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_nulls,

@@ -117,15 +117,19 @@ class GraftApiSpec extends AnyFunSuite {
   test("profile reports nulls, distincts and min/max per column in one pass") {
     import spark.implicits._
     val df = Seq(
-      (1L, Some("x"), Some(10)), (2L, None, Some(20)),
-      (3L, Some("y"), None), (4L, Some("x"), Some(20))
-    ).toDF("id", "s", "n")
-    val got = Graft.profile(df, Seq("id", "s", "n"))
+      (1L, Some("x"), Some(10), 1.25), (2L, None, Some(20), -0.5),
+      (3L, Some("y"), None, 1.25), (4L, Some("x"), Some(20), 3.0)
+    ).toDF("id", "s", "n", "d")
+    val got = Graft.profile(df, Seq("id", "s", "n", "d"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
     assert(got("id") == (4L, 0L, 4L, "1", "4"))
     assert(got("s") == (4L, 1L, 2L, "x", "y"))
     assert(got("n") == (4L, 1L, 2L, "10", "20"))
+    // Double columns profile fine engine-side (they are only excluded
+    // from q89's CROSS-ENGINE oracle, where double→string rendering
+    // is not portable).
+    assert(got("d") == (4L, 0L, 3L, "-0.5", "3.0"))
   }
 
   test("fuzzyPairs links typo variants within a block, never across blocks") {
