@@ -49,6 +49,31 @@ object Analytics {
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** CUBE — all four granularities of (returnflag, linestatus) in the
+    * same single-pass GROUPING SETS expansion as [[q86GroupingSets]]
+    * (q17 covers the ROLLUP prefix chain; this completes the §2.4
+    * multi-granularity family). One scan, one shuffle of pre-aggregated
+    * (set × group) rows; grouping_id() disambiguates the NULL totals. */
+  val q98Cube: Q = Q.sql(
+    "q98_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        msum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** The ranked/offset window family in one pass: lag/lead, ntile,
     * percent_rank, cume_dist, and an unbounded first_value — one shuffle
     * on o_custkey, one sort per partition, every function evaluated in
@@ -187,5 +212,5 @@ object Analytics {
   }
 
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
-    q95Unpivot, q96GapFill, q97RollingRange)
+    q95Unpivot, q96GapFill, q97RollingRange, q98Cube)
 }

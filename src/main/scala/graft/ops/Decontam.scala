@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Benchmark decontamination — flag training documents whose n-grams
+  * overlap a held-out evaluation set, the standard pre-training hygiene
+  * step (no analog in the reference; the eval split here is the
+  * deterministic `doc_id % 20 = 0` subset standing in for an external
+  * benchmark table).
+  *
+  * Scale design: the eval side reduces to its DISTINCT shingle hashes —
+  * proportional to the benchmark suite (MBs), not the corpus — so the
+  * membership probe is a broadcast join against the corpus's exploded
+  * shingles: no shuffle of the 100 TB side, contamination counting is a
+  * partial+final aggregate keyed by doc_id. Shingling and 60-bit hashing
+  * are shared with the dedup family ([[Dedup.hashedShinglesOf]]), so one
+  * materialized shingle pass can feed dedup AND decontamination in a real
+  * pipeline run.
+  */
+object Decontam {
+
+  /** Per-document contamination report: distinct 5-gram shingles, how
+    * many appear anywhere in the eval set, the contaminated fraction,
+    * and the drop flag (frac ≥ 0.1). Docs under 5 tokens carry no
+    * shingles and are excluded (same domain rule as q25/q26). The
+    * oracle replays the identical shingling + hashing CTEs, so the gate
+    * checks the full pipeline, not just the counting. */
+  val q101Decontaminate: Q = Q.sql(
+    "q101_decontaminate",
+    s"""WITH
+       |${Dedup.oracleDocs},
+       |${Dedup.oracleHashed},
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 20 = 0),
+       |corp AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+       |  FROM hashed WHERE doc_id % 20 != 0),
+       |agg AS (
+       |  SELECT corp.doc_id, corp.n_shingles,
+       |    CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM corp LEFT JOIN ev ON corp.h = ev.h
+       |  GROUP BY corp.doc_id, corp.n_shingles)
+       |SELECT doc_id, n_shingles, n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_shingles AS frac,
+       |  CAST(n_hit AS DOUBLE) / n_shingles >= 0.1 AS contaminated
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val hashed = Dedup.hashedShinglesOf(Tables.documents(s, dir))
+    val evalShingles = hashed
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val corpus = hashed
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+    corpus
+      .join(broadcast(evalShingles), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("frac"),
+        (col("n_hit").cast("double") / col("n_shingles") >= 0.1).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q101Decontaminate)
+}

@@ -101,8 +101,10 @@ object Dedup {
   private def docHashedShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesOf(Tables.documents(s, dir))
 
-  /** Oracle twin of [[docShingles]] — shared CTE text. */
-  private val oracleDocs: String =
+  /** Oracle twin of [[docShingles]] — shared CTE text (reused by
+    * [[Decontam]] so the contamination oracle replays the exact same
+    * shingling). */
+  private[graft] val oracleDocs: String =
     """docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
       |      i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))) AS sh
@@ -110,7 +112,7 @@ object Dedup {
       |  WHERE len(w) >= 5)""".stripMargin
 
   /** Oracle twin of [[docHashedShingles]] (requires [[oracleDocs]]). */
-  private val oracleHashed: String =
+  private[graft] val oracleHashed: String =
     """hashed AS (
       |  SELECT doc_id, list_transform(sh,
       |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Changelog compaction / CDC upsert — merge an update batch into a base
+  * snapshot with latest-wins semantics per entity key, the maintenance
+  * operation every incrementally-ingested corpus needs (SCD type 1; no
+  * analog in the reference, which reloads from scratch). The base/update
+  * split here is the deterministic `event_id % 5` partition of the
+  * events changelog standing in for two ingest generations.
+  *
+  * Scale: one shuffle on the entity key, one sort per key group, and the
+  * row_number filter evaluates inside that single window pass — the same
+  * shape Delta/Iceberg MERGE compaction lowers to. Version order is
+  * total ((t, event_id) is unique per key), so the survivor set is
+  * partitioning-independent — the determinism a 1000-executor compaction
+  * job needs.
+  */
+object Merge {
+
+  /** Latest-wins merge of the `upd` batch over the `base` snapshot,
+    * keyed by (user_id, event_type), version-ordered by (t, event_id).
+    * `src` tags which generation won — the audit column an upsert job
+    * publishes. The value column is carried through unchanged (no
+    * arithmetic → exact in both engines). */
+  val q103MergeUpsert: Q = Q.sql(
+    "q103_merge_upsert",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, value, event_id,
+      |    CASE WHEN event_id % 5 = 0 THEN 'upd' ELSE 'base' END AS src
+      |  FROM events),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY t DESC, event_id DESC) AS rn
+      |  FROM ev)
+      |SELECT user_id, event_type, t, value, event_id, src
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"), col("event_id"),
+        when(col("event_id") % 5 === 0, lit("upd")).otherwise(lit("base")).as("src"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q103MergeUpsert)
+}

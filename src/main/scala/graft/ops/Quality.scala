@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Document-quality gating and PII scrubbing — the filter stages a
+  * training-data pipeline runs between raw crawl and dedup (no analog in
+  * the reference, which trains on pre-curated Kaggle data; the nearest
+  * idiom is its stopword/length cleanup, model.py:45-60).
+  *
+  * Both operators are pure row-local expression pipelines: every metric,
+  * rule flag, and redaction is a codegen'd scalar/higher-order built-in
+  * over one row's text — no shuffle, no UDF, no driver state. At 100 TB
+  * they run at scan speed and stack onto any downstream shuffle stage
+  * for free (Catalyst collapses them into the same WholeStageCodegen
+  * span as the scan).
+  */
+object Quality {
+
+  /** Gopher/C4-style rule battery. Each rule is published as its own
+    * boolean column (so a pipeline can audit WHICH rule dropped a doc —
+    * the standard requirement for filter ablations), plus the combined
+    * `keep`. Thresholds sit inside this corpus's measured metric ranges
+    * (n_words 10-99, stop_frac 0-0.22, top_frac 0.05-0.30,
+    * distinct_ratio 0.28-1.0 at sf0.01) so both outcomes of every rule
+    * occur in the gate data.
+    *
+    * The repetition metric (most-frequent-word share) is computed
+    * row-locally over the distinct words of the row — O(distinct×words)
+    * per doc, bounded by doc length, cheaper at scale than the
+    * explode+groupBy alternative which would shuffle every (doc, word)
+    * pair. Ratios divide an exact integer by an exact integer in both
+    * engines → bit-identical doubles.
+    */
+  val q99QualityRules: Q = Q.sql(
+    "q99_quality_rules",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS wlen_sum,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_n,
+      |    CAST(list_max(list_transform(list_distinct(w),
+      |      d2 -> len(list_filter(w, x -> x = d2)))) AS BIGINT) AS top_n,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS distinct_n
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(wlen_sum AS DOUBLE) / n_words AS mean_wlen,
+      |    CAST(stop_n AS DOUBLE) / n_words AS stop_frac,
+      |    CAST(top_n AS DOUBLE) / n_words AS top_frac,
+      |    CAST(distinct_n AS DOUBLE) / n_words AS distinct_ratio
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_wlen, stop_frac, top_frac, distinct_ratio,
+      |  n_words >= 40 AS r_len,
+      |  mean_wlen >= 3.0 AND mean_wlen <= 8.0 AS r_wlen,
+      |  stop_frac <= 0.12 AS r_stop,
+      |  top_frac <= 0.15 AS r_rep,
+      |  distinct_ratio >= 0.35 AS r_div,
+      |  n_words >= 40 AND mean_wlen >= 3.0 AND mean_wlen <= 8.0
+      |    AND stop_frac <= 0.12 AND top_frac <= 0.15
+      |    AND distinct_ratio >= 0.35 AS keep
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val words = split(col("text"), " ")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
+          .as("wlen_sum"),
+        size(filter(col("w"), x => x === "the" || x === "a")).cast("long").as("stop_n"),
+        array_max(transform(array_distinct(col("w")),
+          d => size(filter(col("w"), x => x === d)))).cast("long").as("top_n"),
+        size(array_distinct(col("w"))).cast("long").as("distinct_n"))
+      .select(col("doc_id"), col("n_words"),
+        (col("wlen_sum").cast("double") / col("n_words")).as("mean_wlen"),
+        (col("stop_n").cast("double") / col("n_words")).as("stop_frac"),
+        (col("top_n").cast("double") / col("n_words")).as("top_frac"),
+        (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio"))
+    val rLen  = col("n_words") >= 40
+    val rWlen = col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
+    val rStop = col("stop_frac") <= 0.12
+    val rRep  = col("top_frac") <= 0.15
+    val rDiv  = col("distinct_ratio") >= 0.35
+    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("stop_frac"), col("top_frac"), col("distinct_ratio"),
+        rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
+        rRep.as("r_rep"), rDiv.as("r_div"),
+        (rLen && rWlen && rStop && rRep && rDiv).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing: pattern-based redaction with an audit count — the
+    * form every release pipeline runs before publishing a corpus.
+    * Demonstrated on the events stream: numeric identifiers inside the
+    * `props` JSON blob are masked, and a synthesized contact field
+    * (the only PII-shaped text in the testdata) exercises the email
+    * rule. `n_redacted` counts the matches BEFORE replacement so the
+    * audit trail survives the scrub. Spark's regexp_replace is
+    * global-by-default; the oracle passes DuckDB's explicit 'g' flag —
+    * patterns stay inside the regex subset (character classes, +) that
+    * Java regex and RE2 interpret identically. */
+  val q100PiiScrub: Q = Q.sql(
+    "q100_pii_scrub",
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_clean,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted,
+      |  regexp_replace('user' || CAST(user_id AS VARCHAR) || '@example.com',
+      |    '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS contact_clean
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_clean"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redacted"),
+        regexp_replace(
+          concat(lit("user"), col("user_id").cast("string"), lit("@example.com")),
+          "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>").as("contact_clean"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts of the round-6 pipeline operators (q98-q103) —
+  * assertions the hash gate can't express: rule batteries must actually
+  * discriminate, quantization must reconstruct within its error bound,
+  * the upsert must keep exactly the newest version per key. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q98 cube emits all four granularities and they agree with the base aggregate") {
+    val rows = SparkEntry.queries("q98_cube")(spark, Sf001).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L).head.getLong(3)
+    // every partial granularity must re-sum to the grand total
+    for (g <- Seq(0L, 1L, 2L))
+      assert(byGid(g).map(_.getLong(3)).sum == total, s"gid=$g counts don't sum to total")
+    assert(byGid(3L).size == 1)
+  }
+
+  test("q99 quality rules discriminate: both outcomes of every rule occur") {
+    val df = SparkEntry.queries("q99_quality_rules")(spark, Sf001)
+    for (r <- Seq("r_len", "r_wlen", "r_stop", "r_rep", "r_div", "keep")) {
+      val vals = df.select(col(r)).distinct().collect().map(_.getBoolean(0)).toSet
+      // r_wlen may be vacuously true on the synthetic vocabulary; all
+      // structural rules and the combined keep must split the corpus
+      if (r != "r_wlen") assert(vals == Set(true, false), s"rule $r does not discriminate")
+    }
+    // keep == conjunction of the published rule columns, row by row
+    val bad = df.filter(col("keep") =!=
+      (col("r_len") && col("r_wlen") && col("r_stop") && col("r_rep") && col("r_div"))).count()
+    assert(bad == 0)
+  }
+
+  test("q100 scrub leaves no digits behind and counts every redaction") {
+    val df = SparkEntry.queries("q100_pii_scrub")(spark, Sf001)
+    assert(df.filter(col("props_clean").rlike("[0-9]")).count() == 0)
+    assert(df.filter(col("contact_clean") =!= "<EMAIL>").count() == 0)
+    assert(df.filter(col("n_redacted") < 1).count() == 0) // props always carries an id
+  }
+
+  test("q101 flags exactly the docs sharing shingle mass with the eval split") {
+    val rep = SparkEntry.queries("q101_decontaminate")(spark, Sf001)
+    // eval docs themselves are excluded from the report
+    assert(rep.filter(col("doc_id") % 20 === 0).count() == 0)
+    val flagged = rep.filter(col("contaminated")).collect()
+    assert(flagged.nonEmpty, "fixture plants near-dups of eval docs; some must flag")
+    assert(flagged.forall(r => r.getLong(2) * 10 >= r.getLong(1)), "flag implies frac >= 0.1")
+    // n_hit never exceeds the doc's own shingle count
+    assert(rep.filter(col("n_hit") > col("n_shingles")).count() == 0)
+  }
+
+  test("q102 int8 codes reconstruct every coordinate within scale/254") {
+    val emb = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rep = SparkEntry.queries("q102_quantize_emb")(spark, Sf001).collect()
+    assert(rep.length == emb.size)
+    rep.foreach { r =>
+      val (id, nDims, scale, sumCode, nSat) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      val v = emb(id).map(_.toDouble)
+      assert(nDims == v.length)
+      assert(scale == v.map(math.abs).max)
+      val codes =
+        if (scale == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x / scale * 127.0 + 0.5).toLong)
+      assert(sumCode == codes.sum)
+      assert(nSat == codes.count(c => math.abs(c) == 127))
+      assert(nSat >= 1, "the max-|x| coordinate always saturates")
+      // round-trip error bound of symmetric int8: half a quantization step
+      if (scale != 0)
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x - c * scale / 127.0) <= scale / 254.0 + 1e-12)
+        }
+    }
+  }
+
+  test("q103 keeps exactly the newest version per (user, type) and covers every key") {
+    val ev = Tables.events(spark, Sf001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      k -> g.maxBy(r => (r._3, r._4))._4 // newest (t, event_id) wins
+    }
+    val got = SparkEntry.queries("q103_merge_upsert")(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got == expected)
+    // both generations must survive somewhere (the merge is not a no-op)
+    val srcs = SparkEntry.queries("q103_merge_upsert")(spark, Sf001)
+      .select(col("src")).distinct().collect().map(_.getString(0)).toSet
+    assert(srcs == Set("base", "upd"))
+  }
+}
