@@ -153,6 +153,42 @@ object Graft {
   def topTerms(terms: DataFrame, k: Int, width: Int = 64): DataFrame =
     ops.HeavyHitters.topTerms(terms, k, width)
 
+  /** Gopher/C4-style quality gate over (doc_id, text): per-doc metrics
+    * (word count, mean word length, stopword / repetition / diversity
+    * ratios), one boolean per rule for filter ablations, and the
+    * combined `keep`. Pure row-local expressions — scan-speed at any
+    * corpus size. */
+  def qualityRules(docs: DataFrame): DataFrame =
+    ops.Quality.rulesOf(docs)
+
+  /** PII scrub of `column`: emails → `<EMAIL>`, digit runs → `<NUM>`,
+    * with an `n_redacted` audit count (matches counted BEFORE
+    * replacement). Row-local regexp, global-by-default. */
+  def scrubPii(df: DataFrame, column: String): DataFrame =
+    ops.Quality.scrubbed(df, column)
+
+  /** Benchmark decontamination: per `corpus` doc (doc_id, text), the
+    * fraction of its 5-gram shingles appearing anywhere in `evalSet`,
+    * flagged at ≥ `minFrac`. The eval side reduces to distinct shingle
+    * hashes and broadcasts — the corpus side never shuffles. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    minFrac: Double = 0.1): DataFrame =
+    ops.Decontam.decontaminate(corpus, evalSet, minFrac)
+
+  /** Symmetric per-vector int8 quantization of (vec_id, embedding):
+    * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
+    * Dequantize as codes[i]·scale/127 (max error scale/254). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    ops.Quantize.int8Of(embeddings)
+
+  /** Latest-wins changelog compaction (CDC upsert / SCD type 1): keep,
+    * per distinct `keys` value, the row sorting first under `version`
+    * (pass descending columns for newest-wins). `version` must totally
+    * order each key group. */
+  def upsertLatest(changelog: DataFrame, keys: Seq[String],
+                   version: Seq[org.apache.spark.sql.Column]): DataFrame =
+    ops.Merge.upsertLatest(changelog, keys, version)
+
   /** Blocked fuzzy record linkage: record pairs whose `value` columns are
     * within `maxDist` edit distance inside the same `block` — candidates
     * are generated at DISTINCT-value level (never a record self-join),

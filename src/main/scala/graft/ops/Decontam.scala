@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -19,6 +20,27 @@ import graft.{Q, Tables}
   * pipeline run.
   */
 object Decontam {
+
+  /** Contamination report of `corpus` against `evalSet` (both carry
+    * (doc_id, text)): per corpus doc, its distinct-shingle count, how
+    * many of those shingles appear anywhere in the eval set, the
+    * contaminated fraction, and the ≥ `minFrac` drop flag. Unordered —
+    * callers add their own sort. */
+  private[graft] def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                                   minFrac: Double = 0.1): DataFrame = {
+    val evalShingles = Dedup.hashedShinglesOf(evalSet)
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    Dedup.hashedShinglesOf(corpus)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(evalShingles), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("frac"),
+        (col("n_hit").cast("double") / col("n_shingles") >= minFrac).as("contaminated"))
+  }
 
   /** Per-document contamination report: distinct 5-gram shingles, how
     * many appear anywhere in the eval set, the contaminated fraction,
@@ -46,22 +68,10 @@ object Decontam {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val hashed = Dedup.hashedShinglesOf(Tables.documents(s, dir))
-    val evalShingles = hashed
-      .filter(col("doc_id") % 20 === 0)
-      .select(explode(col("hs")).as("h")).distinct()
-      .withColumn("hit", lit(1L))
-    val corpus = hashed
-      .filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
-        explode(col("hs")).as("h"))
-    corpus
-      .join(broadcast(evalShingles), Seq("h"), "left")
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_shingles")).as("frac"),
-        (col("n_hit").cast("double") / col("n_shingles") >= 0.1).as("contaminated"))
+    val docs = Tables.documents(s, dir)
+    decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
       .orderBy(col("doc_id"))
   }
 

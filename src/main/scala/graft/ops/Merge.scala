@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -25,6 +26,19 @@ object Merge {
     * `src` tags which generation won — the audit column an upsert job
     * publishes. The value column is carried through unchanged (no
     * arithmetic → exact in both engines). */
+  /** Latest-wins compaction of any changelog: keep, per distinct value
+    * of `keys`, the single row that sorts FIRST under `version` (pass
+    * descending columns for newest-wins). `version` must be a total
+    * order within each key group or the survivor is nondeterministic. */
+  private[graft] def upsertLatest(changelog: DataFrame, keys: Seq[String],
+                                  version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version: _*)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   val q103MergeUpsert: Q = Q.sql(
     "q103_merge_upsert",
     """WITH ev AS (
@@ -43,11 +57,8 @@ object Merge {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("t"), col("value"), col("event_id"),
         when(col("event_id") % 5 === 0, lit("upd")).otherwise(lit("base")).as("src"))
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("t").desc, col("event_id").desc)
-    ev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    upsertLatest(ev, Seq("user_id", "event_type"),
+      Seq(col("t").desc, col("event_id").desc))
       .orderBy(col("user_id"), col("event_type"))
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -33,6 +33,49 @@ object Quality {
     * pair. Ratios divide an exact integer by an exact integer in both
     * engines → bit-identical doubles.
     */
+  /** The rule battery over any (doc_id, text) frame — unordered; the
+    * registry query adds the gate's total ORDER BY. */
+  private[graft] def rulesOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
+          .as("wlen_sum"),
+        size(filter(col("w"), x => x === "the" || x === "a")).cast("long").as("stop_n"),
+        array_max(transform(array_distinct(col("w")),
+          d => size(filter(col("w"), x => x === d)))).cast("long").as("top_n"),
+        size(array_distinct(col("w"))).cast("long").as("distinct_n"))
+      .select(col("doc_id"), col("n_words"),
+        (col("wlen_sum").cast("double") / col("n_words")).as("mean_wlen"),
+        (col("stop_n").cast("double") / col("n_words")).as("stop_frac"),
+        (col("top_n").cast("double") / col("n_words")).as("top_frac"),
+        (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio"))
+    val rLen  = col("n_words") >= 40
+    val rWlen = col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
+    val rStop = col("stop_frac") <= 0.12
+    val rRep  = col("top_frac") <= 0.15
+    val rDiv  = col("distinct_ratio") >= 0.35
+    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+      col("stop_frac"), col("top_frac"), col("distinct_ratio"),
+      rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
+      rRep.as("r_rep"), rDiv.as("r_div"),
+      (rLen && rWlen && rStop && rRep && rDiv).as("keep"))
+  }
+
+  /** Digit-run and email redaction of `column` on any frame: the column
+    * is replaced by its scrubbed form and an `n_redacted` audit count is
+    * appended. Row-local, codegen'd, global-by-default replacement. */
+  private[graft] def scrubbed(df: DataFrame, column: String): DataFrame =
+    df
+      .withColumn("n_redacted",
+        size(regexp_extract_all(col(column),
+          lit("[a-z0-9._-]+@[a-z0-9.-]+|[0-9]+"), lit(0))).cast("long"))
+      .withColumn(column,
+        regexp_replace(
+          regexp_replace(col(column), "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>"))
+
   val q99QualityRules: Q = Q.sql(
     "q99_quality_rules",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -64,33 +107,7 @@ object Quality {
       |FROM r
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val words = split(col("text"), " ")
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), words.as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
-          .as("wlen_sum"),
-        size(filter(col("w"), x => x === "the" || x === "a")).cast("long").as("stop_n"),
-        array_max(transform(array_distinct(col("w")),
-          d => size(filter(col("w"), x => x === d)))).cast("long").as("top_n"),
-        size(array_distinct(col("w"))).cast("long").as("distinct_n"))
-      .select(col("doc_id"), col("n_words"),
-        (col("wlen_sum").cast("double") / col("n_words")).as("mean_wlen"),
-        (col("stop_n").cast("double") / col("n_words")).as("stop_frac"),
-        (col("top_n").cast("double") / col("n_words")).as("top_frac"),
-        (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio"))
-    val rLen  = col("n_words") >= 40
-    val rWlen = col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
-    val rStop = col("stop_frac") <= 0.12
-    val rRep  = col("top_frac") <= 0.15
-    val rDiv  = col("distinct_ratio") >= 0.35
-    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
-        col("stop_frac"), col("top_frac"), col("distinct_ratio"),
-        rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
-        rRep.as("r_rep"), rDiv.as("r_div"),
-        (rLen && rWlen && rStop && rRep && rDiv).as("keep"))
-      .orderBy(col("doc_id"))
+    rulesOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 
   /** PII scrubbing: pattern-based redaction with an audit count — the

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -24,6 +25,22 @@ object Quantize {
     * integer checksum of the int8 codes, and saturation count (|code| =
     * 127 — the clipping audit a quantization rollout watches). Zero
     * vectors quantize to all-zero codes (scale 0 guard). */
+  /** Quantize any (vec_id, embedding: array<float|double>) frame:
+    * (vec_id, v: array<double>, scale, codes: array<int>) — the full
+    * int8 code vector for storage/serving; the registry query derives
+    * its audit report from this. */
+  private[graft] def int8Of(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val codes = transform(col("v"), x =>
+      when(col("scale") === 0, lit(0L))
+        .otherwise(floor(x / col("scale") * 127.0 + 0.5)).cast("int"))
+    emb
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("scale"))
+      .select(col("vec_id"), col("v"), col("scale"), codes.as("codes"))
+  }
+
   val q102QuantizeEmb: Q = Q.sql(
     "q102_quantize_emb",
     """WITH e AS (
@@ -45,16 +62,7 @@ object Quantize {
       |FROM c
       |ORDER BY vec_id""".stripMargin
   ) { (s, dir) =>
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val withScale = Tables.embeddings(s, dir)
-      .select(col("vec_id"), v.as("v"))
-      .select(col("vec_id"), col("v"),
-        array_max(transform(col("v"), x => abs(x))).as("scale"))
-    val codes = transform(col("v"), x =>
-      when(col("scale") === 0, lit(0L))
-        .otherwise(floor(x / col("scale") * 127.0 + 0.5)).cast("int"))
-    withScale
-      .select(col("vec_id"), col("v"), col("scale"), codes.as("codes"))
+    int8Of(Tables.embeddings(s, dir))
       .select(col("vec_id"),
         size(col("v")).cast("long").as("n_dims"),
         col("scale"),

@@ -154,4 +154,58 @@ class GraftApiSpec extends AnyFunSuite {
     assert(mh.subsetOf(jac)) // LSH recall ⊆ exact inverted-index recall
     assert(jac == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("qualityRules rejects the tiny doc and accepts a diverse long doc") {
+    import spark.implicits._
+    // 60 distinct words, no stopwords, no repetition — passes every rule
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    val keep = Graft.qualityRules(corpus union Seq((9L, "en", good)).toDF(corpus.columns: _*))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(11)).toMap
+    assert(!keep(4L), "7-word doc fails the length rule")
+    assert(!keep(5L), "11-distinct-of-44-words doc fails the diversity rule")
+    assert(keep(9L), "the diverse long doc passes")
+  }
+
+  test("scrubPii masks emails and numbers in an arbitrary column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "call 5551234 or mail bob.smith@corp.example now"),
+      (2L, "nothing sensitive here")
+    ).toDF("id", "note")
+    val got = Graft.scrubPii(df, "note").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("call <NUM> or mail <EMAIL> now", 2L))
+    assert(got(2L) == ("nothing sensitive here", 0L))
+  }
+
+  test("decontaminate flags the doc sharing shingles with the eval frame") {
+    import spark.implicits._
+    val evalSet = corpus.filter($"doc_id" === 1).select("doc_id", "text")
+    val rep = Graft.decontaminate(corpus.filter($"doc_id" =!= 1), evalSet)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(rep(2L) && rep(3L), "near-dup and exact copy of the eval doc flag")
+    assert(!rep(5L), "unrelated doc stays clean")
+  }
+
+  test("quantizeInt8 round-trips a user embedding frame within the error bound") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Graft.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Int](3))).toList
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 1.0 && m(1L)._3 == Seq(64, -127, 32))
+    assert(m(2L)._2 == 0.0 && m(2L)._3 == Seq(0, 0, 0))
+  }
+
+  test("upsertLatest keeps one newest row per key with pass-through columns") {
+    import spark.implicits._
+    val log = Seq(
+      ("k1", 1L, "old"), ("k1", 3L, "new"), ("k1", 2L, "mid"),
+      ("k2", 9L, "only"))
+      .toDF("k", "v", "payload")
+    val got = Graft.upsertLatest(log, Seq("k"), Seq($"v".desc))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map("k1" -> (3L, "new"), "k2" -> (9L, "only")))
+  }
 }
