@@ -211,6 +211,59 @@ object Analytics {
       .orderBy(col("user_id"), col("t"), col("event_id"))
   }
 
+  /** Conversion-window microseconds for each q105 funnel step. */
+  private val FunnelWindowUs = 86400000000L // 24 h
+
+  /** Ordered-sequence funnel (view → click → purchase, each stage
+    * strictly after the previous AND within its 24 h conversion window
+    * — the windowed semantics product funnels actually use, and what
+    * makes stage drop-off real on this fixture: 150 → 60 → 25 users at
+    * sf0.01). Per user: the first qualifying time of each stage plus
+    * the furthest stage reached. Each step is an aggregate-then-
+    * equi-join on user_id — after the first shuffle every stage is
+    * co-partitioned on the key, so the chain costs one logical shuffle;
+    * no window over the full event stream, no self-join explosion (the
+    * per-stage frames are one row per user). */
+  val q105Funnel: Q = Q.sql(
+    "q105_funnel",
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ev.t) AS t_click FROM ev
+      |      JOIN v ON ev.user_id = v.user_id
+      |      WHERE ev.event_type = 'click' AND ev.t > v.t_view
+      |        AND ev.t <= v.t_view + $FunnelWindowUs GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ev.t) AS t_purchase FROM ev
+      |      JOIN c ON ev.user_id = c.user_id
+      |      WHERE ev.event_type = 'purchase' AND ev.t > c.t_click
+      |        AND ev.t <= c.t_click + $FunnelWindowUs GROUP BY ev.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT) AS stage
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("t") > col("t_view") && col("t") <= col("t_view") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("t") > col("t_click") && col("t") <= col("t_click") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
-    q95Unpivot, q96GapFill, q97RollingRange, q98Cube)
+    q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel)
 }

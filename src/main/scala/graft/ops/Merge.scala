@@ -62,5 +62,35 @@ object Merge {
       .orderBy(col("user_id"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q103MergeUpsert)
+  /** SCD type 2 — the history-preserving complement of [[q103MergeUpsert]]:
+    * every change event becomes a validity interval [effective_from,
+    * effective_to) per entity key, closed by the NEXT version's timestamp
+    * (lead), open (NULL + is_current) for the latest. Same single
+    * window pass / one shuffle as the compaction; downstream as-of reads
+    * become a plain range predicate on the interval columns. */
+  val q104Scd2History: Q = Q.sql(
+    "q104_scd2_history",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS effective_from, value
+      |  FROM events),
+      |h AS (
+      |  SELECT *, LEAD(effective_from) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY effective_from, event_id) AS effective_to
+      |  FROM ev)
+      |SELECT user_id, event_type, event_id, effective_from, effective_to, value,
+      |  effective_to IS NULL AS is_current
+      |FROM h
+      |ORDER BY user_id, event_type, effective_from, event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("effective_from"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("effective_from"), col("value"))
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .orderBy(col("user_id"), col("event_type"), col("effective_from"), col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History)
 }

@@ -79,6 +79,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 intervals tile each key's history: no overlap, one open current row") {
+    val df = SparkEntry.queries("q104_scd2_history")(spark, Sf001)
+    val (iK, iT, iFrom, iTo, iCur) = (df.schema.fieldIndex("user_id"),
+      df.schema.fieldIndex("event_type"), df.schema.fieldIndex("effective_from"),
+      df.schema.fieldIndex("effective_to"), df.schema.fieldIndex("is_current"))
+    val rows = df.collect()
+      .map(r => ((r.getLong(iK), r.getString(iT)), r.getLong(iFrom),
+        if (r.isNullAt(iTo)) None else Some(r.getLong(iTo)), r.getBoolean(iCur)))
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val sorted = g.sortBy(_._2)
+      // exactly the last row is open/current; every other closes at the next open
+      assert(sorted.count(_._3.isEmpty) == 1 && sorted.last._3.isEmpty, s"key $k")
+      assert(sorted.count(_._4) == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"gap/overlap in $k")
+        case _ =>
+      }
+    }
+  }
+
+  test("q105 funnel stages are time-ordered and the stage number matches") {
+    val rows = SparkEntry.queries("q105_funnel")(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tView = r.getLong(1)
+      val tClick = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val tPurch = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val stage = r.getInt(4)
+      tClick.foreach(tc => assert(tc > tView))
+      tPurch.foreach { tp => assert(tClick.isDefined && tp > tClick.get) }
+      assert(stage == 1 + tClick.size + tPurch.size)
+    }
+    assert(rows.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 3))
+    // the 24h conversion window must produce real drop-off AND real
+    // completions on the fixture
+    val stages = rows.map(_.getInt(4)).toSet
+    assert(stages.contains(3) && (stages.contains(1) || stages.contains(2)))
+  }
+
   test("q103 keeps exactly the newest version per (user, type) and covers every key") {
     val ev = Tables.events(spark, Sf001)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
