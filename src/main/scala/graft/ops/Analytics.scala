@@ -264,6 +264,48 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention — the day-over-day activity matrix in long form:
+    * users cohorted by first-activity day, one row per (cohort_day,
+    * day_offset) with active-user counts and the retention ratio vs
+    * the cohort's size. Three aggregations, all keyed by or derived
+    * through user_id/cohort — the first shuffle clusters by user, the
+    * cohort assignment joins co-partitioned, and the final matrix is
+    * tiny (days²). Exact-integer ratio division keeps the rate
+    * bit-stable across engines. */
+  val q106CohortRetention: Q = Q.sql(
+    "q106_cohort_retention",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+      |sz AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM coh GROUP BY cohort_day),
+      |act AS (
+      |  SELECT DISTINCT coh.cohort_day, ev.d - coh.cohort_day AS day_offset, ev.user_id
+      |  FROM ev JOIN coh ON ev.user_id = coh.user_id),
+      |m AS (
+      |  SELECT cohort_day, day_offset, COUNT(*) AS active_n
+      |  FROM act GROUP BY cohort_day, day_offset)
+      |SELECT m.cohort_day, m.day_offset, m.active_n, sz.cohort_n,
+      |  CAST(m.active_n AS DOUBLE) / sz.cohort_n AS retention
+      |FROM m JOIN sz ON m.cohort_day = sz.cohort_day
+      |ORDER BY m.cohort_day, m.day_offset""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+    val coh = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val sz = coh.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+    val act = ev.join(coh, "user_id")
+      .select(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+    act.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_n"))
+      .join(sz, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_n"), col("cohort_n"),
+        (col("active_n").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
-    q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel)
+    q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
+    q106CohortRetention)
 }

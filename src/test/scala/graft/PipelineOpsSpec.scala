@@ -118,6 +118,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stages.contains(3) && (stages.contains(1) || stages.contains(2)))
   }
 
+  test("q106 cohorts start at full retention and never exceed cohort size") {
+    val rows = SparkEntry.queries("q106_cohort_retention")(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, g) =>
+      val day0 = g.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cohort misses its own first-activity day")
+      assert(day0.get._5 == 1.0, "every cohort member is active on day 0")
+      g.foreach { case (_, off, active, size, rate) =>
+        assert(off >= 0 && active <= size && rate == active.toDouble / size)
+      }
+    }
+    // retention must actually decay somewhere on the fixture
+    assert(rows.exists(_._5 < 1.0))
+  }
+
   test("q103 keeps exactly the newest version per (user, type) and covers every key") {
     val ev = Tables.events(spark, Sf001)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),

@@ -113,6 +113,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q98 cube runs ONE scan with one Expand (not a union of four group-bys)") {
+    val plan = formatted(q("q98_cube"))
+    assert(plan.contains("Expand"), plan)
+    assert(plan.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1, plan)
+  }
+
+  test("q101 probes the eval shingle set via BROADCAST (corpus side never shuffles pre-agg)") {
+    val plan = formatted(q("q101_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q103/q104 compact the changelog on ONE hash exchange (window + filter fused)") {
+    for (name <- Seq("q103_merge_upsert", "q104_scd2_history")) {
+      val plan = formatted(q(name))
+      val hashExchanges = plan.linesIterator
+        .count(l => l.contains("Arguments: hashpartitioning"))
+      assert(hashExchanges == 1,
+        s"$name: expected exactly 1 hash Exchange, got $hashExchanges:\n$plan")
+    }
+  }
+
   test("every registered query keeps its aggregates partial (no single-point pre-agg shuffle of raw rows)") {
     // HashAggregate must appear in partial+final pairs — spot-check q01.
     val plan = formatted(q("q01_pricing_summary"))
