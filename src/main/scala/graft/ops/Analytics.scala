@@ -305,7 +305,46 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Per-group z-score outliers with EXACT moments: engines disagree on
+    * stddev internals (Welford vs naive accumulation ⇒ different float
+    * rounding), so mean/variance are derived from exact DECIMAL sums of
+    * x and x² and only then combined in a fixed double formula both
+    * engines execute identically. One partial+final aggregate for the
+    * 5-row moment table, broadcast back onto the stream — the scan
+    * never shuffles. The same pattern generalizes to any moment-based
+    * sketch a 1000-executor run must keep partition-count-independent. */
+  val q107Outliers: Q = Q.sql(
+    "q107_outliers",
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sq
+      |  FROM events GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_id, e.event_type, e.value,
+      |    (e.value - m.s / m.n) / sqrt((m.sq - m.s * m.s / m.n) / (m.n - 1)) AS zscore
+      |  FROM events e JOIN m ON e.event_type = m.event_type)
+      |SELECT event_id, event_type, value, zscore
+      |FROM z WHERE abs(zscore) > 2.0
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val m = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("value"))).cast("double").as("s"),
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(9, 2))
+        * col("value").cast(org.apache.spark.sql.types.DecimalType(9, 2)))
+        .cast("double").as("sq"))
+    ev.join(broadcast(m), "event_type")
+      .withColumn("zscore",
+        (col("value") - col("s") / col("n"))
+          / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .filter(abs(col("zscore")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
-    q106CohortRetention)
+    q106CohortRetention, q107Outliers)
 }

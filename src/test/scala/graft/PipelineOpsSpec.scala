@@ -134,6 +134,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._5 < 1.0))
   }
 
+  test("q107 flags exactly the driver-side exact-moment outliers") {
+    val vals = Tables.events(spark, Sf001)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = vals.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val n = g.length
+      // exact 2-dp sums via scaled longs, then the same double formula
+      val s = g.map(v => math.round(v._3 * 100)).sum / 100.0
+      val sq = g.map(v => math.round(v._3 * 100) * math.round(v._3 * 100)).sum / 10000.0
+      val mean = s / n
+      val std = math.sqrt((sq - s * s / n) / (n - 1))
+      g.filter(v => math.abs((v._3 - mean) / std) > 2.0).map(_._1).toSeq
+    }.toSet
+    val got = SparkEntry.queries("q107_outliers")(spark, Sf001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q103 keeps exactly the newest version per (user, type) and covers every key") {
     val ev = Tables.events(spark, Sf001)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
