@@ -189,6 +189,21 @@ object Graft {
                    version: Seq[org.apache.spark.sql.Column]): DataFrame =
     ops.Merge.upsertLatest(changelog, keys, version)
 
+  /** Ordered conversion funnel over (user_id, event_type, t) rows: per
+    * user the first qualifying time of each stage (each strictly after
+    * the previous and within `windowUs`), plus the furthest stage
+    * reached. One aggregate + co-partitioned equi-join per stage. */
+  def funnel(events: DataFrame, stages: Seq[String], windowUs: Long): DataFrame =
+    ops.Analytics.funnelOf(events, stages, windowUs)
+
+  /** Exact-moment z-score outliers: rows whose `valueCol` (≤2 decimal
+    * places) deviates > `z` standard deviations from its `groupCol`
+    * group mean, with a bit-stable `zscore` appended — moments come
+    * from exact DECIMAL sums, so results are partitioning-independent. */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+               z: Double = 2.0): DataFrame =
+    ops.Analytics.outliersOf(df, groupCol, valueCol, z)
+
   /** Blocked fuzzy record linkage: record pairs whose `value` columns are
     * within `maxDist` edit distance inside the same `block` — candidates
     * are generated at DISTINCT-value level (never a record self-join),

@@ -214,6 +214,30 @@ object Analytics {
   /** Conversion-window microseconds for each q105 funnel step. */
   private val FunnelWindowUs = 86400000000L // 24 h
 
+  /** Generic ordered funnel over (user_id, event_type, t) rows: per
+    * user, the first time of `stages.head`, then for each later stage
+    * the first qualifying time strictly after the previous stage and
+    * within `windowUs` — plus the furthest `stage` reached. One
+    * aggregate-then-equi-join per stage, all co-partitioned on user_id
+    * after the first shuffle; per-stage frames are one row per user. */
+  private[graft] def funnelOf(events: org.apache.spark.sql.DataFrame,
+                              stages: Seq[String], windowUs: Long): org.apache.spark.sql.DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
+    val frames = stages.tail.foldLeft(first :: Nil) { (acc, st) =>
+      val prevT = acc.head.columns.last
+      events.filter(col("event_type") === st)
+        .join(acc.head.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("t") > col(prevT) && col("t") <= col(prevT) + windowUs)
+        .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$st")) :: acc
+    }.reverse
+    val joined = frames.tail.foldLeft(frames.head)((a, b) => a.join(b, Seq("user_id"), "left"))
+    val stageN = stages.tail.foldLeft(lit(1))((e, st) => e + col(s"t_$st").isNotNull.cast("int"))
+    joined.select(
+      (col("user_id") +: stages.map(st => col(s"t_$st"))) :+ stageN.as("stage"): _*)
+  }
+
   /** Ordered-sequence funnel (view → click → purchase, each stage
     * strictly after the previous AND within its 24 h conversion window
     * — the windowed semantics product funnels actually use, and what
@@ -246,21 +270,7 @@ object Analytics {
   ) { (s, dir) =>
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("t") > col("t_view") && col("t") <= col("t_view") + FunnelWindowUs)
-      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id")
-      .filter(col("t") > col("t_click") && col("t") <= col("t_click") + FunnelWindowUs)
-      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
-      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-        (lit(1) + col("t_click").isNotNull.cast("int")
-          + col("t_purchase").isNotNull.cast("int")).as("stage"))
+    funnelOf(ev, Seq("view", "click", "purchase"), FunnelWindowUs)
       .orderBy(col("user_id"))
   }
 
@@ -313,6 +323,27 @@ object Analytics {
     * 5-row moment table, broadcast back onto the stream — the scan
     * never shuffles. The same pattern generalizes to any moment-based
     * sketch a 1000-executor run must keep partition-count-independent. */
+  /** Generic exact-moment z-score outliers: rows of `df` whose
+    * `valueCol` deviates more than `z` standard deviations from its
+    * `groupCol` group's mean. Values must carry ≤2 decimal places (the
+    * exact-DECIMAL contract that makes the moments bit-stable across
+    * engines and partitionings). Appends `zscore`; the moment table is
+    * groups-sized and broadcasts. */
+  private[graft] def outliersOf(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                                valueCol: String, z: Double): org.apache.spark.sql.DataFrame = {
+    val d92 = org.apache.spark.sql.types.DecimalType(9, 2)
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(valueCol))).cast("double").as("s"),
+      sum(col(valueCol).cast(d92) * col(valueCol).cast(d92)).cast("double").as("sq"))
+    df.join(broadcast(m), groupCol)
+      .withColumn("zscore",
+        (col(valueCol) - col("s") / col("n"))
+          / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .filter(abs(col("zscore")) > z)
+      .drop("n", "s", "sq")
+  }
+
   val q107Outliers: Q = Q.sql(
     "q107_outliers",
     """WITH m AS (
@@ -328,23 +359,35 @@ object Analytics {
       |FROM z WHERE abs(zscore) > 2.0
       |ORDER BY event_id""".stripMargin
   ) { (s, dir) =>
-    val ev = Tables.events(s, dir)
-    val m = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(dec(col("value"))).cast("double").as("s"),
-      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(9, 2))
-        * col("value").cast(org.apache.spark.sql.types.DecimalType(9, 2)))
-        .cast("double").as("sq"))
-    ev.join(broadcast(m), "event_type")
-      .withColumn("zscore",
-        (col("value") - col("s") / col("n"))
-          / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
-      .filter(abs(col("zscore")) > 2.0)
+    outliersOf(Tables.events(s, dir), "event_type", "value", 2.0)
       .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
       .orderBy(col("event_id"))
   }
 
+  /** One dialect-portable ANSI SQL text, executed VERBATIM by
+    * `spark.sql` here and by DuckDB as the oracle — the SQL-first entry
+    * point a warehouse user expects from the engine (every other
+    * registry query goes through the DataFrame DSL; this one proves the
+    * string surface is equivalent). Catalyst plans it exactly like the
+    * DSL form: pushed filters, partial aggregates, AQE joins. */
+  private val SharedSql: String =
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 150000 AND l.l_discount >= 0.05
+      |GROUP BY o.o_orderpriority
+      |HAVING COUNT(*) > 10
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  val q108SqlSurface: Q = Q.sql("q108_sql_surface", SharedSql) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(SharedSql)
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
-    q106CohortRetention, q107Outliers)
+    q106CohortRetention, q107Outliers, q108SqlSurface)
 }

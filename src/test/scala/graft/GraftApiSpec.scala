@@ -198,6 +198,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(m(2L)._2 == 0.0 && m(2L)._3 == Seq(0, 0, 0))
   }
 
+  test("funnel tracks arbitrary stage sequences with the conversion window enforced") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 15L), (1L, "c", 18L),  // full funnel
+      (2L, "a", 10L), (2L, "b", 50L),                  // b outside window
+      (3L, "a", 10L), (3L, "c", 12L),                  // skips b → stage 1
+      (4L, "b", 5L)                                    // never enters
+    ).toDF("user_id", "event_type", "t")
+    val got = Graft.funnel(ev, Seq("a", "b", "c"), windowUs = 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("outliers flags exactly the far point and appends its z-score") {
+    import spark.implicits._
+    val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    val out = Graft.outliers(df, "grp", "v", z = 2.0)
+    val got = out.collect()
+    assert(got.length == 1 && got.head.getLong(out.schema.fieldIndex("id")) == 20L)
+    assert(got.head.getDouble(out.schema.fieldIndex("zscore")) > 2.0)
+  }
+
   test("upsertLatest keeps one newest row per key with pass-through columns") {
     import spark.implicits._
     val log = Seq(
