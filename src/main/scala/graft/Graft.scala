@@ -158,8 +158,14 @@ object Graft {
     * ratios), one boolean per rule for filter ablations, and the
     * combined `keep`. Pure row-local expressions — scan-speed at any
     * corpus size. */
-  def qualityRules(docs: DataFrame): DataFrame =
-    ops.Quality.rulesOf(docs)
+  def qualityRules(docs: DataFrame,
+                   minWords: Int = 40,
+                   wlenRange: (Double, Double) = (3.0, 8.0),
+                   maxStopFrac: Double = 0.12,
+                   maxTopFrac: Double = 0.15,
+                   minDistinctRatio: Double = 0.35): DataFrame =
+    ops.Quality.rulesOf(docs, minWords, wlenRange, maxStopFrac, maxTopFrac,
+      minDistinctRatio)
 
   /** PII scrub of `column`: emails → `<EMAIL>`, digit runs → `<NUM>`,
     * with an `n_redacted` audit count (matches counted BEFORE

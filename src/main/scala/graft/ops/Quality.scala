@@ -34,8 +34,15 @@ object Quality {
     * engines → bit-identical doubles.
     */
   /** The rule battery over any (doc_id, text) frame — unordered; the
-    * registry query adds the gate's total ORDER BY. */
-  private[graft] def rulesOf(docs: DataFrame): DataFrame = {
+    * registry query adds the gate's total ORDER BY. Thresholds are
+    * caller-tunable (corpus-dependent by nature); the defaults are the
+    * oracle-checked registry configuration. */
+  private[graft] def rulesOf(docs: DataFrame,
+                             minWords: Int = 40,
+                             wlenRange: (Double, Double) = (3.0, 8.0),
+                             maxStopFrac: Double = 0.12,
+                             maxTopFrac: Double = 0.15,
+                             minDistinctRatio: Double = 0.35): DataFrame = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -51,11 +58,11 @@ object Quality {
         (col("stop_n").cast("double") / col("n_words")).as("stop_frac"),
         (col("top_n").cast("double") / col("n_words")).as("top_frac"),
         (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio"))
-    val rLen  = col("n_words") >= 40
-    val rWlen = col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
-    val rStop = col("stop_frac") <= 0.12
-    val rRep  = col("top_frac") <= 0.15
-    val rDiv  = col("distinct_ratio") >= 0.35
+    val rLen  = col("n_words") >= minWords
+    val rWlen = col("mean_wlen") >= wlenRange._1 && col("mean_wlen") <= wlenRange._2
+    val rStop = col("stop_frac") <= maxStopFrac
+    val rRep  = col("top_frac") <= maxTopFrac
+    val rDiv  = col("distinct_ratio") >= minDistinctRatio
     base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
       col("stop_frac"), col("top_frac"), col("distinct_ratio"),
       rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
