@@ -159,11 +159,11 @@ object Graft {
     * combined `keep`. Pure row-local expressions — scan-speed at any
     * corpus size. */
   def qualityRules(docs: DataFrame,
-                   minWords: Int = 40,
-                   wlenRange: (Double, Double) = (3.0, 8.0),
-                   maxStopFrac: Double = 0.12,
-                   maxTopFrac: Double = 0.15,
-                   minDistinctRatio: Double = 0.35): DataFrame =
+                   minWords: Int = ops.Quality.DefaultMinWords,
+                   wlenRange: (Double, Double) = ops.Quality.DefaultWlenRange,
+                   maxStopFrac: Double = ops.Quality.DefaultMaxStopFrac,
+                   maxTopFrac: Double = ops.Quality.DefaultMaxTopFrac,
+                   minDistinctRatio: Double = ops.Quality.DefaultMinDistinctRatio): DataFrame =
     ops.Quality.rulesOf(docs, minWords, wlenRange, maxStopFrac, maxTopFrac,
       minDistinctRatio)
 
@@ -175,8 +175,11 @@ object Graft {
 
   /** Benchmark decontamination: per `corpus` doc (doc_id, text), the
     * fraction of its 5-gram shingles appearing anywhere in `evalSet`,
-    * flagged at ≥ `minFrac`. The eval side reduces to distinct shingle
-    * hashes and broadcasts — the corpus side never shuffles. */
+    * flagged at ≥ `minFrac`. Docs under 5 tokens carry no shingles and
+    * are absent from the report (same domain rule as the dedup family)
+    * — re-join on doc_id with a left join if every corpus row must
+    * survive. The eval side reduces to distinct shingle hashes and
+    * broadcasts — the corpus side never shuffles. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
                     minFrac: Double = 0.1): DataFrame =
     ops.Decontam.decontaminate(corpus, evalSet, minFrac)
@@ -203,7 +206,8 @@ object Graft {
     ops.Analytics.funnelOf(events, stages, windowUs)
 
   /** Exact-moment z-score outliers: rows whose `valueCol` (≤2 decimal
-    * places) deviates > `z` standard deviations from its `groupCol`
+    * places, |value| up to ~10^8 — the DECIMAL(18,2)² accumulator
+    * bound) deviate > `z` standard deviations from their `groupCol`
     * group mean, with a bit-stable `zscore` appended — moments come
     * from exact DECIMAL sums, so results are partitioning-independent. */
   def outliers(df: DataFrame, groupCol: String, valueCol: String,

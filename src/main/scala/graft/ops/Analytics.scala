@@ -223,6 +223,8 @@ object Analytics {
   private[graft] def funnelOf(events: org.apache.spark.sql.DataFrame,
                               stages: Seq[String], windowUs: Long): org.apache.spark.sql.DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct (each aliases its own t_<stage> column): $stages")
     val first = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
     val frames = stages.tail.foldLeft(first :: Nil) { (acc, st) =>
@@ -315,41 +317,44 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Generic exact-moment z-score outliers: rows of `df` whose
+    * `valueCol` deviates more than `z` standard deviations from its
+    * `groupCol` group's mean. Values must carry ≤2 decimal places and
+    * |value| < 10^16 (both moments go through DECIMAL(18,2); squares
+    * accumulate in DECIMAL(38,4), comfortable for |value| up to ~10^8
+    * at any realistic row count — far past the old DECIMAL(9,2) bound
+    * that silently nulled sums at 10^7 under non-ANSI mode). Appends
+    * `zscore`; the moment table is groups-sized and broadcasts. Temp
+    * moment columns are graft-prefixed so user columns can't collide. */
+  private[graft] def outliersOf(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                                valueCol: String, z: Double): org.apache.spark.sql.DataFrame = {
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__graft_n"),
+      sum(dec(col(valueCol))).cast("double").as("__graft_s"),
+      sum(dec(col(valueCol)) * dec(col(valueCol))).cast("double").as("__graft_sq"))
+    val (n, s, sq) = (col("__graft_n"), col("__graft_s"), col("__graft_sq"))
+    df.join(broadcast(m), groupCol)
+      .withColumn("zscore",
+        (col(valueCol) - s / n) / sqrt((sq - s * s / n) / (n - 1)))
+      .filter(abs(col("zscore")) > z)
+      .drop("__graft_n", "__graft_s", "__graft_sq")
+  }
+
   /** Per-group z-score outliers with EXACT moments: engines disagree on
     * stddev internals (Welford vs naive accumulation ⇒ different float
     * rounding), so mean/variance are derived from exact DECIMAL sums of
-    * x and x² and only then combined in a fixed double formula both
-    * engines execute identically. One partial+final aggregate for the
-    * 5-row moment table, broadcast back onto the stream — the scan
-    * never shuffles. The same pattern generalizes to any moment-based
-    * sketch a 1000-executor run must keep partition-count-independent. */
-  /** Generic exact-moment z-score outliers: rows of `df` whose
-    * `valueCol` deviates more than `z` standard deviations from its
-    * `groupCol` group's mean. Values must carry ≤2 decimal places (the
-    * exact-DECIMAL contract that makes the moments bit-stable across
-    * engines and partitionings). Appends `zscore`; the moment table is
-    * groups-sized and broadcasts. */
-  private[graft] def outliersOf(df: org.apache.spark.sql.DataFrame, groupCol: String,
-                                valueCol: String, z: Double): org.apache.spark.sql.DataFrame = {
-    val d92 = org.apache.spark.sql.types.DecimalType(9, 2)
-    val m = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("n"),
-      sum(dec(col(valueCol))).cast("double").as("s"),
-      sum(col(valueCol).cast(d92) * col(valueCol).cast(d92)).cast("double").as("sq"))
-    df.join(broadcast(m), groupCol)
-      .withColumn("zscore",
-        (col(valueCol) - col("s") / col("n"))
-          / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
-      .filter(abs(col("zscore")) > z)
-      .drop("n", "s", "sq")
-  }
-
+    * x and x² ([[outliersOf]]) and only then combined in a fixed double
+    * formula both engines execute identically. One partial+final
+    * aggregate for the 5-row moment table, broadcast back onto the
+    * stream — the scan never shuffles. The same pattern generalizes to
+    * any moment-based sketch a 1000-executor run must keep
+    * partition-count-independent. */
   val q107Outliers: Q = Q.sql(
     "q107_outliers",
     """WITH m AS (
       |  SELECT event_type, COUNT(*) AS n,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
-      |    CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sq
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
       |  FROM events GROUP BY event_type),
       |z AS (
       |  SELECT e.event_id, e.event_type, e.value,

@@ -79,7 +79,9 @@ object Components {
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
           (coalesce(col("nbrMin"), col("label")) < col("label")).cast("long").as("chg"))
         .localCheckpoint()
-      val changed = staged.agg(sum(col("chg"))).head.getLong(0)
+      // coalesce: sum over an EMPTY staged frame is NULL (zero-pair
+      // corpora — the common no-duplicates case must converge, not NPE)
+      val changed = staged.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
       labels = staged.drop("chg")
       converged = changed == 0
       it += 1

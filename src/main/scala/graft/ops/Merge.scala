@@ -21,24 +21,26 @@ import graft.{Q, Tables}
   */
 object Merge {
 
-  /** Latest-wins merge of the `upd` batch over the `base` snapshot,
-    * keyed by (user_id, event_type), version-ordered by (t, event_id).
-    * `src` tags which generation won — the audit column an upsert job
-    * publishes. The value column is carried through unchanged (no
-    * arithmetic → exact in both engines). */
   /** Latest-wins compaction of any changelog: keep, per distinct value
     * of `keys`, the single row that sorts FIRST under `version` (pass
     * descending columns for newest-wins). `version` must be a total
-    * order within each key group or the survivor is nondeterministic. */
+    * order within each key group or the survivor is nondeterministic.
+    * The rank rides in a graft-prefixed temp column so a user changelog
+    * that already carries an `rn` column passes through untouched. */
   private[graft] def upsertLatest(changelog: DataFrame, keys: Seq[String],
                                   version: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(version: _*)
     changelog
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
   }
 
+  /** Latest-wins merge of the `upd` batch over the `base` snapshot,
+    * keyed by (user_id, event_type), version-ordered by (t, event_id)
+    * ([[upsertLatest]]). `src` tags which generation won — the audit
+    * column an upsert job publishes. The value column is carried
+    * through unchanged (no arithmetic → exact in both engines). */
   val q103MergeUpsert: Q = Q.sql(
     "q103_merge_upsert",
     """WITH ev AS (

@@ -18,31 +18,32 @@ import graft.{Q, Tables}
   */
 object Quality {
 
-  /** Gopher/C4-style rule battery. Each rule is published as its own
-    * boolean column (so a pipeline can audit WHICH rule dropped a doc —
-    * the standard requirement for filter ablations), plus the combined
-    * `keep`. Thresholds sit inside this corpus's measured metric ranges
-    * (n_words 10-99, stop_frac 0-0.22, top_frac 0.05-0.30,
-    * distinct_ratio 0.28-1.0 at sf0.01) so both outcomes of every rule
-    * occur in the gate data.
+  /** The single source of truth for the rule thresholds: the facade's
+    * defaults and the oracle-checked q99 configuration both read these,
+    * so they cannot drift apart. */
+  val DefaultMinWords = 40
+  val DefaultWlenRange: (Double, Double) = (3.0, 8.0)
+  val DefaultMaxStopFrac = 0.12
+  val DefaultMaxTopFrac = 0.15
+  val DefaultMinDistinctRatio = 0.35
+
+  /** The rule battery over any (doc_id, text) frame — unordered; the
+    * registry query adds the gate's total ORDER BY. Thresholds are
+    * caller-tunable (corpus-dependent by nature); the defaults are the
+    * oracle-checked registry configuration.
     *
     * The repetition metric (most-frequent-word share) is computed
     * row-locally over the distinct words of the row — O(distinct×words)
     * per doc, bounded by doc length, cheaper at scale than the
     * explode+groupBy alternative which would shuffle every (doc, word)
     * pair. Ratios divide an exact integer by an exact integer in both
-    * engines → bit-identical doubles.
-    */
-  /** The rule battery over any (doc_id, text) frame — unordered; the
-    * registry query adds the gate's total ORDER BY. Thresholds are
-    * caller-tunable (corpus-dependent by nature); the defaults are the
-    * oracle-checked registry configuration. */
+    * engines → bit-identical doubles. */
   private[graft] def rulesOf(docs: DataFrame,
-                             minWords: Int = 40,
-                             wlenRange: (Double, Double) = (3.0, 8.0),
-                             maxStopFrac: Double = 0.12,
-                             maxTopFrac: Double = 0.15,
-                             minDistinctRatio: Double = 0.35): DataFrame = {
+                             minWords: Int = DefaultMinWords,
+                             wlenRange: (Double, Double) = DefaultWlenRange,
+                             maxStopFrac: Double = DefaultMaxStopFrac,
+                             maxTopFrac: Double = DefaultMaxTopFrac,
+                             minDistinctRatio: Double = DefaultMinDistinctRatio): DataFrame = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -77,12 +78,20 @@ object Quality {
     df
       .withColumn("n_redacted",
         size(regexp_extract_all(col(column),
-          lit("[a-z0-9._-]+@[a-z0-9.-]+|[0-9]+"), lit(0))).cast("long"))
+          lit("(?i)[a-z0-9._-]+@[a-z0-9.-]+|[0-9]+"), lit(0))).cast("long"))
       .withColumn(column,
         regexp_replace(
-          regexp_replace(col(column), "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+          regexp_replace(col(column), "(?i)[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
           "[0-9]+", "<NUM>"))
 
+  /** Gopher/C4-style rule battery ([[rulesOf]] at the default
+    * thresholds). Each rule is published as its own boolean column (so
+    * a pipeline can audit WHICH rule dropped a doc — the standard
+    * requirement for filter ablations), plus the combined `keep`.
+    * Thresholds sit inside this corpus's measured metric ranges
+    * (n_words 10-99, stop_frac 0-0.22, top_frac 0.05-0.30,
+    * distinct_ratio 0.28-1.0 at sf0.01) so both outcomes of every rule
+    * occur in the gate data. */
   val q99QualityRules: Q = Q.sql(
     "q99_quality_rules",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -133,7 +142,7 @@ object Quality {
       |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_clean,
       |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted,
       |  regexp_replace('user' || CAST(user_id AS VARCHAR) || '@example.com',
-      |    '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS contact_clean
+      |    '(?i)[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS contact_clean
       |FROM events
       |ORDER BY event_id""".stripMargin
   ) { (s, dir) =>
@@ -144,7 +153,7 @@ object Quality {
           .cast("long").as("n_redacted"),
         regexp_replace(
           concat(lit("user"), col("user_id").cast("string"), lit("@example.com")),
-          "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>").as("contact_clean"))
+          "(?i)[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>").as("contact_clean"))
       .orderBy(col("event_id"))
   }
 

@@ -21,10 +21,6 @@ import graft.{Q, Tables}
   */
 object Quantize {
 
-  /** Per-vector report: dimension count, quantization scale (max |x|),
-    * integer checksum of the int8 codes, and saturation count (|code| =
-    * 127 — the clipping audit a quantization rollout watches). Zero
-    * vectors quantize to all-zero codes (scale 0 guard). */
   /** Quantize any (vec_id, embedding: array<float|double>) frame:
     * (vec_id, v: array<double>, scale, codes: array<int>) — the full
     * int8 code vector for storage/serving; the registry query derives
@@ -41,6 +37,11 @@ object Quantize {
       .select(col("vec_id"), col("v"), col("scale"), codes.as("codes"))
   }
 
+  /** Per-vector report over [[int8Of]]: dimension count, quantization
+    * scale (max |x|), integer checksum of the int8 codes, and
+    * saturation count (|code| = 127 — the clipping audit a quantization
+    * rollout watches). Zero vectors quantize to all-zero codes (scale 0
+    * guard). */
   val q102QuantizeEmb: Q = Q.sql(
     "q102_quantize_emb",
     """WITH e AS (

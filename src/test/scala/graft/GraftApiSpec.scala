@@ -170,12 +170,20 @@ class GraftApiSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(
       (1L, "call 5551234 or mail bob.smith@corp.example now"),
-      (2L, "nothing sensitive here")
+      (2L, "nothing sensitive here"),
+      (3L, "mail Bob.Smith@Corp.Example too") // mixed case must not escape
     ).toDF("id", "note")
     val got = Graft.scrubPii(df, "note").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got(1L) == ("call <NUM> or mail <EMAIL> now", 2L))
     assert(got(2L) == ("nothing sensitive here", 0L))
+    assert(got(3L) == ("mail <EMAIL> too", 1L))
+  }
+
+  test("connectedComponents returns an empty frame for an empty edge list") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Graft.connectedComponents(empty).count() == 0)
   }
 
   test("decontaminate flags the doc sharing shingles with the eval frame") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic contracts of the round-6 pipeline operators (q98-q103) —
+/** Semantic contracts of the round-6 pipeline operators (q98-q107) —
   * assertions the hash gate can't express: rule batteries must actually
   * discriminate, quantization must reconstruct within its error bound,
   * the upsert must keep exactly the newest version per key. */
@@ -70,7 +70,8 @@ class PipelineOpsSpec extends AnyFunSuite {
         else v.map(x => math.floor(x / scale * 127.0 + 0.5).toLong)
       assert(sumCode == codes.sum)
       assert(nSat == codes.count(c => math.abs(c) == 127))
-      assert(nSat >= 1, "the max-|x| coordinate always saturates")
+      if (scale != 0)
+        assert(nSat >= 1, "for a nonzero vector the max-|x| coordinate saturates")
       // round-trip error bound of symmetric int8: half a quantization step
       if (scale != 0)
         v.zip(codes).foreach { case (x, c) =>
