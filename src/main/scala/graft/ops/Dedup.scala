@@ -508,7 +508,65 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** C4-style boilerplate detection: per-doc share of 8-word segments
+    * that recur anywhere else in the corpus (the repeated-span filter a
+    * web-crawl pipeline applies before training; C4 removes any
+    * three-sentence span occurring more than once — here at fixed-width
+    * word-segment grain, since the synthetic corpus has no sentence
+    * boundaries).
+    *
+    * Scale (100 TB): segments are NON-overlapping (n/8 per doc, not n),
+    * and every downstream row carries only the 60-bit md5 of the
+    * segment, never its text. The occurrence count is a hash-grain
+    * aggregation with map-side combine — the shuffle moves one row per
+    * DISTINCT segment per mapper, and the count table it produces is
+    * vocabulary-sized. The join back to (doc, segment) reuses the same
+    * hash partitioning, and a corpus-wide hot segment (the exact
+    * boilerplate this operator exists to find) skews ONE join key —
+    * AQE's skew-join split handles it, and no stage ever pairs
+    * documents with each other (contrast q25's candidate self-join,
+    * which needs the df cap for the same pathology). */
+  val q109Boilerplate: Q = Q.sql(
+    "q109_boilerplate",
+    """WITH segs AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(w)//8),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[8*k+1:8*k+8], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 8),
+      |occ AS (SELECT h, COUNT(*) AS n FROM segs GROUP BY h)
+      |SELECT s.doc_id, COUNT(*) AS n_seg,
+      |  CAST(SUM(CASE WHEN o.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN o.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM segs s JOIN occ o USING (h)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  ) { (s, dir) =>
+    boilerplateShare(Tables.documents(s, dir), 8).orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, text) → (doc_id, n_seg, n_dup, dup_frac) over
+    * non-overlapping `width`-word segments; duplicate segments WITHIN a
+    * doc count as recurrences too (each occurrence sees the global
+    * count). Exposed for the facade and [[q109Boilerplate]]. */
+  private[graft] def boilerplateShare(docs: DataFrame, width: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= width)
+      .select(col("doc_id"),
+        explode(transform(expr(s"sequence(0, size(w) div $width - 1)"), k =>
+          hexLong(concat_ws(" ",
+            (0 until width).map(o => get(col("w"), k * width + o)): _*)))).as("h"))
+    val occ = segs.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    segs.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_seg"))
+  }
+
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
-    q70SimhashNeardup, q83IncrementalNeardup)
+    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate)
 }

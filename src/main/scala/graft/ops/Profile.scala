@@ -80,5 +80,70 @@ object Profile {
     }
   }
 
-  val all: Seq[Q] = Seq(q89Profile)
+  /** Equi-width histogram of `cols` (melted long-format, `nb` buckets
+    * per column): (col_name, bucket, b_lo, b_hi, n). TWO narrow passes
+    * by construction — global min/max must exist before any row can be
+    * bucketed — mirroring [[profile]]'s split-pass design: pass A is a
+    * per-column min/max aggregate (|cols| output rows, broadcast back),
+    * pass B buckets each row against its column's range and hash-aggs
+    * (col_name, bucket) with map-side combine, so the shuffle carries at
+    * most |cols|×`nb` rows per mapper. All bucket arithmetic is the same
+    * left-associated IEEE double expression in both engines (subtract,
+    * multiply, divide, floor) → bit-identical bucket ids and bounds.
+    * Column names are embedded in generated SQL — trusted identifiers. */
+  def histogram(df: DataFrame, cols: Seq[String], nb: Int): DataFrame = {
+    require(cols.nonEmpty && nb > 0, "histogram needs columns and buckets")
+    val meltArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val melt = df
+      .selectExpr(s"stack(${cols.size}, $meltArgs) AS (col_name, v)")
+      .filter(col("v").isNotNull)
+    val ranges = melt.groupBy(col("col_name"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    melt.join(broadcast(ranges), "col_name")
+      .select(col("col_name"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(lit(nb - 1),
+            floor((col("v") - col("lo")) * nb / (col("hi") - col("lo")))).cast("int"))
+          .as("bucket"))
+      .groupBy(col("col_name"), col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("col_name"), col("bucket"),
+        (col("lo") + col("bucket") * (col("hi") - col("lo")) / nb).as("b_lo"),
+        (col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / nb).as("b_hi"),
+        col("n"))
+  }
+
+  /** 16-bucket histograms of lineitem's two measure columns — the
+    * distribution half of the profiling family (q89 covers counts and
+    * extrema). Doubles stay doubles end-to-end: the driver hashes
+    * VALUES, and every b_lo/b_hi is the identical IEEE expression in
+    * both engines, so no string rendering is involved. */
+  val q111Histogram: Q = Q.sql(
+    "q111_histogram",
+    """WITH melt AS (
+      |  SELECT col_name, v FROM (
+      |    SELECT 'l_extendedprice' AS col_name, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      |    UNION ALL
+      |    SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem)
+      |  WHERE v IS NOT NULL),
+      |r AS (SELECT col_name, MIN(v) AS lo, MAX(v) AS hi FROM melt GROUP BY col_name),
+      |b AS (
+      |  SELECT m.col_name,
+      |    CASE WHEN r.hi = r.lo THEN 0
+      |         ELSE CAST(LEAST(15, FLOOR((m.v - r.lo) * 16 / (r.hi - r.lo))) AS INTEGER)
+      |    END AS bucket
+      |  FROM melt m JOIN r USING (col_name)),
+      |g AS (SELECT col_name, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+      |SELECT g.col_name, g.bucket,
+      |  r.lo + g.bucket * (r.hi - r.lo) / 16 AS b_lo,
+      |  r.lo + (g.bucket + 1) * (r.hi - r.lo) / 16 AS b_hi,
+      |  g.n
+      |FROM g JOIN r USING (col_name)
+      |ORDER BY col_name, bucket""".stripMargin
+  ) { (s, dir) =>
+    histogram(Tables.lineitem(s, dir), Seq("l_extendedprice", "l_quantity"), 16)
+      .orderBy(col("col_name"), col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(q89Profile, q111Histogram)
 }

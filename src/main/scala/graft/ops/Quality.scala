@@ -157,5 +157,54 @@ object Quality {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub)
+  /** k-anonymity threshold for [[q110KAnonymity]] and the facade
+    * default: a quasi-identifier cell seen by fewer than K individuals
+    * is a re-identification risk. */
+  val DefaultK = 5
+
+  /** k-anonymity audit + one-step generalization over the customer
+    * quasi-identifiers (nation, market segment) — the privacy gate a
+    * pipeline runs before releasing grouped training data. Cells with
+    * fewer than K members are generalized (segment → '*') and re-counted
+    * at the coarser grain; a generalized cell that STILL falls below K
+    * is flagged `k_ok = false` (it needs suppression, the caller's
+    * decision).
+    *
+    * Scale: everything after the first aggregation operates at CELL
+    * grain (|nations|×|segments| rows, not |customers|) — the
+    * generalization is a re-keyed second aggregation over that tiny
+    * frame, so the raw table is scanned exactly once and never
+    * reshuffled. At 100 TB the first hash-agg with map-side combine is
+    * the whole cost; materializing generalized ROWS (the facade's job)
+    * broadcasts the cell verdicts back instead of shuffling the fact
+    * table again. */
+  val q110KAnonymity: Q = Q.sql(
+    "q110_k_anonymity",
+    s"""WITH cells AS (
+       |  SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |gen AS (
+       |  SELECT nat, CASE WHEN n >= $DefaultK THEN seg ELSE '*' END AS seg, n
+       |  FROM cells)
+       |SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS n, SUM(n) >= $DefaultK AS k_ok
+       |FROM gen GROUP BY nat, seg
+       |ORDER BY nat, seg""".stripMargin
+  ) { (s, dir) =>
+    kAnonymity(Tables.customer(s, dir).select(
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg")), DefaultK)
+      .orderBy(col("nat"), col("seg"))
+  }
+
+  /** (nat, seg) rows → per-cell (nat, seg, n, k_ok) with sub-k cells
+    * generalized to (nat, '*') and re-counted. Single scan; the re-key +
+    * re-count run at cell grain. */
+  private[graft] def kAnonymity(rows: DataFrame, k: Int): DataFrame =
+    rows.groupBy(col("nat"), col("seg")).agg(count(lit(1)).as("n"))
+      .select(col("nat"),
+        when(col("n") >= k, col("seg")).otherwise(lit("*")).as("seg"),
+        col("n"))
+      .groupBy(col("nat"), col("seg")).agg(sum(col("n")).as("n"))
+      .withColumn("k_ok", col("n") >= k)
+
+  val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub, q110KAnonymity)
 }

@@ -170,4 +170,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("src")).distinct().collect().map(_.getString(0)).toSet
     assert(srcs == Set("base", "upd"))
   }
+
+  test("q109 boilerplate share counts recurring segments across and within docs") {
+    import spark.implicits._
+    def seg(tag: String): String = (0 until 8).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, seg("a") + " " + seg("b")),            // a shared with doc 2
+      (2L, seg("a") + " " + seg("c")),
+      (3L, seg("d") + " " + seg("d")),            // within-doc recurrence
+      (4L, seg("e") + " t0 t1 t2"),               // 3-word tail dropped
+      (5L, "w0 w1 w2")                            // < 8 words: no segments
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.boilerplateShare(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 2L, 1.0)), 4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("q110 k-anonymity generalizes sub-k cells and re-flags at the merged grain") {
+    import spark.implicits._
+    val rows = (Seq.fill(6)((1, "A")) ++ Seq.fill(2)((1, "B")) ++ Seq.fill(2)((1, "C")) ++
+      Seq.fill(3)((2, "A")) ++ Seq.fill(3)((2, "B")) ++ Seq.fill(5)((3, "A")))
+      .toDF("nat", "seg")
+    val got = ops.Quality.kAnonymity(rows, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      (1, "A") -> ((6L, true)),  // big cell kept as-is
+      (1, "*") -> ((4L, false)), // 2+2 merged, still sub-k: needs suppression
+      (2, "*") -> ((6L, true)),  // 3+3 merged crosses k
+      (3, "A") -> ((5L, true))))
+  }
+
+  test("q111 histogram buckets exactly: max lands in the top bucket, constants in 0") {
+    import spark.implicits._
+    val df = (0 until 16).map(i => (i.toDouble, 7.0)).toDF("a", "b")
+    val got = ops.Profile.histogram(df, Seq("a", "b"), 16).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // a: one value per bucket; v = max goes to bucket 15, not a phantom 16
+    for (i <- 0 until 16) assert(got(("a", i))._3 == 1L)
+    assert(got(("a", 0))._1 == 0.0 && got(("a", 15))._2 == 15.0)
+    // b: degenerate hi == lo range collapses to bucket 0 with lo == hi bounds
+    assert(got(("b", 0)) == ((7.0, 7.0, 16L)))
+    assert(got.keys.count(_._1 == "b") == 1)
+  }
+
+  test("q111 fixture histogram covers every row of both melted columns") {
+    val rows = SparkEntry.queries("q111_histogram")(spark, Sf001).collect()
+    val total = Tables.lineitem(spark, Sf001).count()
+    for (c <- Seq("l_extendedprice", "l_quantity"))
+      assert(rows.filter(_.getString(0) == c).map(_.getLong(4)).sum == total)
+  }
 }
