@@ -392,7 +392,79 @@ object Analytics {
     s.sql(SharedSql)
   }
 
+  /** Per-group MODE (most frequent event_type per user), deterministic:
+    * ties break on event_type ascending, so the answer is partition-
+    * independent. Spark has no mode aggregate with a defined tie-break
+    * (`mode()` is underspecified on ties, `max_by` likewise) — the
+    * portable form is count-then-rank.
+    *
+    * Scale: the heavy aggregation runs at (user, type) grain with
+    * map-side combine; the ranking window then sees at most |types| rows
+    * per user — the sort inside each window partition is over a handful
+    * of rows, so the second Exchange moves the already-tiny count table
+    * only. Never rank raw events directly. */
+  val q114ModePerGroup: Q = Q.sql(
+    "q114_mode_per_group",
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, n
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * (src → dst) counts and row-normalized probabilities — the
+    * next-action model behind path analysis ("what follows a view?").
+    *
+    * Scale: ONE shuffle on user_id computes every adjacent pair via
+    * lead() (never a self-join of the event stream on position), then
+    * the pair counts aggregate at |types|² grain with map-side combine.
+    * The probability denominator is a window sum over that |types|²
+    * table — negligible. Probabilities divide two exact int64 counts
+    * cast to double → bit-identical in both engines. */
+  val q115Transitions: Q = Q.sql(
+    "q115_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS src, LEAD(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, COUNT(*) AS n
+      |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |FROM c
+      |ORDER BY src, dst""".stripMargin
+  ) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bySrc = Window.partitionBy(col("src"))
+    Tables.events(s, dir)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(byUser).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(bySrc).cast("double"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
-    q106CohortRetention, q107Outliers, q108SqlSurface)
+    q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
+    q115Transitions)
 }

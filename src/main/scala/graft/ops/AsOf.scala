@@ -185,5 +185,56 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q66AsofJoin, q81AsofForward, q67RangeJoinCount)
+  /** Interval-overlap join, asymmetric form: per-user daily activity
+    * intervals (probe, linear in users×days) against the day's incident
+    * window (first→last error of the day — a dimension of ≤|days| rows).
+    * Output: per day, how many users' activity overlapped the incident
+    * window and their total overlap micros.
+    *
+    * Scale: the ONLY formulation that survives 100×. Probe side is one
+    * hash agg to (user, day) grain; the incident dimension is tiny and
+    * broadcast, so the overlap predicate rides on a BroadcastHashJoin's
+    * day equi-key with zero shuffle of the probe beyond its own agg. The
+    * tempting symmetric form — user×user co-presence pairs banded by day
+    * — is output-quadratic in active users per band: measured 266k
+    * candidate pairs at sf0.01 but 26.8M at sf0.1 (users scale with the
+    * corpus, days don't). An engine must refuse to build that shape
+    * implicitly; callers who truly want co-presence pairs pay for it
+    * explicitly. Overlap micros subtract exact int64 epochs: LEAST/
+    * GREATEST on the interval endpoints, identical in both engines. */
+  val q113IntervalOverlap: Q = Q.sql(
+    "q113_interval_overlap",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      |  FROM events GROUP BY 1, 2),
+      |inc AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      |  FROM events WHERE event_type = 'error' GROUP BY 1)
+      |SELECT iv.day, COUNT(*) AS n_users,
+      |  CAST(SUM(LEAST(iv.e, inc.e) - GREATEST(iv.s, inc.s)) AS BIGINT) AS overlap_us
+      |FROM iv JOIN inc ON iv.day = inc.day AND iv.s <= inc.e AND inc.s <= iv.e
+      |GROUP BY iv.day
+      |ORDER BY iv.day""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("event_type"))
+    val iv = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("t")).as("s"), max(col("t")).as("e"))
+    val inc = ev.filter(col("event_type") === "error")
+      .groupBy(col("day"))
+      .agg(min(col("t")).as("inc_s"), max(col("t")).as("inc_e"))
+    iv.join(broadcast(inc), Seq("day"))
+      .filter(col("s") <= col("inc_e") && col("inc_s") <= col("e"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(least(col("e"), col("inc_e")) - greatest(col("s"), col("inc_s")))
+          .as("overlap_us"))
+      .orderBy(col("day"))
+  }
+
+  val all: Seq[Q] = Seq(q66AsofJoin, q81AsofForward, q67RangeJoinCount,
+    q113IntervalOverlap)
 }

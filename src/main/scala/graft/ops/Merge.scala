@@ -94,5 +94,63 @@ object Merge {
       .orderBy(col("user_id"), col("event_type"), col("effective_from"), col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History)
+  /** Incremental materialized-view maintenance — the partial-aggregate
+    * merge identity every warehouse MV engine relies on: COUNT and
+    * DECIMAL-SUM are algebraic, so per-customer state computed on the
+    * base generation and on a delta batch can be merged AT STATE GRAIN
+    * (sum the counts, sum the sums) without rescanning base raw data,
+    * and derived metrics (avg) are recomputed from merged state. Both
+    * generations here come from one fixture table split on
+    * `o_orderkey % 8` — in production the base arm is the STORED state
+    * table, so refresh cost is O(delta + |state|), not O(base).
+    *
+    * Scale: each arm is an ordinary map-side-combined hash agg; the
+    * merge shuffles only state rows (one per customer per arm). The
+    * sums stay DECIMAL(18,2)→DECIMAL sums end to end — merge order
+    * can't perturb them — and avg divides the exact decimal (cast to
+    * double) by the exact count, the same IEEE operation in both
+    * engines. */
+  val q112ViewMerge: Q = Q.sql(
+    "q112_view_merge",
+    """WITH base AS (
+      |  SELECT o_custkey, COUNT(*) AS cnt,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders WHERE o_orderkey % 8 <> 0 GROUP BY o_custkey),
+      |delta AS (
+      |  SELECT o_custkey, COUNT(*) AS cnt,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders WHERE o_orderkey % 8 = 0 GROUP BY o_custkey),
+      |merged AS (
+      |  SELECT o_custkey, CAST(SUM(cnt) AS BIGINT) AS n_orders, SUM(s) AS s2
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |  GROUP BY o_custkey)
+      |SELECT o_custkey, n_orders,
+      |  CAST(s2 AS DOUBLE) AS sum_price,
+      |  CAST(s2 AS DOUBLE) / n_orders AS avg_price
+      |FROM merged
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("cnt"),
+        sum(Relational.dec(col("o_totalprice"))).as("s"))
+    val orders = Tables.orders(s, dir)
+    mergeStates(
+      state(orders.filter(col("o_orderkey") % 8 =!= 0)),
+      state(orders.filter(col("o_orderkey") % 8 === 0)))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Merge two (o_custkey, cnt, s) partial-aggregate states and publish
+    * (n_orders, sum_price, avg_price). Exposed for the facade: callers
+    * hand the STORED state plus a freshly aggregated delta batch. */
+  private[graft] def mergeStates(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cnt")).as("n_orders"), sum(col("s")).as("s2"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("s2").cast("double").as("sum_price"),
+        (col("s2").cast("double") / col("n_orders")).as("avg_price"))
+
+  val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History, q112ViewMerge)
 }

@@ -216,6 +216,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.keys.count(_._1 == "b") == 1)
   }
 
+  test("q112 merged partial-aggregate state equals the one-shot aggregate") {
+    val merged = SparkEntry.queries("q112_view_merge")(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val oneShot = Tables.orders(spark, Sf001)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect()
+      .map { r =>
+        val s = r.getDecimal(2).doubleValue()
+        r.getLong(0) -> ((r.getLong(1), s, s / r.getLong(1)))
+      }.toMap
+    assert(merged == oneShot)
+  }
+
+  test("q113 overlap report matches a driver-side brute force over raw events") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(unix_micros(col("ts")).as("t"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val day = (t: Long) => t / 86400000000L
+    val iv = ev.groupBy(e => (e._2, day(e._1)))
+      .map { case (k, g) => (k._1, k._2, g.map(_._1).min, g.map(_._1).max) }
+    val inc = ev.filter(_._3 == "error").groupBy(e => day(e._1))
+      .map { case (d, g) => d -> ((g.map(_._1).min, g.map(_._1).max)) }
+    val expected = iv.toSeq
+      .flatMap { case (_, d, s, e) =>
+        inc.get(d).filter { case (is, ie) => s <= ie && is <= e }
+          .map(w => d -> (math.min(e, w._2) - math.max(s, w._1)))
+      }
+      .groupBy(_._1).map { case (d, g) => d -> ((g.size.toLong, g.map(_._2).sum)) }
+    val got = SparkEntry.queries("q113_interval_overlap")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q114 mode matches brute force with the ascending-type tie-break") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val counts = g.groupBy(_._2).map { case (t, r) => (t, r.size.toLong) }
+      // most frequent; ties resolved by event_type ascending
+      u -> counts.toSeq.minBy { case (t, n) => (-n, t) }
+    }
+    val got = SparkEntry.queries("q114_mode_per_group")(spark, Sf001)
+    val gotSmall = SparkEntry.queries("q114_mode_per_group")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(gotSmall == expected)
+    assert(got.count() > 0)
+  }
+
+  test("q115 transition rows partition the adjacent pairs; probabilities row-normalize") {
+    val rows = SparkEntry.queries("q115_transitions")(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nEvents = Tables.events(spark, Sf001).count()
+    val nUsers = Tables.events(spark, Sf001).select(col("user_id")).distinct().count()
+    // every event except each user's last contributes exactly one pair
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    for ((_, g) <- rows.groupBy(_._1)) {
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-12)
+      // p must be the exact count ratio, not a reassociated sum
+      val tot = g.map(_._3).sum.toDouble
+      g.foreach(r => assert(r._4 == r._3.toDouble / tot))
+    }
+  }
+
   test("q111 fixture histogram covers every row of both melted columns") {
     val rows = SparkEntry.queries("q111_histogram")(spark, Sf001).collect()
     val total = Tables.lineitem(spark, Sf001).count()

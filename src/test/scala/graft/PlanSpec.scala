@@ -135,6 +135,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 joins the incident dimension via BROADCAST, never a probe-side pairing") {
+    val plan = formatted(q("q113_interval_overlap"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q114 ranks the (user,type) COUNT table, never the raw event stream") {
+    // the window's sort must sit above the aggregate: a plan that windows
+    // first would rank |events| rows per user instead of <=|types|
+    val plan = formatted(q("q114_mode_per_group"))
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    // formatted mode prints the tree root-first: the window (above the
+    // aggregate in the plan) must appear before it in the text
+    assert(winIdx < aggIdx, plan)
+  }
+
   test("every registered query keeps its aggregates partial (no single-point pre-agg shuffle of raw rows)") {
     // HashAggregate must appear in partial+final pairs — spot-check q01.
     val plan = formatted(q("q01_pricing_summary"))
