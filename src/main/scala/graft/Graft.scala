@@ -222,4 +222,30 @@ object Graft {
                  block: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
                  maxDist: Int): DataFrame =
     ops.Linkage.fuzzyPairs(records, id, block, value, maxDist)
+
+  /** C4-style boilerplate share over (doc_id, text): per doc, how many
+    * of its non-overlapping `width`-word segments recur anywhere in the
+    * corpus → (doc_id, n_seg, n_dup, dup_frac). Segment grain is a
+    * 60-bit hash; counting is a map-side-combined aggregation. */
+  def boilerplateShare(docs: DataFrame, width: Int = 8): DataFrame =
+    ops.Dedup.boilerplateShare(docs, width)
+
+  /** k-anonymity audit over (nat, seg) quasi-identifier rows: per-cell
+    * counts with sub-k cells generalized to (nat, '*') and re-flagged
+    * at the merged grain. Runs at cell grain after one scan. */
+  def kAnonymity(rows: DataFrame, k: Int = ops.Quality.DefaultK): DataFrame =
+    ops.Quality.kAnonymity(rows, k)
+
+  /** Equi-width histograms of `cols` in long format: (col_name, bucket,
+    * b_lo, b_hi, n) — two narrow passes (global min/max, then one
+    * map-side-combined bucket count). */
+  def histogram(df: DataFrame, cols: Seq[String], buckets: Int = 16): DataFrame =
+    ops.Profile.histogram(df, cols, buckets)
+
+  /** Materialized-view refresh: merge a STORED per-key (keys…, cnt, s)
+    * aggregate state with a freshly aggregated delta batch — COUNT and
+    * DECIMAL-SUM are algebraic, so the refresh never rescans base data.
+    * Publishes (keys…, n_orders, sum_price, avg_price). */
+  def mergeAggState(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    ops.Merge.mergeStates(base, delta, keys)
 }

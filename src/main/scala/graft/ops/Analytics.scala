@@ -463,8 +463,42 @@ object Analytics {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Per-group min-max feature scaling: v_norm = (v - min)/(max - min)
+    * within each event_type — the normalization stage of a feature
+    * pipeline, as a query.
+    *
+    * Scale: aggregate-then-broadcast, NOT a window. A window
+    * `min/max OVER (PARTITION BY event_type)` would shuffle the whole
+    * fact table into |types| partitions — a handful of single-threaded
+    * sorts at 100 TB. The range table is |types| rows: aggregate it
+    * (map-side combined), broadcast it back, and the normalization is a
+    * row-local expression on an unshuffled scan. Degenerate max == min
+    * groups normalize to 0. The subtract/divide chain is the identical
+    * IEEE double expression in both engines. */
+  val q117MinmaxScale: Q = Q.sql(
+    "q117_minmax_scale",
+    """WITH r AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CASE WHEN r.hi = r.lo THEN 0.0
+      |       ELSE (e.value - r.lo) / (r.hi - r.lo) END AS v_norm
+      |FROM events e JOIN r USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ranges = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(ranges), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("hi") === col("lo"), 0.0)
+          .otherwise((col("value") - col("lo")) / (col("hi") - col("lo")))
+          .as("v_norm"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
-    q115Transitions)
+    q115Transitions, q117MinmaxScale)
 }

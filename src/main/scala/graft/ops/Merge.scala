@@ -137,20 +137,23 @@ object Merge {
     val orders = Tables.orders(s, dir)
     mergeStates(
       state(orders.filter(col("o_orderkey") % 8 =!= 0)),
-      state(orders.filter(col("o_orderkey") % 8 === 0)))
+      state(orders.filter(col("o_orderkey") % 8 === 0)),
+      Seq("o_custkey"))
       .orderBy(col("o_custkey"))
   }
 
-  /** Merge two (o_custkey, cnt, s) partial-aggregate states and publish
-    * (n_orders, sum_price, avg_price). Exposed for the facade: callers
-    * hand the STORED state plus a freshly aggregated delta batch. */
-  private[graft] def mergeStates(base: DataFrame, delta: DataFrame): DataFrame =
+  /** Merge two keyed (keys…, cnt, s) partial-aggregate states and
+    * publish (n_orders, sum_price, avg_price) per key. Exposed through
+    * the facade: callers hand the STORED state plus a freshly
+    * aggregated delta batch — neither arm's raw rows are touched. */
+  private[graft] def mergeStates(base: DataFrame, delta: DataFrame,
+                                 keys: Seq[String]): DataFrame =
     base.unionByName(delta)
-      .groupBy(col("o_custkey"))
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("n_orders"), sum(col("s")).as("s2"))
-      .select(col("o_custkey"), col("n_orders"),
+      .select(keys.map(col) ++ Seq(col("n_orders"),
         col("s2").cast("double").as("sum_price"),
-        (col("s2").cast("double") / col("n_orders")).as("avg_price"))
+        (col("s2").cast("double") / col("n_orders")).as("avg_price")): _*)
 
   val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History, q112ViewMerge)
 }

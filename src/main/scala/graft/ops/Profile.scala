@@ -145,5 +145,49 @@ object Profile {
       .orderBy(col("col_name"), col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(q89Profile, q111Histogram)
+  /** Per-group Pearson correlation (quantity vs price per returnflag)
+    * from EXACT moments — the q107 determinism recipe applied to a
+    * second statistic: built-in corr()/covar aggregates accumulate
+    * floating co-moments whose value depends on evaluation order (and
+    * differs between engines), so instead the five sums n, Σx, Σy, Σx²,
+    * Σy², Σxy are taken over DECIMAL(18,2) inputs (exact, order-free,
+    * map-side combinable), cast to double ONCE, and r is one fixed
+    * IEEE expression over those six doubles — bit-identical anywhere.
+    * One ordinary hash agg at scan speed; the moment table is |groups|
+    * rows. */
+  val q119GroupedCorr: Q = Q.sql(
+    "q119_grouped_corr",
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, n,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+      |FROM m
+      |ORDER BY flag""".stripMargin
+  ) { (s, dir) =>
+    val dx = col("l_quantity").cast("decimal(18,2)")
+    val dy = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sx"),
+        sum(dy).cast("double").as("sy"),
+        sum(dx * dx).cast("double").as("sxx"),
+        sum(dy * dy).cast("double").as("syy"),
+        sum(dx * dy).cast("double").as("sxy"))
+      .select(col("flag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+      .orderBy(col("flag"))
+  }
+
+  val all: Seq[Q] = Seq(q89Profile, q111Histogram, q119GroupedCorr)
 }

@@ -83,5 +83,36 @@ object RelationalExt {
     }
   }
 
-  val all: Seq[Q] = Seq(q48NaDrop, q49HorizontalSum, q50WideMean)
+  /** Ordered LISTAGG / string_agg — the SQL string-aggregation surface:
+    * per nation, its customers' DISTINCT market segments as one sorted
+    * comma-joined string. Spark's collect_set is partition-order-
+    * nondeterministic, so the deterministic form is collect_set →
+    * array_sort → array_join — semantically STRING_AGG(DISTINCT …
+    * ORDER BY …).
+    *
+    * Scale: safe ONLY because the aggregated domain is bounded
+    * (|segments| = 5) — the per-group state is a tiny set regardless of
+    * row count, and map-side partial collect_sets cap shuffle volume at
+    * |groups|×|domain|. Aggregating an UNBOUNDED value domain into
+    * strings (e.g. all customer names) is the anti-pattern: per-group
+    * state grows with data; cap the domain or use top-k ([[graft.ops
+    * .HeavyHitters]]) instead. */
+  val q118Listagg: Q = Q.sql(
+    "q118_listagg",
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val all: Seq[Q] = Seq(q48NaDrop, q49HorizontalSum, q50WideMean, q118Listagg)
 }

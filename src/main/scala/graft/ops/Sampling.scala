@@ -124,6 +124,35 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Quality-weighted deterministic sampling — keep each doc with
+    * probability proportional to a per-row quality weight (here length:
+    * p = min(1, n_chars/400)), the "sample good documents more"
+    * pipeline idiom (cf. importance-weighted corpus mixing). The
+    * acceptance test is ALL-INTEGER: md5-bucket(doc_id) mod 10⁴ against
+    * a threshold of min(10⁴, 25·n_chars) — no floating point anywhere,
+    * so membership is bit-exact across engines, reruns, and
+    * partitionings, and the weight ramp 48→553 chars spans rates
+    * 0.12→1.0 on this corpus. Pure row-local filter: no shuffle, scan
+    * speed at any scale. */
+  val q116WeightedSample: Q = Q.sql(
+    "q116_weighted_sample",
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(LEAST(10000, 25 * n_chars) AS DOUBLE) / 10000 AS p_keep
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('wsamp:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000
+      |  < LEAST(10000, 25 * n_chars)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val bucket = call_function("graft_md5long64",
+      concat(lit("wsamp:"), col("doc_id").cast("string"))) % 10000
+    val thresh = least(lit(10000L), lit(25L) * col("n_chars"))
+    Tables.documents(s, dir)
+      .filter(bucket < thresh)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (thresh.cast("double") / 10000).as("p_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit,
-    q71StratifiedSample, q80HashTopnSample)
+    q71StratifiedSample, q80HashTopnSample, q116WeightedSample)
 }

@@ -239,4 +239,27 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(got == Map("k1" -> (3L, "new"), "k2" -> (9L, "only")))
   }
+
+  test("boilerplateShare works on an arbitrary user corpus") {
+    val rep = Graft.boilerplateShare(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs 1/2/3 share their repeated base text; 4 is too short; 5 is unique
+    assert(rep(1L) > 0.0 && rep(3L) > 0.0)
+    assert(!rep.contains(4L) && rep(5L) >= 0.0)
+  }
+
+  test("mergeAggState refreshes a stored state with a delta over compound keys") {
+    import spark.implicits._
+    val base = Seq((1, "a", 2L, BigDecimal("10.00")), (2, "b", 1L, BigDecimal("5.00")))
+      .toDF("k1", "k2", "cnt", "s")
+    val delta = Seq((1, "a", 1L, BigDecimal("2.00")), (3, "c", 4L, BigDecimal("8.00")))
+      .toDF("k1", "k2", "cnt", "s")
+    val got = Graft.mergeAggState(base, delta, Seq("k1", "k2"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (1, "a") -> ((3L, 12.0, 4.0)),
+      (2, "b") -> ((1L, 5.0, 5.0)),
+      (3, "c") -> ((4L, 8.0, 2.0))))
+  }
 }

@@ -289,4 +289,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     for (c <- Seq("l_extendedprice", "l_quantity"))
       assert(rows.filter(_.getString(0) == c).map(_.getLong(4)).sum == total)
   }
+
+  test("q116 membership is exactly the all-integer acceptance rule") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"wsamp:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10000
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.filter { case (id, nc) => bucket(id) < math.min(10000L, 25 * nc) }
+      .map(_._1).toSet
+    val got = SparkEntry.queries("q116_weighted_sample")(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the ramp must actually discriminate: some docs in, some out
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("q117 normalizes each group onto [0,1] with both endpoints attained") {
+    val rows = SparkEntry.queries("q117_minmax_scale")(spark, Sf001).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    for ((_, g) <- rows.groupBy(_._1)) {
+      assert(g.minBy(_._2)._3 == 0.0 && g.maxBy(_._2)._3 == 1.0)
+    }
+  }
+
+  test("q118 listagg emits the sorted distinct segment list per nation") {
+    val expected = Tables.customer(spark, Sf001)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, g) =>
+        val segs = g.map(_._2).distinct.sorted
+        k -> ((segs.mkString(","), segs.length.toLong))
+      }
+    val got = SparkEntry.queries("q118_listagg")(spark, Sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("q119 equals the exact-moment correlation computed driver-side") {
+    val vals = Tables.lineitem(spark, Sf001)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = vals.groupBy(_._1).map { case (f, g) =>
+      val n = g.length.toDouble
+      def cents(d: Double): BigDecimal = BigDecimal(d).setScale(2)
+      val sx = g.map(v => cents(v._2)).sum.toDouble
+      val sy = g.map(v => cents(v._3)).sum.toDouble
+      val sxx = g.map(v => cents(v._2) * cents(v._2)).sum.toDouble
+      val syy = g.map(v => cents(v._3) * cents(v._3)).sum.toDouble
+      val sxy = g.map(v => cents(v._2) * cents(v._3)).sum.toDouble
+      f -> (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = SparkEntry.queries("q119_grouped_corr")(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // driver-side replication reassociates the double ops → tolerance
+    for ((f, e) <- expected) assert(math.abs(got(f) - e) < 1e-9, s"flag $f")
+    assert(got.values.forall(v => v > -1.0 && v < 1.0))
+  }
 }
