@@ -101,6 +101,22 @@ object Streaming {
       }
   }
 
+  /** Watermark-bounded streaming dedup — the production complement of
+    * [[dedupStream]]: duplicates of a (user_id, event_type) key are
+    * dropped only while the key's state is younger than the watermark
+    * horizon, after which the state is EVICTED and the key can be
+    * emitted again. Bounded state is the whole point at 100 TB/day:
+    * unbounded exact dedup state grows with distinct keys forever,
+    * while this holds at most (keys active within `delay`) entries —
+    * the contract of `dropDuplicatesWithinWatermark`, which (unlike
+    * plain streaming `dropDuplicates`) guarantees eviction. Dedup
+    * within the horizon is exact: events deduplicate against state even
+    * when their own event time trails the current watermark. */
+  def dedupWithinWatermark(events: Dataset[Event], delay: String): Dataset[Event] =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Sliding-window counts (2h windows every 1h): each event lands in
     * exactly two windows. The overlap is computed by Spark's window
     * expansion BEFORE the partial aggregate, so the shuffle carries

@@ -161,4 +161,44 @@ class ScaleSpec extends AnyFunSuite {
     val sortLine = plan.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse("")
     assert(!sortLine.contains("true"), s"global sort leaked into the layout plan: $sortLine")
   }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan side") {
+    // Spark's runtime row-level filtering: a selective filter on the
+    // creation (dim) side injects bloom_filter_might_contain onto the
+    // application (fact) side BEFORE its shuffle — at 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the ~1% that can join. Local fixtures sit under the
+    // 10 GB application-side default, so lower that threshold (a size
+    // gate, not a semantics switch) and pin a shuffle join the way the
+    // big-fact plan would be.
+    val conf = spark.conf
+    val savedApp = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.lineitem(spark, Sf001)
+      val o = Tables.orders(spark, Sf001).filter(col("o_totalprice") > 400000)
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // the filter is a pruning hint, never a semantics change
+      val n = j.collect().map(_.getLong(1)).sum
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        savedApp)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      val plainN = Tables.lineitem(spark, Sf001)
+        .join(Tables.orders(spark, Sf001).filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n == plainN)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        savedApp)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
 }

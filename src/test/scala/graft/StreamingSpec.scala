@@ -138,6 +138,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark drops horizon-local duplicates, then evicts and re-admits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = MemoryStream[Event]
+    val q = Streaming.dedupWithinWatermark(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup").outputMode("append").start()
+    try {
+      // batch 1: in-batch duplicate of (u=1, view) dropped
+      stream.addData(
+        Event(1, at(600), 1, "view", 1.0), Event(2, at(605), 1, "view", 1.0),
+        Event(3, at(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate still inside the horizon dropped;
+      // the t=660 event advances the watermark to 650 > key-1 expiry 610
+      stream.addData(Event(4, at(607), 1, "view", 1.0), Event(5, at(660), 9, "tick", 1.0))
+      q.processAllAvailable()
+      // batch 3: state for (1, view) evicted -> the key is re-admitted
+      stream.addData(Event(6, at(665), 1, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("sliding windows: incremental micro-batches == batch (each event in two windows)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
