@@ -59,5 +59,46 @@ object Quantiles {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q68GroupedQuantiles, q69QuantileSketch)
+  /** Winsorization — clamp each value into its group's [p05, p95] band,
+    * the outlier-robust feature-prep stage (the percentile-based
+    * complement of q107's z-score flagging: q107 reports, this
+    * repairs). Cut points follow q68's cross-engine recipe (exact
+    * `percentile` ↔ `quantile_cont`, rounded to 6 dp so both engines
+    * clamp against identical constants); each output row keeps the raw
+    * value, the clamped value, and a `clipped` audit flag. Per-row
+    * output — no aggregate ever sums the clamped doubles, so there is
+    * no float-association hazard anywhere.
+    *
+    * Scale: aggregate-then-broadcast (q117's shape) — the |types|-row
+    * cut table broadcasts back onto an unshuffled scan, and the clamp
+    * is row-local codegen. Exact percentile state is per-group sorted
+    * values (q68's caveat); hot unbounded groups swap in
+    * approx_percentile's mergeable sketch (q69) with the same plan
+    * shape. */
+  val q122Winsorize: Q = Q.sql(
+    "q122_winsorize",
+    """WITH cuts AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.05), 6) AS lo,
+      |    round(quantile_cont(value, 0.95), 6) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  LEAST(GREATEST(e.value, c.lo), c.hi) AS v_wins,
+      |  e.value < c.lo OR e.value > c.hi AS clipped
+      |FROM events e JOIN cuts c USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val cuts = ev.groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("value"), lit(0.95)), 6).as("hi"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("v_wins"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q68GroupedQuantiles, q69QuantileSketch, q122Winsorize)
 }

@@ -292,6 +292,83 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** The search terms shared by [[q120BoolSearch]] and
+    * [[q121RankedSearch]] — a conjunctive query over the corpus
+    * vocabulary with deliberately different document frequencies. */
+  private val SearchTerms = Seq("hash", "join", "scan")
+
+  /** Conjunctive boolean search: documents containing ALL query terms —
+    * the inverted-index AND query, expressed as filter → count = |terms|.
+    *
+    * Scale: the term set is query-sized (a literal IN list pushed to the
+    * scan side of the explode), so only (doc, matched-term) rows — at
+    * most |terms| per doc — survive to the shuffle; the posting lists
+    * are never materialized anywhere, and the aggregation is an
+    * ordinary map-side-combined count at doc grain. `array_distinct`
+    * before the explode makes the count a document frequency, so
+    * HAVING n = |terms| is exact containment. */
+  val q120BoolSearch: Q = Q.sql(
+    "q120_bool_search",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_terms
+      |FROM w WHERE w IN ('hash', 'join', 'scan')
+      |GROUP BY doc_id HAVING COUNT(*) = 3
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w").isin(SearchTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === SearchTerms.size)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rarity-ranked retrieval (IDF-weighted OR query): score each doc by
+    * Σ over matched terms of the QUANTIZED inverse document frequency
+    * `N div df_t` — rarer terms contribute more, exactly the shape of a
+    * BM25/tf-idf ranker. The weight is an INTEGER division on purpose:
+    * int64 sums are associative, so the score is independent of
+    * aggregation order (a float Σ(N/df) would be bit-unstable across
+    * partitionings and engines — same reasoning as q76/q82's ratio-only
+    * scoring).
+    *
+    * Scale: document frequencies aggregate at TERM grain (|terms| rows,
+    * broadcast back onto the matched postings); the corpus count rides
+    * a broadcast 1-row cross join; top-50 is TakeOrderedAndProject
+    * (per-partition heads merged on the driver, no global sort). */
+  val q121RankedSearch: Q = Q.sql(
+    "q121_ranked_search",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hits AS (SELECT doc_id, w FROM w WHERE w IN ('hash', 'join', 'scan')),
+      |df AS (SELECT w, COUNT(*) AS df FROM hits GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT h.doc_id, CAST(SUM(n.n // df.df) AS BIGINT) AS score
+      |FROM hits h JOIN df USING (w) CROSS JOIN n
+      |GROUP BY h.doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val hits = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w").isin(SearchTerms: _*))
+    val df = hits.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    hits.join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("n DIV df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
-    q82Collocations, q85DocChunks)
+    q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch)
 }

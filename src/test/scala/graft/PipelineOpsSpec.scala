@@ -330,6 +330,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q120 returns exactly the docs containing every query term") {
+    val expected = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .filter { r =>
+        val words = r.getString(1).split(" ").toSet
+        Seq("hash", "join", "scan").forall(words.contains)
+      }.map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q120_bool_search")(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q121 scores are the exact quantized-idf sums, ranked descending") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val terms = Seq("hash", "join", "scan")
+    val n = docs.length.toLong
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scores = docs
+      .map { case (id, ws) => id -> terms.filter(ws.contains).map(t => n / df(t)).sum }
+      .filter(_._2 > 0)
+    val expectedTop = scores.sortBy { case (id, s) => (-s, id) }.take(50).toSeq
+    val got = SparkEntry.queries("q121_ranked_search")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expectedTop)
+  }
+
+  test("q122 clamps into the cut band, flags exactly the out-of-band rows") {
+    val rows = SparkEntry.queries("q122_winsorize")(spark, Sf001).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    // unclipped rows pass through untouched; clipped rows moved to a bound
+    assert(rows.forall { case (v, w, c) => if (c) v != w else v == w })
+    // p05/p95 clamping flags roughly 10% of rows
+    val frac = rows.count(_._3).toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.15, s"clipped fraction $frac")
+  }
+
   test("q119 equals the exact-moment correlation computed driver-side") {
     val vals = Tables.lineitem(spark, Sf001)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
