@@ -248,4 +248,19 @@ object Graft {
     * Publishes (keys…, n_orders, sum_price, avg_price). */
   def mergeAggState(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
     ops.Merge.mergeStates(base, delta, keys)
+
+  /** Winsorize `valueCol` into its `groupCol` group's [pLo, pHi]
+    * percentile band: appends the clamped `v_wins` and a `clipped`
+    * audit flag. Cut table broadcast back; rows stay unshuffled. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+    ops.Quantiles.winsorized(df, groupCol, valueCol, pLo, pHi)
+
+  /** First-order transition matrix over per-`key` sequences ordered by
+    * `order` (a total order per key): (src, dst, n, p) with p
+    * row-normalized from exact counts. One shuffle on key. */
+  def transitions(df: DataFrame, key: org.apache.spark.sql.Column,
+                  order: Seq[org.apache.spark.sql.Column],
+                  state: org.apache.spark.sql.Column): DataFrame =
+    ops.Analytics.transitionsOf(df, key, order, state)
 }

@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Scratch: dump formatted plans for named queries (not driver contract). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("4", "graft-plandump")
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    args.foreach { n =>
+      println(s"===== $n")
+      println(byName(n).fn(spark, "/root/testdata/sf0.01").queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

@@ -451,16 +451,27 @@ object Analytics {
       |FROM c
       |ORDER BY src, dst""".stripMargin
   ) { (s, dir) =>
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    transitionsOf(Tables.events(s, dir),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Generic first-order transition matrix: within each `key` sequence
+    * ordered by `order` (must be a total order per key), count adjacent
+    * (src → dst) `state` pairs and row-normalize → (src, dst, n, p).
+    * One shuffle on key; see [[q115Transitions]] for the scale
+    * contract. */
+  private[graft] def transitionsOf(df: org.apache.spark.sql.DataFrame,
+                                   key: org.apache.spark.sql.Column,
+                                   order: Seq[org.apache.spark.sql.Column],
+                                   state: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(order: _*)
     val bySrc = Window.partitionBy(col("src"))
-    Tables.events(s, dir)
-      .select(col("event_type").as("src"),
-        lead(col("event_type"), 1).over(byUser).as("dst"))
+    df.select(state.as("src"), lead(state, 1).over(byKey).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") / sum(col("n")).over(bySrc).cast("double"))
-      .orderBy(col("src"), col("dst"))
   }
 
   /** Per-group min-max feature scaling: v_norm = (v - min)/(max - min)

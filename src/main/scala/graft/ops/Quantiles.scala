@@ -88,16 +88,32 @@ object Quantiles {
       |FROM events e JOIN cuts c USING (event_type)
       |ORDER BY e.event_id""".stripMargin
   ) { (s, dir) =>
-    val ev = Tables.events(s, dir)
-    val cuts = ev.groupBy(col("event_type"))
-      .agg(
-        round(percentile(col("value"), lit(0.05)), 6).as("lo"),
-        round(percentile(col("value"), lit(0.95)), 6).as("hi"))
-    ev.join(broadcast(cuts), Seq("event_type"))
+    winsorized(Tables.events(s, dir), "event_type", "value", 0.05, 0.95)
       .select(col("event_id"), col("event_type"), col("value"),
-        least(greatest(col("value"), col("lo")), col("hi")).as("v_wins"),
-        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+        col("v_wins"), col("clipped"))
       .orderBy(col("event_id"))
+  }
+
+  /** Generic winsorization over any frame: clamp `valueCol` into its
+    * `groupCol` group's [pLo, pHi] percentile band, appending `v_wins`
+    * and a `clipped` audit flag (cut columns are graft-prefixed while
+    * in flight so user frames with lo/hi columns pass through).
+    * Aggregate-then-broadcast; see [[q122Winsorize]] for the scale
+    * contract. */
+  private[graft] def winsorized(df: org.apache.spark.sql.DataFrame,
+                                groupCol: String, valueCol: String,
+                                pLo: Double, pHi: Double): org.apache.spark.sql.DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(
+        round(percentile(col(valueCol), lit(pLo)), 6).as("__graft_lo"),
+        round(percentile(col(valueCol), lit(pHi)), 6).as("__graft_hi"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("v_wins",
+        least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi")))
+      .withColumn("clipped",
+        col(valueCol) < col("__graft_lo") || col(valueCol) > col("__graft_hi"))
+      .drop("__graft_lo", "__graft_hi")
   }
 
   val all: Seq[Q] = Seq(q68GroupedQuantiles, q69QuantileSketch, q122Winsorize)

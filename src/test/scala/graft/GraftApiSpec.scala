@@ -262,4 +262,29 @@ class GraftApiSpec extends AnyFunSuite {
       (2, "b") -> ((1L, 5.0, 5.0)),
       (3, "c") -> ((4L, 8.0, 2.0))))
   }
+
+  test("winsorize clamps a user frame and survives existing lo/hi column names") {
+    import spark.implicits._
+    val df = ((1 to 99).map(i => ("g", i.toDouble, -1.0)) :+ (("g", 1000.0, -1.0)))
+      .toDF("grp", "v", "lo") // 'lo' collides with a naive cut-column name
+    val out = Graft.winsorize(df, "grp", "v", 0.01, 0.90)
+    assert(out.columns.contains("lo"), "user column must pass through")
+    val clipped = out.filter($"clipped").select($"v").collect().map(_.getDouble(0)).toSet
+    assert(clipped.contains(1000.0))
+    assert(out.filter($"v_wins" > 1000.0).count() == 0)
+  }
+
+  test("transitions counts adjacent state pairs per key in the given order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("k", "t", "s")
+    val got = Graft.transitions(df, $"k", Seq($"t"), $"s")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
 }
