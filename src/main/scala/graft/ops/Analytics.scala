@@ -508,8 +508,77 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Percent-of-parent rollup: each nation's revenue share WITHIN its
+    * region — the hierarchy-share pattern every BI layer generates.
+    *
+    * Scale: the share window runs over the NATION-grain aggregate
+    * (≤|nations| rows), never the fact table — the only heavy work is
+    * the orders⋈customer equi-shuffle feeding one map-side-combined
+    * aggregation; the nation dim rides a broadcast. Revenue stays
+    * DECIMAL through both the group sum and the window sum, so the
+    * share divides two exact totals (as doubles) — partition-order-free
+    * on any cluster. */
+  val q124ShareOfParent: Q = Q.sql(
+    "q124_share_of_parent",
+    """WITH rev AS (
+      |  SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT region, nation, CAST(s AS DOUBLE) AS revenue,
+      |  CAST(s AS DOUBLE) / CAST(SUM(s) OVER (PARTITION BY region) AS DOUBLE) AS share
+      |FROM rev
+      |ORDER BY region, nation""".stripMargin
+  ) { (s, dir) =>
+    import Relational.dec
+    val byRegion = Window.partitionBy(col("region"))
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("c_nationkey").as("nation"))
+      .agg(sum(dec(col("o_totalprice"))).as("s"))
+      .select(col("region"), col("nation"), col("s").cast("double").as("revenue"),
+        (col("s").cast("double") / sum(col("s")).over(byRegion).cast("double")).as("share"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** RFM user features — recency (micros since the corpus's last
+    * event), frequency, monetary (exact DECIMAL), distinct active days:
+    * the canonical segmentation features, one hash aggregation at user
+    * grain. The global max timestamp is a 1-row broadcast cross join
+    * (scalar subquery in the oracle), so nothing rescans or reshuffles
+    * the fact table for it. */
+  val q125RfmFeatures: Q = Q.sql(
+    "q125_rfm_features",
+    """SELECT user_id,
+      |  CAST((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)) AS BIGINT)
+      |    AS recency_us,
+      |  COUNT(*) AS frequency,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+      |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS active_days
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import Relational.dec
+    val ev = Tables.events(s, dir)
+    val corpusMax = ev.agg(max(unix_micros(col("ts"))).as("_max_us"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(unix_micros(col("ts"))).as("_user_max"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("value"))).cast("double").as("monetary"),
+        countDistinct(expr("unix_micros(ts) DIV 86400000000")).as("active_days"))
+      .crossJoin(broadcast(corpusMax))
+      .select(col("user_id"),
+        (col("_max_us") - col("_user_max")).as("recency_us"),
+        col("frequency"), col("monetary"), col("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
-    q115Transitions, q117MinmaxScale)
+    q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures)
 }

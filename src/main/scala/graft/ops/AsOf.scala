@@ -235,6 +235,67 @@ object AsOf {
       .orderBy(col("day"))
   }
 
+  /** Last-touch attribution — the composition the as-of operator exists
+    * for: each purchase is attributed to the same user's most recent
+    * click at-or-before it (backward as-of), counted only when that
+    * click is within a 7-day lookback; revenue then rolls up per day
+    * into attributed vs organic through the exact DECIMAL path.
+    *
+    * Scale: identical shape to q66 — one union, ONE shuffle on user_id,
+    * a running last() per user (no pairwise click×purchase expansion;
+    * contrast the naive range join whose candidates are clicks×purchases
+    * per user) — followed by a day-grain rollup of pre-aggregated rows.
+    * The lookback test subtracts exact int64 micros; revenue sums are
+    * DECIMAL(18,2) so the split is partition-order-free. */
+  val q123Attribution: Q = Q.sql(
+    "q123_attribution",
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.user_id, p.ts, p.value, c.ts AS click_ts
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |t AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, value,
+      |    click_ts IS NOT NULL
+      |      AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000 AS attr
+      |  FROM j)
+      |SELECT day, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attr,
+      |  CAST(SUM(CASE WHEN attr THEN CAST(value AS DECIMAL(18,2))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_attr,
+      |  CAST(SUM(CASE WHEN attr THEN CAST(0 AS DECIMAL(18,2))
+      |           ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_organic
+      |FROM t GROUP BY day
+      |ORDER BY day""".stripMargin
+  ) { (s, dir) =>
+    import Relational.dec
+    val ev = Tables.events(s, dir)
+    val ref = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("_tag"),
+        lit(null).cast("double").as("value"), unix_micros(col("ts")).as("_click_us"))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("_tag"),
+        col("value"), lit(null).cast("long").as("_click_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref.unionByName(probe)
+      .withColumn("click_us", last(col("_click_us"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .withColumn("attr",
+        col("click_us").isNotNull &&
+          unix_micros(col("ts")) - col("click_us") <= 604800000000L)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("attr"), 1L).otherwise(0L)).as("n_attr"),
+        sum(when(col("attr"), dec(col("value"))).otherwise(dec(lit(0))))
+          .cast("double").as("rev_attr"),
+        sum(when(col("attr"), dec(lit(0))).otherwise(dec(col("value"))))
+          .cast("double").as("rev_organic"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[Q] = Seq(q66AsofJoin, q81AsofForward, q67RangeJoinCount,
-    q113IntervalOverlap)
+    q113IntervalOverlap, q123Attribution)
 }

@@ -76,10 +76,39 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("neither temporal join plans a nested-loop or cartesian operator") {
-    for (name <- Seq("q66_asof_join", "q81_asof_forward", "q67_range_join_count")) {
+    for (name <- Seq("q66_asof_join", "q81_asof_forward", "q67_range_join_count",
+        "q123_attribution")) {
       val s = plan(name)
       assert(!s.contains("CartesianProduct"), s"$name:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$name:\n$s")
     }
+  }
+
+  test("attribution splits purchases exactly like the brute-force lookback") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val clicksByUser = ev.filter(_._2 == "click").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).sorted }
+    val expected = ev.filter(_._2 == "purchase")
+      .map { case (u, _, t, v) =>
+        val lastClick = clicksByUser.getOrElse(u, Array.empty[Long])
+          .takeWhile(_ <= t).lastOption
+        val attr = lastClick.exists(c => t - c <= 604800000000L)
+        (t / 86400000000L, attr, BigDecimal(v).setScale(2))
+      }
+      .groupBy(_._1).map { case (d, g) =>
+        d -> ((g.size.toLong, g.count(_._2).toLong,
+          g.filter(_._2).map(_._3).sum.toDouble,
+          g.filterNot(_._2).map(_._3).sum.toDouble))
+      }
+    val got = SparkEntry.queries("q123_attribution")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // both outcomes occur on the fixture or the split is vacuous
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._1 > v._2))
   }
 }

@@ -369,6 +369,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frac > 0.05 && frac < 0.15, s"clipped fraction $frac")
   }
 
+  test("q124 shares sum to 1 within every region") {
+    val rows = SparkEntry.queries("q124_share_of_parent")(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+    for ((_, g) <- rows.groupBy(_._1))
+      assert(math.abs(g.map(_._2).sum - 1.0) < 1e-12)
+    assert(rows.map(_._1).distinct.length > 1)
+  }
+
+  test("q125 RFM features match a driver-side recompute") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val corpusMax = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      u -> ((corpusMax - g.map(_._2).max, g.size.toLong,
+        g.map(v => BigDecimal(v._3).setScale(2)).sum.toDouble,
+        g.map(_._2 / 86400000000L).distinct.size.toLong))
+    }
+    val got = SparkEntry.queries("q125_rfm_features")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("q119 equals the exact-moment correlation computed driver-side") {
     val vals = Tables.lineitem(spark, Sf001)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
