@@ -114,5 +114,46 @@ object RelationalExt {
       .orderBy(col("c_nationkey"))
   }
 
-  val all: Seq[Q] = Seq(q48NaDrop, q49HorizontalSum, q50WideMean, q118Listagg)
+  /** SQL NULL-semantics battery, cross-engine: nulls grouped as one
+    * group, COUNT(*) vs COUNT(col), null-skipping SUM, and the
+    * null-safe equality join (Spark `<=>` ↔ ANSI IS NOT DISTINCT FROM)
+    * proved by a self-join in which the NULL group must match itself.
+    * Any divergence in null handling between the engine and the oracle
+    * — dropped null groups, nulls counted, a null-safe join that
+    * doesn't match NULL — breaks the hash. Aggregation shrinks the
+    * input to |status| rows before the join, so the null-safe join is
+    * over a constant-size frame. */
+  val q127NullSemantics: Q = Q.sql(
+    "q127_null_semantics",
+    """WITH o AS (
+      |  SELECT NULLIF(o_orderstatus, 'O') AS st,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price_n
+      |  FROM orders),
+      |agg AS (
+      |  SELECT st, COUNT(*) AS n_rows, COUNT(price_n) AS n_price,
+      |    CAST(SUM(price_n) AS DOUBLE) AS sum_price
+      |  FROM o GROUP BY st)
+      |SELECT a.st, a.n_rows, a.n_price, a.sum_price,
+      |  b.n_rows IS NOT NULL AS self_match
+      |FROM agg a LEFT JOIN agg b ON a.st IS NOT DISTINCT FROM b.st
+      |ORDER BY a.st NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice").cast(DecimalType(18, 2))).as("price_n"))
+    val agg = o.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"), count(col("price_n")).as("n_price"),
+        sum(col("price_n")).cast("double").as("sum_price"))
+    val b = agg.select(col("st").as("st_b"), col("n_rows").as("n_rows_b"))
+    agg.join(b, col("st") <=> col("st_b"), "left")
+      .select(col("st"), col("n_rows"), col("n_price"), col("sum_price"),
+        col("n_rows_b").isNotNull.as("self_match"))
+      .orderBy(col("st").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(q48NaDrop, q49HorizontalSum, q50WideMean, q118Listagg,
+    q127NullSemantics)
 }

@@ -90,5 +90,45 @@ object Sources {
       .json(path))
   }
 
-  val all: Seq[Q] = Seq(q53CsvScan, q54JsonMultiline)
+  /** Corrupt-record-tolerant ingestion: a JSON Lines fixture with two
+    * planted malformed lines, read in PERMISSIVE mode with an explicit
+    * `_corrupt` column — the raw-crawl reality at 100 TB, where a bad
+    * record must land in an audit bucket instead of killing the job (or
+    * silently vanishing, the DROPMALFORMED trap). Good rows aggregate
+    * exactly as the parquet truth; corrupt rows surface as a sentinel
+    * group whose size the oracle pins, so BOTH failure modes — dropping
+    * bad rows and corrupting good ones — break the hash. JSON Lines
+    * (unlike q54's multiline array) stays splittable, so the permissive
+    * scan parallelizes like any text source. */
+  val q126CorruptScan: Q = Q.sql(
+    "q126_corrupt_scan",
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT '__corrupt', 2, 0
+      |ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val path = s"${fixtureRoot(dir)}/documents_jsonl/docs.jsonl"
+    // Always rewrite — same staleness rationale as the CSV fixture above.
+    Files.createDirectories(Paths.get(path).getParent)
+    val rows = Tables.documents(s, dir).orderBy(col("doc_id"))
+      .toJSON.collect() // fixture scaffolding: one small table, driver-side
+    val planted = Seq("""{"doc_id": 999999, "text": "truncated""", "not json at all")
+    Files.writeString(Paths.get(path), (rows ++ planted).mkString("\n"))
+    val withCorrupt = StructType(docSchema.fields :+
+      StructField("_corrupt", StringType))
+    s.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .withColumn("lang",
+        when(col("_corrupt").isNotNull, lit("__corrupt")).otherwise(col("lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(q53CsvScan, q54JsonMultiline, q126CorruptScan)
 }

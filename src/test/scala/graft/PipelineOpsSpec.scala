@@ -393,6 +393,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q126 lands bad records in the audit group without touching good rows") {
+    val rows = SparkEntry.queries("q126_corrupt_scan")(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("__corrupt") == ((2L, 0L)))
+    val truth = Tables.documents(spark, Sf0001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows - "__corrupt" == truth)
+  }
+
+  test("q127 groups nulls together and null-safe-joins them to themselves") {
+    val rows = SparkEntry.queries("q127_null_semantics")(spark, Sf001).collect()
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getBoolean(4), "NULL group must match itself under <=>")
+    assert(rows.forall(_.getBoolean(4)))
+    // COUNT(col) skips the planted nulls, COUNT(*) does not
+    assert(rows.forall(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("q119 equals the exact-moment correlation computed driver-side") {
     val vals = Tables.lineitem(spark, Sf001)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
