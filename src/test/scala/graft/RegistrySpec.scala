@@ -52,7 +52,9 @@ class RegistrySpec extends AnyFunSuite {
     "q60_ann_ivf",             // 16-row centroid table cross join
     "q82_collocations",        // 1-row corpus-size cross join
     "q84_mixture_report",      // 1-row totals cross join
-    "q96_gapfill")             // dense-axis grid: hour sequence × 5-row type dim
+    "q96_gapfill",             // dense-axis grid: hour sequence × 5-row type dim
+    "q121_ranked_search",      // 1-row corpus-count cross join (IDF weight)
+    "q125_rfm_features")       // 1-row corpus-max-ts cross join (recency)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
