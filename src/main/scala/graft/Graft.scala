@@ -263,4 +263,45 @@ object Graft {
                   order: Seq[org.apache.spark.sql.Column],
                   state: org.apache.spark.sql.Column): DataFrame =
     ops.Analytics.transitionsOf(df, key, order, state)
+
+  /** Cross-document duplicate passages: every `width`-word sliding
+    * window occurring in more than one document, as (h, n_occ, n_docs,
+    * first_doc). At the default stride 1 any shared span ≥ `width`
+    * words is caught at any alignment; stride s > 1 is s× cheaper but
+    * only catches duplicates whose alignments agree mod s. One
+    * hash-grain aggregation; no doc-doc pairing. */
+  def dupPassages(docs: DataFrame, width: Int = 12, stride: Int = 1): DataFrame =
+    ops.Dedup.dupPassages(docs, width, stride)
+
+  /** BM25 (k1=1.2, b=0.75) top-`k` ranking of (doc_id, text) for the
+    * OR-query `terms`, in exact cross-engine fixed point (milli-unit
+    * int64 scores). */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 50): DataFrame =
+    ops.TextAnalysis.bm25Of(docs, terms, k)
+
+  /** Johnson–Lindenstrauss ±1 projection of (vec_id, embedding:
+    * array<float>) to 8 exact int64 sketch dims (p0..p7) — row-local,
+    * shuffle-free. */
+  def jlProject(vectors: DataFrame): DataFrame =
+    ops.Similarity.jlProjectOf(vectors)
+
+  /** Temperature-rebalanced (τ = ½) subsample of `docs`: keeps each
+    * stratum ∝ √n targeting half the corpus, membership a pure md5
+    * function of `id` — deterministic across engines and reruns. */
+  def temperatureSample(docs: DataFrame, strata: String,
+                        id: org.apache.spark.sql.Column): DataFrame =
+    ops.Sampling.temperatureSample(docs, strata, id)
+
+  /** Robust median/MAD outliers of `valueCol` within `groupCol` at
+    * |robust_z| > z — the heavy-tail-safe twin of [[outliers]]. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  z: Double = 3.0): DataFrame =
+    ops.Analytics.madOutliersOf(df, groupCol, valueCol, z)
+
+  /** ABC/Pareto classification of `key` by summed `measure`:
+    * (key, revenue, cum_share, abc) with A ≤ 80%, B ≤ 95% running
+    * share. */
+  def abcClassify(df: DataFrame, key: org.apache.spark.sql.Column,
+                  measure: org.apache.spark.sql.Column): DataFrame =
+    ops.Analytics.abcOf(df, key, measure)
 }

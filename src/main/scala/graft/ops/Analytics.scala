@@ -577,8 +577,124 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Robust (median/MAD) per-group outliers — the heavy-tail-safe
+    * companion to [[q107Outliers]]'s moment z-score (one extreme value
+    * shifts a mean/stddev arbitrarily; it moves a median/MAD not at
+    * all). robust_z = (x − median) / (1.4826·MAD), flagged at |z| > 3.
+    *
+    * Determinism: both medians are interpolated identically by Spark
+    * `percentile` and DuckDB `quantile_cont` and rounded to 6 dp before
+    * any reuse (q68's contract); everything after is correctly-rounded
+    * IEEE double arithmetic on identical inputs, so the flag set and
+    * scores are bit-identical across engines and partitionings.
+    *
+    * Scale: two grouped exact percentiles (the 100 TB path swaps in
+    * mergeable `approx_percentile` — q69's sketch — with no other plan
+    * change) + a groups-sized broadcast back onto the stream; the scan
+    * itself never shuffles. */
+  /** Median/MAD robust outliers of `valueCol` within `groupCol` groups
+    * at |robust_z| > `z` — see [[q133MadOutliers]] for the determinism
+    * and scale contract. Emits (input cols…, d, robust_z). */
+  private[graft] def madOutliersOf(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                                   valueCol: String, z: Double): org.apache.spark.sql.DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol).cast("double"), lit(0.5)), 6).as("__graft_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("d", col(valueCol) - col("__graft_med"))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(round(percentile(abs(col("d")), lit(0.5)), 6).as("__graft_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(abs(col("d")) > lit(z) * lit(1.4826) * col("__graft_mad"))
+      .withColumn("robust_z", round(col("d") / (lit(1.4826) * col("__graft_mad")), 6))
+      .drop("__graft_med", "__graft_mad")
+  }
+
+  val q133MadOutliers: Q = Q.sql(
+    "q133_mad_outliers",
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, e.value - m.med AS d
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(abs(d), 0.5), 6) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value,
+      |  round(d.d / (1.4826 * m.mad), 6) AS robust_z
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |WHERE abs(d.d) > 3 * 1.4826 * m.mad
+      |ORDER BY d.event_id""".stripMargin
+  ) { (s, dir) =>
+    madOutliersOf(
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ABC / Pareto classification: parts ranked by revenue, classed A
+    * while the running revenue share ≤ 80%, B ≤ 95%, else C — the
+    * inventory-analysis standard.
+    *
+    * Determinism: revenue and its running total are exact DECIMAL sums
+    * (the window order is totalized by the partkey tiebreak), the share
+    * divides two exact totals as doubles, and the class thresholds
+    * compare those deterministic doubles — partition-count-independent.
+    *
+    * Scale: the fact scan collapses to a part-grain aggregate (one
+    * equi-shuffle, map-side combined) BEFORE any window; the global
+    * cumulative window then sorts |parts| rows, not |lineitem| — fine
+    * to ~10⁸ parts on one reducer; past that, range-partition the rank
+    * and two-pass the prefix sums (same result, one extra exchange). */
+  /** ABC/Pareto classes for any (key, measure) — aggregates `measure`
+    * (exact DECIMAL) per `key`, then classes by running revenue share —
+    * see [[q134AbcClass]] for the determinism and scale contract.
+    * Emits (key, revenue, cum_share, abc). */
+  private[graft] def abcOf(df: org.apache.spark.sql.DataFrame,
+                           key: org.apache.spark.sql.Column,
+                           measure: org.apache.spark.sql.Column,
+                           aCut: Double = 0.80, bCut: Double = 0.95): org.apache.spark.sql.DataFrame = {
+    val byRevenue = Window.orderBy(col("rev").desc, col("__graft_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val share = col("cum").cast("double") / col("tot").cast("double")
+    df.groupBy(key.as("__graft_key"))
+      .agg(sum(dec(measure)).as("rev"))
+      .select(col("__graft_key"), col("rev"),
+        sum(col("rev")).over(byRevenue).as("cum"),
+        sum(col("rev")).over(Window.partitionBy()).as("tot"))
+      .select(col("__graft_key"), col("rev").cast("double").as("revenue"),
+        share.as("cum_share"),
+        when(share <= aCut, "A").when(share <= bCut, "B").otherwise("C").as("abc"))
+  }
+
+  val q134AbcClass: Q = Q.sql(
+    "q134_abc_class",
+    """WITH r AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      |  SELECT l_partkey, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(rev) OVER () AS tot
+      |  FROM r)
+      |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc
+      |FROM c
+      |ORDER BY l_partkey""".stripMargin
+  ) { (s, dir) =>
+    abcOf(Tables.lineitem(s, dir), col("l_partkey"), col("l_extendedprice"))
+      .withColumnRenamed("__graft_key", "l_partkey")
+      .orderBy(col("l_partkey"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
-    q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures)
+    q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
+    q133MadOutliers, q134AbcClass)
 }

@@ -566,7 +566,68 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_seg"))
   }
 
+  /** Cross-document duplicate-passage detection — the passage-grain dual
+    * of [[q109Boilerplate]]'s doc-grain view, and the span-level exact
+    * dedup step of a training-data pipeline (find the shared spans, then
+    * decide which occurrences to cut; cf. the suffix-array passage dedup
+    * literature — here at fixed sliding-window grain, which a distributed
+    * engine can do with one aggregation instead of a global suffix sort).
+    *
+    * Windows are EVERY 12-word 12-gram (stride 1), so any shared span of
+    * ≥ 12 words is caught at ANY alignment — a wider stride s only finds
+    * duplicates whose alignments coincide mod s (see [[dupPassages]]),
+    * which is why stride 1 is the registry contract. Each doc
+    * contributes ~n windows, each carried downstream only as its 60-bit
+    * md5 — the same per-word row count the shingle explodes (q25/q101)
+    * already budget for.
+    *
+    * Scale (100 TB): one map-side-combined aggregation at window-hash
+    * grain — shuffle rows per DISTINCT window per mapper, output only
+    * hashes recurring in >1 doc (rare by construction). No doc-doc
+    * pairing anywhere; a corpus-wide hot passage skews one GROUP BY key,
+    * which partial aggregation absorbs before the exchange. */
+  val q128DupPassages: Q = Q.sql(
+    "q128_dup_passages",
+    """WITH segs AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(w) - 11),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[k+1:k+12], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 12)
+      |SELECT h, COUNT(*) AS n_occ,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM segs GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+      |ORDER BY h""".stripMargin
+  ) { (s, dir) =>
+    dupPassages(Tables.documents(s, dir), width = 12, stride = 1)
+      .orderBy(col("h"))
+  }
+
+  /** (doc_id, text) → (h, n_occ, n_docs, first_doc) for every
+    * `width`-word sliding window (stride `stride`) whose hash occurs in
+    * more than one document. Stride 1 guarantees any shared span ≥
+    * `width` words is found at any alignment; stride s > 1 cuts the
+    * row count s× but only catches duplicates whose span alignments
+    * agree mod s (fine for shared prefixes / whole-doc copies; wrong
+    * tool for arbitrary-offset quotes). Exposed for the facade and
+    * [[q128DupPassages]]. */
+  private[graft] def dupPassages(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= width)
+      .select(col("doc_id"),
+        explode(transform(expr(s"sequence(0, (size(w) - $width) div $stride)"), k =>
+          hexLong(concat_ws(" ",
+            (0 until width).map(o => get(col("w"), k * stride + o)): _*)))).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
-    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate)
+    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages)
 }

@@ -487,11 +487,73 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** The four correlated-subquery forms in one dialect-portable SQL text,
+    * run VERBATIM by `spark.sql` (like q108's aggregate surface):
+    * correlated EXISTS, correlated NOT EXISTS, a correlated scalar
+    * subquery in the SELECT list, and an uncorrelated IN subquery.
+    *
+    * Scale: Catalyst decorrelates every one of them — EXISTS → left semi
+    * hash join, NOT EXISTS → left anti hash join, the scalar COUNT →
+    * an aggregate + left outer equi-join, IN → semi join on the
+    * broadcast nation dim — so the plan is four shuffles/broadcasts on
+    * `o_custkey`, no per-row re-execution of any subquery (the
+    * tuple-at-a-time semantics SQL implies would be a 100 TB
+    * scale-killer if taken literally). */
+  private val SubquerySql: String =
+    """SELECT c.c_custkey, c.c_nationkey,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 50000)
+      |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      |ORDER BY c.c_custkey""".stripMargin
+
+  val q130Subqueries: Q = Q.sql("q130_subqueries", SubquerySql) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(SubquerySql)
+  }
+
+  /** LATERAL join surface: per-nation top-2 customers by exact spend,
+    * written as a correlated LATERAL subquery with ORDER BY + LIMIT —
+    * the "top-n per group via lateral" idiom every modern warehouse
+    * dialect supports, run VERBATIM by both engines.
+    *
+    * Scale: Catalyst decorrelates the lateral into a window rank over
+    * the customer⋈orders aggregate partitioned by nation (the same
+    * physical plan q11's explicit window writes by hand) — the naive
+    * per-nation re-execution the syntax implies never happens. */
+  private val LateralSql: String =
+    """SELECT n.n_name, t.c_custkey, t.spend
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c.c_custkey,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  GROUP BY c.c_custkey
+      |  ORDER BY spend DESC, c.c_custkey
+      |  LIMIT 2) t
+      |ORDER BY n.n_name, t.spend DESC, t.c_custkey""".stripMargin
+
+  val q135Lateral: Q = Q.sql("q135_lateral_topn", LateralSql) { (s, dir) =>
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(LateralSql)
+  }
+
   /** All relational inventory queries. */
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinInner, q04JoinLeft,
     q05SemiJoin, q06AntiJoin, q07Distinct, q08Union, q09Intersect,
     q10Except, q11WindowTopK, q12WindowRunning, q13Pivot, q14Conditional,
     q15OrderLimit, q16Having, q17Rollup, q18GroupMaxJoin, q19StringFuncs,
-    q20ArrayOps, q21EventsHourly, q22JsonExtract, q23SnowflakeJoin)
+    q20ArrayOps, q21EventsHourly, q22JsonExtract, q23SnowflakeJoin,
+    q130Subqueries, q135Lateral)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -153,6 +154,92 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-balanced corpus mixing (τ = ½): resample so each
+    * language's share is ∝ √n_lang instead of n_lang — the standard
+    * multilingual-pretraining rebalance (rare languages upsampled
+    * relative to their raw share, head language downsampled), targeting
+    * half the corpus overall. On this corpus: en keeps ~35%, the four
+    * tail languages ~60% each.
+    *
+    * Determinism: √n is ONE correctly-rounded IEEE op on an exact
+    * integer (bit-identical in any engine), immediately quantized to
+    * milli-units; every later step — weight total, per-stratum
+    * threshold, md5-bucket acceptance — is exact int64 arithmetic, so
+    * membership is reproducible across engines, reruns, partitionings.
+    * (Exact while `N·√N·5·10⁸ < 2⁶³`, i.e. N ≤ ~10⁹ docs; beyond that
+    * drop one scale factor.) General temperatures need pow(), which is
+    * not portable across libms — τ = ½ is the common default and the
+    * one exactly-representable case.
+    *
+    * Scale: two passes over the corpus (count strata, then filter) —
+    * unavoidable since thresholds depend on global counts; both are
+    * scan-speed (map-side-combined count; row-local accept filter
+    * against a broadcast |langs|-row threshold table). The 1-row weight
+    * total rides a broadcast cross join. */
+  val q132TemperatureMix: Q = Q.sql(
+    "q132_temperature_mix",
+    """WITH stats AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn
+      |        FROM stats),
+      |thr AS (
+      |  SELECT lang, n_docs, w,
+      |    LEAST(1000000, ((tn // 2) * w * 1000000) // (tw * n_docs)) AS thr_micro
+      |  FROM stats CROSS JOIN tot),
+      |kept AS (
+      |  SELECT d.lang, COUNT(*) AS n_kept
+      |  FROM documents d JOIN thr ON d.lang = thr.lang
+      |  WHERE CAST(concat('0x', substr(md5(concat('tmix:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+      |          AS BIGINT) % 1000000 < thr.thr_micro
+      |  GROUP BY d.lang)
+      |SELECT t.lang, t.n_docs, t.w, t.thr_micro, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM thr t LEFT JOIN kept k ON t.lang = k.lang
+      |ORDER BY t.lang""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val thr = temperatureThresholds(docs, "lang")
+    val kept = docs
+      .join(broadcast(thr.select(col("lang"), col("thr_micro"))), "lang")
+      .filter(temperatureAccept(col("doc_id")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("w"), col("thr_micro"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-stratum √n temperature (τ = ½) acceptance thresholds for
+    * [[temperatureSample]]: (strata, n_docs, w, thr_micro) targeting
+    * half the corpus — see [[q132TemperatureMix]] for the exactness and
+    * scale contract. */
+  private[graft] def temperatureThresholds(docs: DataFrame, strata: String): DataFrame = {
+    val stats = docs.groupBy(col(strata)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000))
+    val tot = stats.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+    stats.crossJoin(broadcast(tot))
+      .select(col(strata), col("n_docs"), col("w"),
+        least(lit(1000000L),
+          expr("((tn DIV 2) * w * 1000000) DIV (tw * n_docs)")).as("thr_micro"))
+  }
+
+  /** md5-bucket acceptance test against an in-scope `thr_micro` column. */
+  private def temperatureAccept(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_md5long64",
+      concat(lit("tmix:"), id.cast("string"))) % 1000000 < col("thr_micro")
+
+  /** The τ = ½ temperature-rebalanced sample itself: rows of `docs`
+    * whose md5 bucket of `id` clears their stratum's threshold.
+    * Deterministic membership; input columns pass through. */
+  private[graft] def temperatureSample(docs: DataFrame, strata: String,
+                                       id: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .join(broadcast(temperatureThresholds(docs, strata)
+        .select(col(strata), col("thr_micro"))), strata)
+      .filter(temperatureAccept(id))
+      .drop("thr_micro")
+
   val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit,
-    q71StratifiedSample, q80HashTopnSample, q116WeightedSample)
+    q71StratifiedSample, q80HashTopnSample, q116WeightedSample, q132TemperatureMix)
 }

@@ -275,5 +275,61 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids)
+  /** ±1 signs for the 8×64 Johnson–Lindenstrauss projection matrix,
+    * md5-derived (parity of the 60-bit digest prefix) so both engines
+    * rebuild the identical matrix. */
+  private val jlSigns: Seq[Array[Long]] = (0 until NPlanes).map { j =>
+    Array.tabulate(Dim) { i =>
+      if (java.lang.Long.parseLong(
+        Hashes.md5Hex(s"jl:$j:$i").substring(0, 15), 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: 64-dim float embeddings →
+    * 8-dim int64 sketches via a fixed ±1 sign matrix (Achlioptas'
+    * database-friendly variant — signs instead of Gaussians, so the
+    * projection is exact integer arithmetic after quantization).
+    * Components are quantized to milli-units first (`floor(x·1000)` —
+    * float→double is exact, ×1000 is one correctly-rounded IEEE op, so
+    * the quantization is bit-identical on any engine), then each output
+    * dim is an int64 dot product — exact, order-independent, overflow-
+    * safe (|q_i| ≤ 10⁶ ⇒ |p_j| ≤ 6.4·10⁷ ≪ 2⁶³).
+    *
+    * Scale: row-local map over the scan — no shuffle, no UDF (all
+    * higher-order built-ins, codegen-friendly); the 8-long sketch is
+    * 64 B/row vs 256 B for the float vector, the standard first stage
+    * before a Hamming/L1 filter or a cheaper ANN index. */
+  /** JL ±1 projection of any (vec_id, embedding: array<float>) frame to
+    * 8 int64 sketch dims — see [[q131JlProjection]] for the contract. */
+  private[graft] def jlProjectOf(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("q"))
+      .select(col("vec_id") +: (0 until NPlanes).map { j =>
+        aggregate(
+          zip_with(col("q"), typedLit(jlSigns(j).toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as(s"p$j")
+      }: _*)
+
+  val q131JlProjection: Q = {
+    val sqlDims = (0 until NPlanes).map { j =>
+      val lst = jlSigns(j).mkString("[", ",", "]")
+      s"  CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> q[i] * ($lst)[i])) AS BIGINT) AS p$j"
+    }.mkString(",\n")
+    Q.sql(
+      "q131_jl_projection",
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |$sqlDims
+         |FROM qv ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      jlProjectOf(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
+    q131JlProjection)
 }

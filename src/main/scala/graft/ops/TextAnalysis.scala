@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -369,6 +369,80 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** BM25 ranking (k1 = 1.2, b = 0.75) for the [[SearchTerms]] OR-query —
+    * the full Okapi scorer with term frequency AND length normalization,
+    * completing the search family (q120 boolean containment, q121
+    * quantized-IDF rarity, q129 BM25).
+    *
+    * All arithmetic is FIXED-POINT int64 (milli-units, integer DIV at
+    * every step) so the score is bit-identical across engines and
+    * aggregation orders — no ln/pow (libm results are not portable). The
+    * idf is the rational core of Robertson-Sparck Jones,
+    * `(N - df + ½)/(df + ½)` scaled ×1000, monotone in the classic log
+    * idf, so ranking order is preserved. Bounds: exact while
+    * `N·tf < 4·10¹⁴` (10⁹ docs × 10³ tf) — beyond that, drop one scale
+    * factor.
+    *
+    * Scale: tf aggregates at (doc, term) grain with map-side combine
+    * (only matched terms survive the scan-side IN filter); df is a
+    * |terms|-row broadcast; corpus stats (N, avgdl) ride one 1-row
+    * broadcast cross join; top-50 is TakeOrderedAndProject. */
+  /** BM25 (k1 = 1.2, b = 0.75) top-`k` ranking of `docs` (doc_id, text)
+    * for the OR-query `terms`, in exact milli-unit fixed point — see
+    * [[q129Bm25]] for the arithmetic and scale contract. */
+  private[graft] def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = d.agg(
+      count(lit(1)).as("n"),
+      expr("(sum(size(w)) * 1000) DIV count(1)").as("avgdl_milli"))
+    val f = d
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = f.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    f.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("((2*n - 2*df + 1) * 1000) DIV (2*df + 1)").as("idf_milli"),
+        expr("250 + (750 * ((dl * 1000000) DIV avgdl_milli)) DIV 1000").as("norm_milli"),
+        col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(idf_milli * tf * 2200) DIV (tf*1000 + (1200 * norm_milli) DIV 1000)"))
+        .as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q129Bm25: Q = Q.sql(
+    "q129_bm25",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, (SUM(len(w)) * 1000) // COUNT(*) AS avgdl_milli FROM d),
+      |f AS (
+      |  SELECT doc_id, dl, t, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d)
+      |  WHERE t IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, t),
+      |df AS (
+      |  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM f GROUP BY t),
+      |scored AS (
+      |  SELECT f.doc_id,
+      |    ((2*s.n - 2*df.df + 1) * 1000) // (2*df.df + 1) AS idf_milli,
+      |    250 + (750 * ((f.dl * 1000000) // s.avgdl_milli)) // 1000 AS norm_milli,
+      |    f.tf AS tf
+      |  FROM f JOIN df USING (t) CROSS JOIN stats s)
+      |SELECT doc_id,
+      |  CAST(SUM((idf_milli * tf * 2200) // (tf*1000 + (1200 * norm_milli) // 1000))
+      |    AS BIGINT) AS score_milli
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_milli DESC, doc_id
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    bm25Of(Tables.documents(s, dir), SearchTerms, 50)
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
-    q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch)
+    q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25)
 }

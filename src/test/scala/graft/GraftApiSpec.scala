@@ -287,4 +287,87 @@ class GraftApiSpec extends AnyFunSuite {
       ("a", "b") -> ((2L, 1.0)),
       ("b", "a") -> ((1L, 1.0))))
   }
+
+  test("dupPassages catches a shared 12-word span at ANY alignment; stride>1 only aligned") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c " + span + " x y z"),                       // span at offset 3
+      (2L, span + " p q r t u v w"),                          // offset 0
+      (3L, "k " + span + " m n"),                             // offset 1
+      (4L, "unrelated words only here nothing shared at all twelve tokens padding end")
+    ).toDF("doc_id", "text")
+    val hits = Graft.dupPassages(docs)
+    // one window hash (the span itself) shared by docs 1, 2 and 3
+    assert(hits.agg(org.apache.spark.sql.functions.max($"n_docs")).head.getLong(0) == 3L)
+    assert(hits.agg(org.apache.spark.sql.functions.min($"first_doc")).head.getLong(0) == 1L)
+    // stride 6 misses these unaligned copies (offsets 3/0/1 differ mod 6)
+    assert(Graft.dupPassages(docs, stride = 6).count() == 0L)
+  }
+
+  test("bm25Rank: higher tf of a rarer term outranks; absent docs score nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare rare rare common filler words about nothing in particular today"),
+      (2L, "rare common filler words about nothing in particular today and more"),
+      (3L, "common common filler words about nothing in particular today and more"),
+      (4L, "filler words about nothing in particular today and even more filler")
+    ).toDF("doc_id", "text")
+    val got = Graft.bm25Rank(docs, Seq("rare", "common"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "tf-weighted rarity order")
+    assert(got.forall(_._2 > 0) && !got.map(_._1).contains(4L))
+  }
+
+  test("jlProject is exact and linear on quantized integer inputs") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => (i % 5).toFloat)
+    val b = Array.tabulate(64)(i => ((i + 2) % 7).toFloat)
+    val sumAb = a.zip(b).map { case (x, y) => x + y }
+    val vecs = Seq((1L, a), (2L, b), (3L, sumAb), (4L, a)).toDF("vec_id", "embedding")
+    val p = Graft.jlProject(vecs).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    assert(p(1L) == p(4L), "identical vectors -> identical sketches")
+    assert((0 until 8).forall(j => p(3L)(j) == p(1L)(j) + p(2L)(j)),
+      "projection is linear on integral inputs")
+  }
+
+  test("temperatureSample upsamples tail strata relative to the head, deterministically") {
+    import spark.implicits._
+    val docs = ((1 to 800).map(i => (i.toLong, "en")) ++ (801 to 850).map(i => (i.toLong, "fr")))
+      .toDF("doc_id", "lang")
+    val kept = Graft.temperatureSample(docs, "lang", $"doc_id")
+    val rates = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(rates("fr") / 50.0 > rates("en") / 800.0, "tail keep-rate must exceed head keep-rate")
+    val total = rates.values.sum
+    assert(total > 0.3 * 850 && total < 0.7 * 850, s"target ~half the corpus, got $total")
+    assert(kept.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      Graft.temperatureSample(docs, "lang", $"doc_id")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("madOutliers flags a planted extreme; the median is not dragged by it") {
+    import spark.implicits._
+    val df = ((1 to 99).map(i => ("g", i.toLong, 10.0 + (i % 5))) :+ (("g", 100L, 1e6)))
+      .toDF("grp", "id", "v")
+    val out = Graft.madOutliers(df, "grp", "v").collect()
+    assert(out.map(_.getLong(1)).toSet == Set(100L), "exactly the planted extreme")
+    val rz = out.head.getDouble(out.head.fieldIndex("robust_z"))
+    assert(rz > 1000, s"extreme should score huge, got $rz")
+  }
+
+  test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
+    import spark.implicits._
+    val df = (1 to 20).flatMap(k => Seq((k.toLong, 100.0 * (21 - k)))).toDF("k", "m")
+    val out = Graft.abcClassify(df, $"k", $"m").orderBy($"cum_share").collect()
+    val shares = out.map(_.getDouble(2))
+    assert(shares.zip(shares.tail).forall { case (x, y) => x <= y })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+    out.foreach { r =>
+      val (s, c) = (r.getDouble(2), r.getString(3))
+      assert(if (s <= 0.80) c == "A" else if (s <= 0.95) c == "B" else c == "C")
+    }
+    assert(math.abs(out.map(_.getDouble(1)).sum - (1 to 20).map(k => 100.0 * (21 - k)).sum) < 1e-6)
+  }
 }

@@ -54,7 +54,9 @@ class RegistrySpec extends AnyFunSuite {
     "q84_mixture_report",      // 1-row totals cross join
     "q96_gapfill",             // dense-axis grid: hour sequence × 5-row type dim
     "q121_ranked_search",      // 1-row corpus-count cross join (IDF weight)
-    "q125_rfm_features")       // 1-row corpus-max-ts cross join (recency)
+    "q125_rfm_features",       // 1-row corpus-max-ts cross join (recency)
+    "q129_bm25",               // 1-row corpus-stats cross join (N, avgdl)
+    "q132_temperature_mix")    // 1-row weight-total cross join
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
