@@ -692,9 +692,56 @@ object Analytics {
       .orderBy(col("l_partkey"))
   }
 
+  /** Time-weighted average value per user — each event's value "held"
+    * until the user's next event, weighted by the hold duration: the
+    * correct mean for irregularly-sampled state (sensor readings,
+    * account balances, prices), where the arithmetic mean over-weights
+    * bursts. The last event of each user carries no duration and is
+    * excluded (standard TWA convention over a finite horizon).
+    *
+    * Determinism: durations are exact integer microseconds, the
+    * weighted sum runs in DECIMAL × int64 (exact, order-free), and only
+    * the final ratio divides the two exact totals as doubles. The
+    * weighted total scaled ×100 exceeds 2⁵³ here, so the decimal→double
+    * cast itself is the one rounding step engines may disagree on by an
+    * ulp — the ratio is therefore rounded to 6 dp (q68's contract).
+    *
+    * Scale: ONE hash exchange on user_id — the window sort and the
+    * final per-user aggregate share the same partitioning, so the
+    * aggregate reuses the window's shuffle (plan-asserted). */
+  val q136TimeWeighted: Q = Q.sql(
+    "q136_time_weighted",
+    """WITH d AS (
+      |  SELECT user_id, value,
+      |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts) AS dur_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+      |    / CAST(SUM(dur_us) AS DOUBLE), 6) AS twa
+      |FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("dur_us"))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("total_us"),
+        round(sum(dec(col("value")) * col("dur_us")).cast("double")
+          / sum(col("dur_us")).cast("double"), 6).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
-    q133MadOutliers, q134AbcClass)
+    q133MadOutliers, q134AbcClass, q136TimeWeighted)
 }

@@ -548,6 +548,38 @@ object Relational {
     s.sql(LateralSql)
   }
 
+  /** Relational division ("FOR ALL"): customers whose orders cover EVERY
+    * order priority present in the fact table — the classic
+    * division-by-count rewrite (per-customer distinct-priority count ==
+    * global distinct-priority count), which is how every engine actually
+    * executes universal quantification.
+    *
+    * Scale: both sides collapse to distinct-count aggregates before any
+    * comparison — the fact table shuffles once at (custkey, priority)
+    * grain (map-side combined), the divisor is a 1-row broadcast. No
+    * per-customer set materialization, no anti-join against the
+    * divisor × customers grid. */
+  val q137Division: Q = Q.sql(
+    "q137_division",
+    """WITH per_cust AS (
+      |  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS np
+      |  FROM orders GROUP BY o_custkey),
+      |divisor AS (SELECT COUNT(DISTINCT o_orderpriority) AS total FROM orders)
+      |SELECT p.o_custkey, p.np
+      |FROM per_cust p CROSS JOIN divisor d
+      |WHERE p.np = d.total
+      |ORDER BY p.o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("np"))
+    val divisor = orders.agg(countDistinct(col("o_orderpriority")).as("total"))
+    perCust.crossJoin(broadcast(divisor))
+      .filter(col("np") === col("total"))
+      .select(col("o_custkey"), col("np"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** All relational inventory queries. */
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinInner, q04JoinLeft,
@@ -555,5 +587,5 @@ object Relational {
     q10Except, q11WindowTopK, q12WindowRunning, q13Pivot, q14Conditional,
     q15OrderLimit, q16Having, q17Rollup, q18GroupMaxJoin, q19StringFuncs,
     q20ArrayOps, q21EventsHourly, q22JsonExtract, q23SnowflakeJoin,
-    q130Subqueries, q135Lateral)
+    q130Subqueries, q135Lateral, q137Division)
 }
