@@ -304,4 +304,12 @@ object Graft {
   def abcClassify(df: DataFrame, key: org.apache.spark.sql.Column,
                   measure: org.apache.spark.sql.Column): DataFrame =
     ops.Analytics.abcOf(df, key, measure)
+
+  /** Leave-one-out smoothed target encoding + frequency encoding of the
+    * categorical `cat` against numeric `target` (≤2 decimal places):
+    * appends `loo_enc` and `freq_enc`. Category stats broadcast back;
+    * the scan never shuffles. */
+  def targetEncode(df: DataFrame, cat: String, target: String,
+                   smoothing: Int = 10): DataFrame =
+    ops.Encoding.targetEncodeLoo(df, cat, target, smoothing)
 }

@@ -155,6 +155,31 @@ object Streaming {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[followWithin]] plus the
+    * unmatched side: every `first`-type event eventually emits, matched
+    * rows as they pair, unmatched rows with NULL b_id/gap once the
+    * watermark passes their join horizon (ts + gap + delay) and Spark
+    * can PROVE no future match exists. That deferred-null emission is
+    * the semantics batch left joins get for free and streams must buy
+    * with the watermark — the funnel-with-dropouts shape (clicks that
+    * never purchased), with the same bounded state as the inner form. */
+  def followWithinOuter(events: DataFrame, first: String, second: String,
+                        gapHours: Int = 1): DataFrame = {
+    val a = events.filter(col("event_type") === first)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val b = events.filter(col("event_type") === second)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gapHours HOUR"),
+      "leftOuter")
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Stream-static enrichment join: the unbounded stream joined to a
     * static dimension (type → weight). The static side broadcasts and is
     * re-read per micro-batch; the join keeps NO streaming state — each

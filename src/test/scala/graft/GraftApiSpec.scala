@@ -357,6 +357,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(rz > 1000, s"extreme should score huge, got $rz")
   }
 
+  test("targetEncode: LOO removes the row's own target; frequency encodes n/N") {
+    import spark.implicits._
+    // category "a": targets 10, 20; category "b": target 30 (n=1);
+    // global prior = 20
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "cat", "t")
+    val out = Graft.targetEncode(df, "cat", "t", smoothing = 1)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getDouble(r.fieldIndex("loo_enc")), r.getDouble(r.fieldIndex("freq_enc")))).toMap
+    // m=1: row1 = (30-10+20)/(2-1+1) = 20; row2 = (30-20+20)/2 = 15;
+    // row3 (single-member category) = (30-30+20)/(1-1+1) = prior = 20
+    assert(out(1L)._1 == 20.0 && out(2L)._1 == 15.0 && out(3L)._1 == 20.0)
+    assert(out(1L)._2 == 0.666667 && out(3L)._2 == 0.333333)
+    intercept[IllegalArgumentException](Graft.targetEncode(df, "cat", "t", smoothing = 0))
+  }
+
   test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
     import spark.implicits._
     val df = (1 to 20).flatMap(k => Seq((k.toLong, 100.0 * (21 - k)))).toDF("k", "m")

@@ -204,6 +204,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks as NULLs only after the watermark proves no match") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // timestamps must sit well past the epoch: the 2h watermark delay
+    // clamps a near-epoch watermark to 0 and nothing ever finalizes
+    def ev(id: Long, user: Long, typ: String, minutes: Long) =
+      Event(id, new java.sql.Timestamp(1700000000000L + minutes * 60000L), user, typ, 1.0)
+    val stream = MemoryStream[Event]
+    val q = Streaming.followWithinOuter(stream.toDF(), "click", "purchase")
+      .writeStream.format("memory").queryName("outer_funnel").outputMode("append").start()
+    try {
+      // u1 converts within the hour; u2 clicks and never purchases
+      stream.addData(ev(1, 1, "click", 0), ev(2, 1, "purchase", 30), ev(3, 2, "click", 5))
+      q.processAllAvailable()
+      val early = spark.table("outer_funnel").collect()
+      assert(early.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)),
+        "the matched pair emits immediately; the unmatched click must wait for its horizon")
+      assert(!early.exists(_.isNullAt(2)),
+        "no null-joined row may emit before the watermark closes its horizon")
+      // push BOTH sides' watermarks past u2's click + 1h gap + 2h delay:
+      // the sides watermark independently (even off one source) and the
+      // query watermark is their MIN, so a click alone advances nothing
+      stream.addData(ev(9, 9, "click", 600), ev(10, 10, "purchase", 601))
+      q.processAllAvailable()
+      val late = spark.table("outer_funnel")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+      assert(late.contains((1L, 1L, false)), s"u1's pair stays matched, got ${late.mkString(",")}")
+      assert(late.contains((2L, 3L, true)), s"u2's click must emit null-joined, got ${late.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches every event from the broadcast dim, stateless") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
