@@ -739,9 +739,135 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Gap interpolation — q96's dense grid with LINEAR interpolation
+    * across the missing cells instead of zero-fill: the resample-to-
+    * uniform-grid step of any time-series feature pipeline. Each absent
+    * (hour, type) cell gets `pv + (nv − pv)·(k − pk)/(nk − pk)` from its
+    * bracketing observations; cells outside the observed range stay
+    * NULL (no extrapolation).
+    *
+    * Determinism: observed values are exact DECIMAL sums cast to double
+    * (small magnitudes, exact), grid positions are exact int64 hours,
+    * and the interpolation is ONE fixed IEEE expression both engines
+    * evaluate on identical inputs.
+    *
+    * Scale: the IGNORE NULLS window pair runs per event_type over the
+    * GRID (|hours|·|types| rows, not raw events) on one hash exchange;
+    * the heavy work remains the map-side-combined hourly aggregate. */
+  val q139Interpolate: Q = Q.sql(
+    "q139_interpolate",
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(ts) // 3600000000) AS hmin,
+      |         MAX(epoch_us(ts) // 3600000000) AS hmax
+      |  FROM events),
+      |h AS (SELECT unnest(generate_series(hmin, hmax)) AS k FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS k, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT h.k, t.event_type, c.v
+      |  FROM h CROSS JOIN t
+      |  LEFT JOIN c ON c.k = h.k AND c.event_type = t.event_type),
+      |n AS (
+      |  SELECT k, event_type, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pk,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nk
+      |  FROM g)
+      |SELECT k * 3600000000 AS hour_start, event_type, v AS v_obs,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |       ELSE pv + (nv - pv) * (CAST(k - pk AS DOUBLE) / CAST(nk - pk AS DOUBLE))
+      |  END AS v_interp
+      |FROM n
+      |ORDER BY hour_start, event_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select((unix_micros(col("ts")) / 3600000000L).cast("long").as("k"),
+        col("event_type"), col("value"))
+    val hours = ev.agg(min(col("k")).as("hmin"), max(col("k")).as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("k"))
+    val types = ev.select(col("event_type")).distinct()
+    val obs = ev.groupBy(col("k"), col("event_type"))
+      .agg(msum(col("value")).as("v"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("k"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    hours.crossJoin(broadcast(types))
+      .join(obs, Seq("k", "event_type"), "left")
+      .select(col("k"), col("event_type"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+        last(when(col("v").isNotNull, col("k")), ignoreNulls = true).over(wp).as("pk"),
+        first(col("v"), ignoreNulls = true).over(wn).as("nv"),
+        first(when(col("v").isNotNull, col("k")), ignoreNulls = true).over(wn).as("nk"))
+      .select((col("k") * 3600000000L).as("hour_start"), col("event_type"),
+        col("v").as("v_obs"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("k") - col("pk")).cast("double") / (col("nk") - col("pk")).cast("double")))
+          .as("v_interp"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Per-group OLS trend line (slope + intercept) from EXACT moments —
+    * the engines' built-in regr_slope accumulate floats in stream order
+    * (not reproducible across partitionings), so slope is derived from
+    * exact sums in one fixed IEEE expression, the q107/q119 recipe
+    * extended to regression. x is day-since-epoch recentred by a
+    * constant so every intermediate stays far below 2⁵³.
+    *
+    * Scale: one map-side-combined grouped aggregate over the scan;
+    * output is |groups| rows. */
+  val q140TrendLines: Q = Q.sql(
+    "q140_trend_lines",
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(epoch_us(ts) // 86400000000 - 19700) AS sx,
+      |    SUM((epoch_us(ts) // 86400000000 - 19700)
+      |        * (epoch_us(ts) // 86400000000 - 19700)) AS sxx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+      |        * (epoch_us(ts) // 86400000000 - 19700)) AS DOUBLE) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        expr("unix_micros(ts) DIV 86400000000 - 19700").as("x"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec(col("value"))).cast("double").as("sy"),
+        sum(dec(col("value")) * col("x")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
-    q133MadOutliers, q134AbcClass, q136TimeWeighted)
+    q133MadOutliers, q134AbcClass, q136TimeWeighted, q139Interpolate,
+    q140TrendLines)
 }

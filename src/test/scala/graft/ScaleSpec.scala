@@ -64,6 +64,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact at RUNTIME") {
+    // the 100 TB star-join staple: the fact is partitioned on the join
+    // key, the dim filter is only known at runtime — DPP turns the full
+    // fact scan into a subquery-driven partition scan. Static pruning
+    // (test above) can't do this: the pruning values come from a JOIN,
+    // not a literal.
+    val path = "target/fixtures/orders_by_priority"
+    Tables.orders(spark, Sf0001).write
+      .partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    val dim = Tables.orders(spark, Sf0001)
+      .select(col("o_orderpriority").as("p")).distinct()
+      .filter(col("p") <= "2") // runtime-filtered dim (priorities 1-2 of 5)
+    val joined = spark.read.parquet(path)
+      .join(dim, col("o_orderpriority") === col("p"))
+      .agg(count(lit(1)))
+    val plan = formatted(joined)
+    assert(plan.contains("dynamicpruning"), plan)
+    val expected = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderpriority") <= "2").count()
+    assert(joined.head.getLong(0) == expected)
+  }
+
   test("approx_count_distinct stays within its 2% rsd band (q63)") {
     val rows = SparkEntry.queries("q63_approx_distinct")(spark, Sf001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
