@@ -864,10 +864,40 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user behavioral diversity as GINI IMPURITY over the event-type
+    * distribution: 1 − Σ p_t². The log-free diversity metric — Shannon
+    * entropy needs ln, which is not bit-portable across libms (the
+    * q76/q82 lesson), while Gini is a pure ratio of exact integer
+    * sums: deterministic on any engine at any partitioning.
+    *
+    * Scale: two stacked map-side-combined aggregates — (user, type)
+    * grain then user grain — both shuffles carry pre-aggregated counts;
+    * the second groupBy reuses the first's hash partitioning prefix. */
+  val q141GiniDiversity: Q = Q.sql(
+    "q141_gini_diversity",
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+      |        CAST(SUM(n*n) AS BIGINT) AS sq FROM c GROUP BY 1)
+      |SELECT user_id, tot AS n_events,
+      |  1.0 - CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE) AS gini
+      |FROM t ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("tot"), sum(col("n") * col("n")).as("sq"))
+      .select(col("user_id"), col("tot").as("n_events"),
+        (lit(1.0) - col("sq").cast("double")
+          / (col("tot") * col("tot")).cast("double")).as("gini"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
     q133MadOutliers, q134AbcClass, q136TimeWeighted, q139Interpolate,
-    q140TrendLines)
+    q140TrendLines, q141GiniDiversity)
 }

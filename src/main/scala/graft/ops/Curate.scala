@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import graft.Q
+import graft.{Q, Tables}
 
 /** End-to-end corpus curation — the composition a 100 TB training-data
   * run actually executes: quality floor (composite score + length) ∧
@@ -69,5 +69,115 @@ object Curate {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(q75CuratedCorpus)
+  /** The full training-mix manifest — q75's curation chain extended to
+    * the complete pre-training data recipe, composed as ONE lazy plan:
+    *
+    *   quality floor ([[TextAnalysis.textStats]])
+    *   ∧ near-dup survivorship ([[Dedup.minhashPairs]] →
+    *     [[Components.connectedComponents]])
+    *   ∧ benchmark decontamination ([[Decontam.decontaminate]] against
+    *     the doc_id % 20 eval split)
+    *   → τ=½ temperature rebalancing over the SURVIVING corpus
+    *     ([[Sampling.temperatureThresholds]] — thresholds depend on the
+    *     whole upstream chain, the real data dependency)
+    *   → per-language manifest (eligible, sampled, sampled words).
+    *
+    * The oracle replays every stage — shingles, signatures, banding,
+    * verified pairs, transitive closure, contamination fractions,
+    * integer thresholds, md5 membership — so the gate checks the
+    * COMPOSITION, not just each stage alone.
+    *
+    * Shape at scale: three corpus scans (scoring, shingle pipeline,
+    * sample filter) — the shingle pass feeds dedup AND decontamination
+    * from one exchange (ReuseExchange); everything that joins back to
+    * the corpus (drop set, contamination set, thresholds) broadcasts. */
+  val q143TrainingManifest: Q = Q.sql(
+    "q143_training_manifest",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |  WHERE id != component),
+       |${Dedup.oracleDocs},
+       |${Dedup.oracleHashed},
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 20 = 0),
+       |corp AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+       |  FROM hashed WHERE doc_id % 20 != 0),
+       |contaminated AS (
+       |  SELECT corp.doc_id FROM corp LEFT JOIN ev ON corp.h = ev.h
+       |  GROUP BY corp.doc_id, corp.n_shingles
+       |  HAVING CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / corp.n_shingles >= 0.1),
+       |stats AS (
+       |  ${TextAnalysis.oracleTextStats.replace("\n", "\n  ")}),
+       |eligible AS (
+       |  SELECT s.doc_id, s.lang, s.n_words FROM stats s
+       |  ANTI JOIN dropped ON s.doc_id = dropped.id
+       |  ANTI JOIN contaminated c ON s.doc_id = c.doc_id
+       |  WHERE s.quality >= $MinQuality AND s.n_words >= $MinWords
+       |    AND s.doc_id % 20 != 0),
+       |sstats AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+       |  FROM eligible GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn
+       |        FROM sstats),
+       |thr AS (
+       |  SELECT lang, n_docs, w,
+       |    LEAST(1000000, ((tn // 2) * w * 1000000) // (tw * n_docs)) AS thr_micro
+       |  FROM sstats CROSS JOIN tot),
+       |picked AS (
+       |  SELECT e.lang, e.n_words,
+       |    CASE WHEN CAST(concat('0x', substr(md5(concat('tmix:',
+       |             CAST(e.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+       |           < t.thr_micro THEN 1 ELSE 0 END AS pick
+       |  FROM eligible e JOIN thr t ON e.lang = t.lang)
+       |SELECT p.lang, t.n_docs, t.thr_micro,
+       |  CAST(SUM(p.pick) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN p.pick = 1 THEN p.n_words ELSE 0 END) AS BIGINT)
+       |    AS sampled_words
+       |FROM picked p JOIN thr t ON p.lang = t.lang
+       |GROUP BY p.lang, t.n_docs, t.thr_micro
+       |ORDER BY p.lang""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val dropped = Components.connectedComponents(
+        Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    val contaminated = Decontam.decontaminate(train, evalSet)
+      .filter(col("contaminated")).select(col("doc_id").as("cid"))
+    val eligible = TextAnalysis.textStats(s, dir)
+      .filter(col("quality") >= MinQuality && col("n_words") >= MinWords
+        && col("doc_id") % 20 =!= 0)
+      .join(broadcast(dropped), col("doc_id") === col("id"), "left_anti")
+      .join(broadcast(contaminated), col("doc_id") === col("cid"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_words"))
+    val thr = Sampling.temperatureThresholds(eligible, "lang")
+    eligible
+      .join(broadcast(thr.select(col("lang"), col("thr_micro"))), "lang")
+      .withColumn("pick",
+        (call_function("graft_md5long64",
+          concat(lit("tmix:"), col("doc_id").cast("string"))) % 1000000
+          < col("thr_micro")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("pick")).as("n_sampled"),
+        sum(when(col("pick") === 1, col("n_words")).otherwise(0L)).as("sampled_words"))
+      .join(broadcast(thr.select(col("lang"), col("n_docs"), col("thr_micro"))), "lang")
+      .select(col("lang"), col("n_docs"), col("thr_micro"),
+        col("n_sampled"), col("sampled_words"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest)
 }

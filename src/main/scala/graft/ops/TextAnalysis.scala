@@ -443,6 +443,63 @@ object TextAnalysis {
     bm25Of(Tables.documents(s, dir), SearchTerms, 50)
   }
 
+  /** Cross-subcorpus contamination matrix: pairwise Jaccard overlap of
+    * the distinct 5-gram shingle sets of each language — the "how much
+    * do my data sources share" report a corpus-mixing pipeline runs
+    * before weighting (and the symmetric generalization of q101's
+    * one-directional eval-set decontamination).
+    *
+    * Scale (100 TB): everything runs at (lang, shingle-HASH) grain —
+    * distinct-ified per subcorpus before the self-join, so the join
+    * input is each subcorpus's vocabulary, not its token stream, and a
+    * shingle present in L subcorpora yields only C(L,2) ≤ C(|langs|,2)
+    * pairs. Join keys are 60-bit md5 longs (8 B), the q25 shuffle-
+    * compactness rule. Zero-overlap pairs drop out (inner join) —
+    * absent row = no shared shingle. */
+  val q142LangOverlap: Q = Q.sql(
+    "q142_lang_overlap",
+    """WITH wl AS (
+      |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(w)-3),
+      |      i -> CAST(concat('0x', substr(md5(
+      |        concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])), 1, 15)) AS BIGINT))) AS h
+      |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |sz AS (SELECT lang, COUNT(*) AS n FROM wl GROUP BY lang),
+      |inter AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS shared
+      |  FROM wl a JOIN wl b ON a.h = b.h AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT i.lang_a, i.lang_b, i.shared,
+      |  round(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 6) AS jaccard
+      |FROM inter i
+      |JOIN sz sa ON sa.lang = i.lang_a
+      |JOIN sz sb ON sb.lang = i.lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+  ) { (s, dir) =>
+    val wl = Tables.documents(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, size(w) - 5), i ->
+          |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))""".stripMargin)).as("sh"))
+      .select(col("lang"), Hashes.hexLong(col("sh")).as("h"))
+      .distinct()
+    val sz = wl.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = wl.as("a")
+      .join(wl.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(broadcast(sz.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
+      .join(broadcast(sz.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
-    q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25)
+    q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
+    q142LangOverlap)
 }
