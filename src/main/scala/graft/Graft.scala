@@ -312,4 +312,10 @@ object Graft {
   def targetEncode(df: DataFrame, cat: String, target: String,
                    smoothing: Int = 10): DataFrame =
     ops.Encoding.targetEncodeLoo(df, cat, target, smoothing)
+
+  /** Triangles (a, b, c) of an (i, j) edge frame with i < j per row —
+    * each emitted once; pairs well with [[connectedComponents]] for
+    * cluster-density audits. */
+  def triangles(edges: DataFrame): DataFrame =
+    ops.Components.triangles(edges)
 }

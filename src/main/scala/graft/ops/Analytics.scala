@@ -894,10 +894,64 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Market-basket co-occurrence with LIFT: part pairs bought together
+    * in ≥3 orders, scored by lift = P(a,b)/(P(a)·P(b)) — the classic
+    * association-rule mining shape (and the q82 collocation idea lifted
+    * from token streams to transactions).
+    *
+    * Determinism: lift is ONE double expression over exact integer
+    * counts (q82's ratio-only-scoring rule), rounded 6 dp.
+    *
+    * Scale: the pair self-join runs WITHIN order groups only (equi-join
+    * on l_orderkey), so pair volume is Σ C(basket,2) — linear for
+    * bounded baskets, never |parts|². The min-support HAVING prunes
+    * before the part-frequency joins; part counts broadcast. */
+  val q144MarketBasket: Q = Q.sql(
+    "q144_market_basket",
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pc AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY 1),
+      |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p.part_a, p.part_b, p.n_both,
+      |  round(CAST(p.n_both AS DOUBLE) * no.n_orders / (pa.n * pb.n), 6) AS lift
+      |FROM pairs p
+      |JOIN pc pa ON pa.l_partkey = p.part_a
+      |JOIN pc pb ON pb.l_partkey = p.part_b
+      |CROSS JOIN no
+      |ORDER BY lift DESC, part_a, part_b
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val no = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pairs = op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+    pairs
+      .join(pc.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
+      .join(pc.select(col("l_partkey").as("part_b"), col("n").as("nb")), "part_b")
+      .crossJoin(broadcast(no))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_orders")
+          / (col("na") * col("nb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
     q133MadOutliers, q134AbcClass, q136TimeWeighted, q139Interpolate,
-    q140TrendLines, q141GiniDiversity)
+    q140TrendLines, q141GiniDiversity, q144MarketBasket)
 }

@@ -146,5 +146,41 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors)
+  /** Triangle enumeration over the near-dup pair graph — the standard
+    * distributed graph primitive beyond connected components (clustering
+    * coefficients, community seeds, dedup-cluster density audits). With
+    * edges stored once as (i < j), a triangle i<j<k is exactly one
+    * (i,j)⋈(j,k) wedge closed by an (i,k) edge, so each triangle is
+    * produced once — no orientation dedup pass.
+    *
+    * Scale: two equi-joins on edge endpoints. Wedge count is Σ deg²,
+    * the known cost of distributed triangle listing — bounded here
+    * because near-dup cluster sizes are bounded; on power-law graphs
+    * the standard mitigation (orient edges low-degree → high-degree)
+    * drops in without changing the result. */
+  /** (a, b, c) triangles of an (i, j) edge frame with i < j on every
+    * row; each triangle emitted exactly once. Exposed for the facade
+    * and [[q145Triangles]]. */
+  private[graft] def triangles(edges: DataFrame): DataFrame =
+    edges.as("e1")
+      .join(edges.as("e2"), col("e2.i") === col("e1.j"))
+      .join(edges.as("e3"),
+        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+      .select(col("e1.i").as("a"), col("e1.j").as("b"), col("e2.j").as("c"))
+
+  val q145Triangles: Q = Q.sql(
+    "q145_triangles",
+    s"""WITH np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")})
+       |SELECT e1.i AS a, e1.j AS b, e2.j AS c
+       |FROM np e1
+       |JOIN np e2 ON e2.i = e1.j
+       |JOIN np e3 ON e3.i = e1.i AND e3.j = e2.j
+       |ORDER BY a, b, c""".stripMargin
+  ) { (s, dir) =>
+    triangles(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles)
 }

@@ -372,6 +372,17 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.targetEncode(df, "cat", "t", smoothing = 0))
   }
 
+  test("triangles enumerates each planted triangle exactly once; open wedges excluded") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus an open wedge 5-6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("i", "j")
+    val tri = Graft.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    assert(tri.length == 4, "each triangle exactly once")
+  }
+
   test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
     import spark.implicits._
     val df = (1 to 20).flatMap(k => Seq((k.toLong, 100.0 * (21 - k)))).toDF("k", "m")

@@ -60,7 +60,8 @@ class RegistrySpec extends AnyFunSuite {
     "q137_division",           // 1-row divisor-count cross join
     "q138_target_encode",      // 1-row global-prior cross join
     "q139_interpolate",        // dense-axis grid: hour sequence × 5-row type dim
-    "q143_training_manifest")  // 1-row weight-total cross join (via temperature thresholds)
+    "q143_training_manifest",  // 1-row weight-total cross join (via temperature thresholds)
+    "q144_market_basket")      // 1-row order-count cross join (lift denominator)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
