@@ -148,13 +148,19 @@ object Curate {
        |ORDER BY p.lang""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val train = docs.filter(col("doc_id") % 20 =!= 0)
-    val evalSet = docs.filter(col("doc_id") % 20 === 0)
     val dropped = Components.connectedComponents(
         Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    val contaminated = Decontam.decontaminate(train, evalSet)
+    // hash the FULL corpus once and split above the aggregation barrier:
+    // this subtree canonicalizes identically to the one inside
+    // minhashPairs, so the shingle exchange is reusable by dedup AND
+    // decontamination (filtering the raw frames first would build two
+    // more full shingle pipelines)
+    val hashed = Dedup.hashedShinglesOf(docs)
+    val contaminated = Decontam.decontaminateHashed(
+        hashed.filter(col("doc_id") % 20 =!= 0),
+        hashed.filter(col("doc_id") % 20 === 0))
       .filter(col("contaminated")).select(col("doc_id").as("cid"))
     val eligible = TextAnalysis.textStats(s, dir)
       .filter(col("quality") >= MinQuality && col("n_words") >= MinWords

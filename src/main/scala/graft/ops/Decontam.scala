@@ -27,11 +27,25 @@ object Decontam {
     * contaminated fraction, and the ≥ `minFrac` drop flag. Unordered —
     * callers add their own sort. */
   private[graft] def decontaminate(corpus: DataFrame, evalSet: DataFrame,
-                                   minFrac: Double = 0.1): DataFrame = {
-    val evalShingles = Dedup.hashedShinglesOf(evalSet)
+                                   minFrac: Double = 0.1): DataFrame =
+    decontaminateHashed(
+      Dedup.hashedShinglesOf(corpus), Dedup.hashedShinglesOf(evalSet), minFrac)
+
+  /** [[decontaminate]] over pre-hashed shingle frames (doc_id, hs) —
+    * the composition entry point: when corpus and eval are row-filters
+    * of ONE source, callers can hash the full corpus once (the same
+    * subtree other dedup stages build) and split ABOVE the aggregation
+    * barrier, making the shingle exchange reusable across every
+    * consumer instead of shingling each filtered subset separately.
+    * (At sf0.1 q143's wall time is dominated by the CC rounds, so the
+    * saving there is structural, not headline — it matters when the
+    * shingle pass is the expensive stage, i.e. at corpus scale.) */
+  private[graft] def decontaminateHashed(corpusHashed: DataFrame, evalHashed: DataFrame,
+                                         minFrac: Double = 0.1): DataFrame = {
+    val evalShingles = evalHashed
       .select(explode(col("hs")).as("h")).distinct()
       .withColumn("hit", lit(1L))
-    Dedup.hashedShinglesOf(corpus)
+    corpusHashed
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
         explode(col("hs")).as("h"))
       .join(broadcast(evalShingles), Seq("h"), "left")
