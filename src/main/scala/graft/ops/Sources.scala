@@ -130,5 +130,39 @@ object Sources {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(q53CsvScan, q54JsonMultiline, q126CorruptScan)
+  /** Schema evolution: two parquet batches written under one dataset
+    * root — an old batch WITHOUT the `source` column and a new batch
+    * with it — read back through `mergeSchema`, old rows surfacing NULL
+    * for the added column. The additive-column migration every
+    * long-lived warehouse dataset goes through; the oracle replays the
+    * NULL-for-old-rows rule directly against the source table, so a
+    * reader that dropped old rows, misaligned columns, or defaulted the
+    * NULLs would all hash-fail.
+    *
+    * Scale: mergeSchema unions footers at planning time; the scan
+    * itself stays columnar/splittable and column pruning still reaches
+    * both batches (the absent column reads as constant NULL). */
+  val q147SchemaMerge: Q = Q.sql(
+    "q147_schema_merge",
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1
+      |ORDER BY source NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val root = s"${fixtureRoot(dir)}/documents_evolved"
+    val base = Tables.documents(s, dir)
+    // Always rewrite — same staleness rationale as the CSV fixture above.
+    base.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    base.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(q53CsvScan, q54JsonMultiline, q126CorruptScan, q147SchemaMerge)
 }

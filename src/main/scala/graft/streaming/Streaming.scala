@@ -258,5 +258,25 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin)
+  /** Batch registry entry for [[followWithinOuter]] — the
+    * funnel-with-dropouts report: every click, paired if a purchase
+    * followed within 1h, NULL-joined if not. The oracle checks both the
+    * matched pairs AND the dropout rows, the semantics the streaming
+    * spec proves emit after watermark passage. */
+  val q146FunnelDropouts: Q = Q.sql(
+    "q146_funnel_dropouts",
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |ORDER BY a_id, b_id NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    followWithinOuter(Tables.events(s, dir), "click", "purchase")
+      .orderBy(col("a_id"), col("b_id").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
+    q146FunnelDropouts)
 }
