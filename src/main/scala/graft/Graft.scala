@@ -318,4 +318,11 @@ object Graft {
     * cluster-density audits. */
   def triangles(edges: DataFrame): DataFrame =
     ops.Components.triangles(edges)
+
+  /** Market-basket lift: item pairs co-occurring in ≥ `minSupport`
+    * baskets as (item_a, item_b, n_both, lift) — the pair join runs
+    * within basket groups only, never all item pairs. */
+  def basketLift(df: DataFrame, basket: org.apache.spark.sql.Column,
+                 item: org.apache.spark.sql.Column, minSupport: Long = 3L): DataFrame =
+    ops.Analytics.basketLiftOf(df, basket, item, minSupport)
 }

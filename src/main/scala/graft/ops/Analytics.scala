@@ -906,6 +906,32 @@ object Analytics {
     * on l_orderkey), so pair volume is Σ C(basket,2) — linear for
     * bounded baskets, never |parts|². The min-support HAVING prunes
     * before the part-frequency joins; part counts broadcast. */
+  /** Generic basket lift over any (basket, item) frame: item pairs
+    * co-occurring in ≥ `minSupport` baskets, lift from exact counts —
+    * see [[q144MarketBasket]] for the contract. Emits
+    * (item_a, item_b, n_both, lift). */
+  private[graft] def basketLiftOf(df: org.apache.spark.sql.DataFrame,
+                                  basket: org.apache.spark.sql.Column,
+                                  item: org.apache.spark.sql.Column,
+                                  minSupport: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val op = df.select(basket.as("__graft_basket"), item.as("__graft_item")).distinct()
+    val pc = op.groupBy(col("__graft_item")).agg(count(lit(1)).as("n"))
+    val no = op.agg(countDistinct(col("__graft_basket")).as("n_orders"))
+    op.as("a")
+      .join(op.as("b"),
+        col("a.__graft_basket") === col("b.__graft_basket")
+          && col("a.__graft_item") < col("b.__graft_item"))
+      .groupBy(col("a.__graft_item").as("item_a"), col("b.__graft_item").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+      .join(pc.select(col("__graft_item").as("item_a"), col("n").as("na")), "item_a")
+      .join(pc.select(col("__graft_item").as("item_b"), col("n").as("nb")), "item_b")
+      .crossJoin(broadcast(no))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_orders")
+          / (col("na") * col("nb")), 6).as("lift"))
+  }
+
   val q144MarketBasket: Q = Q.sql(
     "q144_market_basket",
     """WITH op AS (
@@ -926,24 +952,8 @@ object Analytics {
       |ORDER BY lift DESC, part_a, part_b
       |LIMIT 20""".stripMargin
   ) { (s, dir) =>
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val no = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val pairs = op.as("a")
-      .join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= 3)
-    pairs
-      .join(pc.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
-      .join(pc.select(col("l_partkey").as("part_b"), col("n").as("nb")), "part_b")
-      .crossJoin(broadcast(no))
-      .select(col("part_a"), col("part_b"), col("n_both"),
-        round(col("n_both").cast("double") * col("n_orders")
-          / (col("na") * col("nb")), 6).as("lift"))
+    basketLiftOf(Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"))
+      .withColumnsRenamed(Map("item_a" -> "part_a", "item_b" -> "part_b"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(20)
   }

@@ -372,6 +372,17 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.targetEncode(df, "cat", "t", smoothing = 0))
   }
 
+  test("basketLift scores a planted always-together pair above independent items") {
+    import spark.implicits._
+    // items 1,2 always together (4 baskets); item 3 everywhere (8 baskets)
+    val rows = (1 to 4).flatMap(b => Seq((b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L))) ++
+      (5 to 8).flatMap(b => Seq((b.toLong, 3L), (b.toLong, 4L)))
+    val out = Graft.basketLift(rows.toDF("b", "it"), $"b", $"it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // lift(1,2) = 4*8/(4*4) = 2.0; lift(1,3) = 4*8/(4*8) = 1.0
+    assert(out((1L, 2L)) == 2.0 && out((1L, 3L)) == 1.0)
+  }
+
   test("triangles enumerates each planted triangle exactly once; open wedges excluded") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) plus an open wedge 5-6-7
