@@ -958,10 +958,103 @@ object Analytics {
       .limit(20)
   }
 
+  /** Welch's two-sample t statistic between the md5-free A/B split
+    * (user parity) — the experimentation-readout primitive, from EXACT
+    * moments (the q107 recipe): engines disagree on built-in variance
+    * internals, so mean/variance derive from DECIMAL sums of x and x²
+    * and combine in one fixed double expression (√ is correctly
+    * rounded). One grouped aggregate over the scan; a 2-row join after. */
+  val q148AbTest: Q = Q.sql(
+    "q148_ab_test",
+    """WITH g AS (
+      |  SELECT user_id % 2 AS grp, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+      |  FROM events GROUP BY 1)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  round(a.s/a.n - b.s/b.n, 6) AS mean_diff,
+      |  round((a.s/a.n - b.s/b.n) / sqrt(
+      |    ((a.sq - a.s*a.s/a.n)/(a.n-1))/a.n + ((b.sq - b.s*b.s/b.n)/(b.n-1))/b.n), 6)
+      |    AS t_stat
+      |FROM g a CROSS JOIN g b
+      |WHERE a.grp = 0 AND b.grp = 1
+      |ORDER BY n_a""".stripMargin
+  ) { (s, dir) =>
+    val g = Tables.events(s, dir)
+      .groupBy((col("user_id") % 2).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("sq"))
+    val a = g.filter(col("grp") === 0).select(col("n").as("na"), col("s").as("sa"), col("sq").as("sqa"))
+    val b = g.filter(col("grp") === 1).select(col("n").as("nb"), col("s").as("sb"), col("sq").as("sqb"))
+    val meanDiff = col("sa") / col("na") - col("sb") / col("nb")
+    val se = sqrt(
+      ((col("sqa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)) / col("na")
+        + ((col("sqb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)) / col("nb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(meanDiff, 6).as("mean_diff"),
+        round(meanDiff / se, 6).as("t_stat"))
+      .orderBy(col("n_a")) // single row; the registry's total-sort contract
+  }
+
+  /** Kolmogorov–Smirnov distance between two segments' value
+    * distributions (click vs view) — the distribution-drift detector a
+    * data pipeline runs between snapshots / sources. ALL-INTEGER core:
+    * |F_a(v) − F_b(v)| = |ca·n_b − cb·n_a| / (n_a·n_b), so the argmax
+    * is found on exact int64 numerators and floats appear only in the
+    * final reported ratio — no float comparisons anywhere.
+    *
+    * Scale: counts collapse to VALUE grain before the running sums (one
+    * map-side-combined aggregate); the global cumulative window then
+    * orders |distinct values| rows — bounded for quantized metrics; for
+    * unbounded domains, range-partition the prefix sums (q134's note). */
+  val q149KsDrift: Q = Q.sql(
+    "q149_ks_drift",
+    """WITH c AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY value),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      |r AS (
+      |  SELECT value,
+      |    CAST(SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cca,
+      |    CAST(SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccb
+      |  FROM c)
+      |SELECT t.na AS n_a, t.nb AS n_b, r.value AS at_value,
+      |  round(CAST(abs(r.cca*t.nb - r.ccb*t.na) AS DOUBLE) / (t.na*t.nb), 6) AS ks
+      |FROM r CROSS JOIN t
+      |ORDER BY abs(r.cca*t.nb - r.ccb*t.na) DESC, r.value
+      |LIMIT 1""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+    val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val num = abs(col("cca") * col("nb") - col("ccb") * col("na"))
+    c.select(col("value"),
+        sum(col("ca")).over(w).as("cca"),
+        sum(col("cb")).over(w).as("ccb"))
+      .crossJoin(broadcast(t))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("value").as("at_value"),
+        round(num.cast("double") / (col("na") * col("nb")), 6).as("ks"),
+        num.as("__graft_num"))
+      .orderBy(col("__graft_num").desc, col("at_value"))
+      .limit(1)
+      .drop("__graft_num")
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
     q133MadOutliers, q134AbcClass, q136TimeWeighted, q139Interpolate,
-    q140TrendLines, q141GiniDiversity, q144MarketBasket)
+    q140TrendLines, q141GiniDiversity, q144MarketBasket, q148AbTest,
+    q149KsDrift)
 }

@@ -61,7 +61,9 @@ class RegistrySpec extends AnyFunSuite {
     "q138_target_encode",      // 1-row global-prior cross join
     "q139_interpolate",        // dense-axis grid: hour sequence × 5-row type dim
     "q143_training_manifest",  // 1-row weight-total cross join (via temperature thresholds)
-    "q144_market_basket")      // 1-row order-count cross join (lift denominator)
+    "q144_market_basket",      // 1-row order-count cross join (lift denominator)
+    "q148_ab_test",            // 1-row × 1-row group-moment join
+    "q149_ks_drift")           // 1-row totals cross join (ECDF denominators)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
