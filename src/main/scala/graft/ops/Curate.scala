@@ -152,11 +152,10 @@ object Curate {
         Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    // hash the FULL corpus once and split above the aggregation barrier:
-    // this subtree canonicalizes identically to the one inside
-    // minhashPairs, so the shingle exchange is reusable by dedup AND
-    // decontamination (filtering the raw frames first would build two
-    // more full shingle pipelines)
+    // one hashed-shingle helper feeds both decontamination sides; the
+    // split filters push below the aggregation barrier (doc_id is the
+    // grouping key), so execution still shingles per consumer — see the
+    // Catalyst note on Decontam.decontaminateHashed
     val hashed = Dedup.hashedShinglesOf(docs)
     val contaminated = Decontam.decontaminateHashed(
         hashed.filter(col("doc_id") % 20 =!= 0),

@@ -32,14 +32,17 @@ object Decontam {
       Dedup.hashedShinglesOf(corpus), Dedup.hashedShinglesOf(evalSet), minFrac)
 
   /** [[decontaminate]] over pre-hashed shingle frames (doc_id, hs) —
-    * the composition entry point: when corpus and eval are row-filters
-    * of ONE source, callers can hash the full corpus once (the same
-    * subtree other dedup stages build) and split ABOVE the aggregation
-    * barrier, making the shingle exchange reusable across every
-    * consumer instead of shingling each filtered subset separately.
-    * (At sf0.1 q143's wall time is dominated by the CC rounds, so the
-    * saving there is structural, not headline — it matters when the
-    * shingle pass is the expensive stage, i.e. at corpus scale.) */
+    * the composition entry point for pipelines that already hold hashed
+    * shingles (q143 builds them once for dedup and decontamination from
+    * the same helper). NOTE an instructive Catalyst limit, verified on
+    * q143's executed plan: splitting one hashed frame by `doc_id % 20`
+    * does NOT yield a shared shingle exchange — doc_id is the grouping
+    * key, so the filters transpose BELOW the aggregation barrier and
+    * the two consumers' subtrees diverge again (no ReusedExchange).
+    * Within one job the corpus is still shingled per consumer; a real
+    * pipeline that needs the pass shared materializes the hashed frame
+    * (checkpoint / table), exactly what [[graft.Graft.decontaminate]]
+    * callers can do with their own frames. */
   private[graft] def decontaminateHashed(corpusHashed: DataFrame, evalHashed: DataFrame,
                                          minFrac: Double = 0.1): DataFrame = {
     val evalShingles = evalHashed
