@@ -580,6 +580,39 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Bag-semantics INTERSECT ALL — q09's multiset twin: a customer with
+    * three F-orders and two O-orders appears TWICE (min of the
+    * multiplicities), the semantics dedup-sensitive reconciliation
+    * reports need. Spark plans both bag set-ops as an aggregate over
+    * tagged counts + generate — one shuffle, no join explosion. */
+  val q150IntersectAll: Q = Q.sql(
+    "q150_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Bag-semantics EXCEPT ALL — q10's multiset twin: multiplicities
+    * subtract instead of vanishing on first match. */
+  val q151ExceptAll: Q = Q.sql(
+    "q151_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
   /** All relational inventory queries. */
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinInner, q04JoinLeft,
@@ -587,5 +620,6 @@ object Relational {
     q10Except, q11WindowTopK, q12WindowRunning, q13Pivot, q14Conditional,
     q15OrderLimit, q16Having, q17Rollup, q18GroupMaxJoin, q19StringFuncs,
     q20ArrayOps, q21EventsHourly, q22JsonExtract, q23SnowflakeJoin,
-    q130Subqueries, q135Lateral, q137Division)
+    q130Subqueries, q135Lateral, q137Division, q150IntersectAll,
+    q151ExceptAll)
 }
