@@ -190,6 +190,26 @@ object Streaming {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         (col("value") * col("weight")).as("weighted_value"))
 
+  /** Idempotent parquet sink via foreachBatch: each micro-batch
+    * OVERWRITES its own `batch_id=N` partition directory, so replaying
+    * a batch after a failure/restart rewrites the same data instead of
+    * appending duplicates — exactly-once OUTPUT from Spark's
+    * at-least-once batch replay, the standard recipe for sinks without
+    * transactional append. Readers take `spark.read.parquet(path)` and
+    * see each batch once, whatever the retry history.
+    *
+    * Scale: the partition column doubles as the retention/compaction
+    * unit; the write itself is the ordinary distributed parquet path
+    * (splittable, columnar, no driver funnel). */
+  def sinkIdempotent(events: org.apache.spark.sql.Dataset[Event], path: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+      }
+      .start()
+
   /** Batch registry entry for [[slidingCounts]]: the oracle replays the
     * two-windows-per-event expansion with exact integer-microsecond
     * window arithmetic. */

@@ -256,6 +256,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink: replaying a batch rewrites, never duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = MemoryStream[Event]
+    val q = Streaming.sinkIdempotent(stream.toDS(), s"$dir/data", s"$dir/ckpt")
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val once = spark.read.parquet(s"$dir/data").count()
+      assert(once == events.size, "every event lands exactly once across batches")
+      // simulate a failure-replay of the LAST batch: rewrite its
+      // partition out-of-band the same way foreachBatch would
+      val lastId = spark.read.parquet(s"$dir/data")
+        .select(org.apache.spark.sql.functions.max($"batch_id")).head.getInt(0)
+      b.toDS().write.mode("overwrite").parquet(s"$dir/data/batch_id=$lastId")
+      val replayed = spark.read.parquet(s"$dir/data").count()
+      assert(replayed == events.size, "replaying a batch must not duplicate rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
