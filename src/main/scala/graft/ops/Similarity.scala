@@ -330,6 +330,58 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining — for each probe, the MOST SIMILAR vector
+    * with a DIFFERENT label: the contrastive-training data op (hard
+    * negatives are what make embedding models discriminate; random
+    * negatives are too easy). Same exact-cosine machinery as q27 with
+    * the label-inequality condition and k = 1.
+    *
+    * Scale: bounded probe set broadcast, candidates stream unshuffled
+    * through the scan, per-probe top-1 via the deterministic window.
+    * For unbounded probe sets this composes with the LSH/IVF candidate
+    * generators exactly like q28/q60. */
+  val q153HardNegatives: Q = Q.sql(
+    "q153_hard_negatives",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neg_label,
+       |    round(${oracleDot.format("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+       |  FROM norms q JOIN norms c ON c.label <> q.label
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, query_label, neighbor_id, neg_label, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, query_label, neighbor_id, neg_label, sim
+       |FROM ranked WHERE rk = 1
+       |ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val n = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neg_label"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
-    q131JlProjection)
+    q131JlProjection, q153HardNegatives)
 }

@@ -499,7 +499,54 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Statistical-fluency score — the integer-portable stand-in for an
+    * n-gram LM perplexity filter: each doc scored by the MEAN QUANTIZED
+    * RARITY (N div df) of its adjacent bigrams. Text whose bigrams
+    * rarely occur elsewhere in the corpus (garbled, boilerplate-free
+    * noise, wrong-language fragments) scores high, formulaic text low —
+    * the same signal a KenLM gate thresholds, minus the log-space
+    * arithmetic that is not bit-portable across engines (q121's
+    * quantized-idf recipe applied at bigram grain).
+    *
+    * Scale: (doc, bigram-hash) rows with map-side combine at hash grain
+    * for the df table; the rarity join is hash-keyed equi (NOT broadcast
+    * — bigram vocabulary scales with the corpus); the corpus count rides
+    * a 1-row broadcast cross join. */
+  val q152BigramRarity: Q = Q.sql(
+    "q152_bigram_rarity",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+      |    CAST(concat('0x', substr(md5(concat(w[i], ' ', w[i+1])), 1, 15)) AS BIGINT))) AS h
+      |  FROM d WHERE len(w) >= 2),
+      |df AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM bi GROUP BY h),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(n.n // df.df) // COUNT(*) AS BIGINT) AS rarity_q
+      |FROM bi b JOIN df USING (h) CROSS JOIN n
+      |GROUP BY b.doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+      .select(col("doc_id"), Hashes.hexLong(col("bg")).as("h"))
+    val df = bi.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    bi.join(df, "h")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(expr("n DIV df")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s DIV n_bigrams").as("rarity_q"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
-    q142LangOverlap)
+    q142LangOverlap, q152BigramRarity)
 }
