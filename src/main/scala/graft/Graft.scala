@@ -325,4 +325,10 @@ object Graft {
   def basketLift(df: DataFrame, basket: org.apache.spark.sql.Column,
                  item: org.apache.spark.sql.Column, minSupport: Long = 3L): DataFrame =
     ops.Analytics.basketLiftOf(df, basket, item, minSupport)
+
+  /** Pairwise Jaccard overlap of distinct 5-gram shingle sets between
+    * the groups of `groupCol` (docs carry text + groupCol): the
+    * cross-source contamination matrix, at 60-bit hash grain. */
+  def shingleOverlap(docs: DataFrame, groupCol: String): DataFrame =
+    ops.TextAnalysis.shingleOverlapOf(docs, groupCol)
 }

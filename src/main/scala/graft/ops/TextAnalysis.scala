@@ -456,6 +456,31 @@ object TextAnalysis {
     * pairs. Join keys are 60-bit md5 longs (8 B), the q25 shuffle-
     * compactness rule. Zero-overlap pairs drop out (inner join) —
     * absent row = no shared shingle. */
+  /** Pairwise Jaccard overlap of distinct 5-gram shingle sets between
+    * the groups of `groupCol` — see [[q142LangOverlap]]. Emits
+    * (group_a, group_b, shared, jaccard); zero-overlap pairs absent. */
+  private[graft] def shingleOverlapOf(docs: DataFrame, groupCol: String): DataFrame = {
+    val wl = docs
+      .select(col(groupCol).as("__graft_g"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("__graft_g"), explode(expr(
+        """transform(sequence(0, size(w) - 5), i ->
+          |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))""".stripMargin)).as("sh"))
+      .select(col("__graft_g"), Hashes.hexLong(col("sh")).as("h"))
+      .distinct()
+    val sz = wl.groupBy(col("__graft_g")).agg(count(lit(1)).as("n"))
+    wl.as("a")
+      .join(wl.as("b"),
+        col("a.h") === col("b.h") && col("a.__graft_g") < col("b.__graft_g"))
+      .groupBy(col("a.__graft_g").as("group_a"), col("b.__graft_g").as("group_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sz.select(col("__graft_g").as("group_a"), col("n").as("na"))), "group_a")
+      .join(broadcast(sz.select(col("__graft_g").as("group_b"), col("n").as("nb"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+  }
+
   val q142LangOverlap: Q = Q.sql(
     "q142_lang_overlap",
     """WITH wl AS (
@@ -476,26 +501,8 @@ object TextAnalysis {
       |JOIN sz sb ON sb.lang = i.lang_b
       |ORDER BY lang_a, lang_b""".stripMargin
   ) { (s, dir) =>
-    val wl = Tables.documents(s, dir)
-      .select(col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("lang"), explode(expr(
-        """transform(sequence(0, size(w) - 5), i ->
-          |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))""".stripMargin)).as("sh"))
-      .select(col("lang"), Hashes.hexLong(col("sh")).as("h"))
-      .distinct()
-    val sz = wl.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val inter = wl.as("a")
-      .join(wl.as("b"),
-        col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
-      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
-      .agg(count(lit(1)).as("shared"))
-    inter
-      .join(broadcast(sz.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
-      .join(broadcast(sz.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
-      .select(col("lang_a"), col("lang_b"), col("shared"),
-        round(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+    shingleOverlapOf(Tables.documents(s, dir).select(col("lang"), col("text")), "lang")
+      .withColumnsRenamed(Map("group_a" -> "lang_a", "group_b" -> "lang_b"))
       .orderBy(col("lang_a"), col("lang_b"))
   }
 

@@ -372,6 +372,29 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.targetEncode(df, "cat", "t", smoothing = 0))
   }
 
+  test("dedup is idempotent; survivors are a subset of the corpus") {
+    val once = Graft.dedup(corpus)
+    val twice = Graft.dedup(once)
+    val onceIds = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twiceIds = twice.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onceIds == twiceIds, "deduping a deduplicated corpus must be a no-op")
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onceIds.subsetOf(corpusIds))
+  }
+
+  test("shingleOverlap reports full overlap for exact copies, none for disjoint text") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "a b c d e f g h i j"),
+      ("g2", "a b c d e f g h i j"),             // exact copy of g1's text
+      ("g3", "q r s t u v w x y z")               // disjoint
+    ).toDF("grp", "text")
+    val out = Graft.shingleOverlap(docs, "grp")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out((("g1", "g2"))) == 1.0)
+    assert(!out.contains(("g1", "g3")) && !out.contains(("g2", "g3")))
+  }
+
   test("basketLift scores a planted always-together pair above independent items") {
     import spark.implicits._
     // items 1,2 always together (4 baskets); item 3 everywhere (8 baskets)
