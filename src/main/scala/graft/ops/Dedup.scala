@@ -627,7 +627,50 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Near-dup pair DIFF — the audit view a human (or survivor-selection
+    * policy) reads to see WHY a pair matched: per verified q26 pair, the
+    * distinct-word set sizes, the shared count, and each side's unique
+    * count. only_i = |W_i| − |W_i ∩ W_j| needs no set-difference op —
+    * the intersection size (already computed for the Jaccard) determines
+    * everything.
+    *
+    * Scale: the pair list is duplication-bounded (≪ corpus), so it
+    * BROADCASTS into two joins against the corpus scan — the big side
+    * never shuffles; word-set sizing is row-local. */
+  val q154NeardupDiff: Q = Q.sql(
+    "q154_neardup_diff",
+    s"""WITH np AS (
+       |  ${oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |wsets AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+       |SELECT np.i, np.j,
+       |  CAST(len(wi.ws) AS BIGINT) AS n_i,
+       |  CAST(len(wj.ws) AS BIGINT) AS n_j,
+       |  CAST(len(list_intersect(wi.ws, wj.ws)) AS BIGINT) AS shared,
+       |  CAST(len(wi.ws) - len(list_intersect(wi.ws, wj.ws)) AS BIGINT) AS only_i,
+       |  CAST(len(wj.ws) - len(list_intersect(wi.ws, wj.ws)) AS BIGINT) AS only_j
+       |FROM np
+       |JOIN wsets wi ON wi.doc_id = np.i
+       |JOIN wsets wj ON wj.doc_id = np.j
+       |ORDER BY np.i, np.j""".stripMargin
+  ) { (s, dir) =>
+    val wsets = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val shared = size(array_intersect(col("wi"), col("wj")))
+    broadcast(minhashPairs(s, dir).select(col("i"), col("j")))
+      .join(wsets.select(col("doc_id").as("i"), col("ws").as("wi")), "i")
+      .join(wsets.select(col("doc_id").as("j"), col("ws").as("wj")), "j")
+      .select(col("i"), col("j"),
+        size(col("wi")).cast("long").as("n_i"),
+        size(col("wj")).cast("long").as("n_j"),
+        shared.cast("long").as("shared"),
+        (size(col("wi")) - shared).cast("long").as("only_i"),
+        (size(col("wj")) - shared).cast("long").as("only_j"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
-    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages)
+    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
+    q154NeardupDiff)
 }
