@@ -1050,11 +1050,45 @@ object Analytics {
       .drop("__graft_num")
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom at DAY grain (q57's sessionization counts
+    * event gaps; streaks count calendar continuity): `day − row_number`
+    * is constant exactly while days are consecutive, so one window pass
+    * groups each streak. All-integer; one hash exchange on user_id that
+    * the window, the streak aggregate, and the per-user rollup all
+    * share. */
+  val q155Streaks: Q = Q.sql(
+    "q155_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q86GroupingSets, q87WindowAnalytics, q94FullOuter,
     q95Unpivot, q96GapFill, q97RollingRange, q98Cube, q105Funnel,
     q106CohortRetention, q107Outliers, q108SqlSurface, q114ModePerGroup,
     q115Transitions, q117MinmaxScale, q124ShareOfParent, q125RfmFeatures,
     q133MadOutliers, q134AbcClass, q136TimeWeighted, q139Interpolate,
     q140TrendLines, q141GiniDiversity, q144MarketBasket, q148AbTest,
-    q149KsDrift)
+    q149KsDrift, q155Streaks)
 }
