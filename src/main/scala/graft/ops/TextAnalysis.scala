@@ -103,41 +103,48 @@ object TextAnalysis {
     * classify-then-crosstab shape, MLP.ipynb:94-95). Accuracy on this
     * synthetic uniform-vocabulary corpus is chance — the operator under
     * test is the deterministic scoring/argmax/crosstab plan. */
-  val q31Langid: Q = {
-    // Chained CASE: first language (in priority order) whose score is >=
-    // every other language's score wins.
-    val scoreSql = LangMarkers.map { case (l, ms) =>
-      s"len(list_filter(w, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
-    }.mkString(", ")
-    val langs = LangMarkers.map(_._1)
-    val predSql = langs.init.map { l =>
-      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-      s"WHEN $geAll THEN '$l'"
-    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-    Q.sql(
-      "q31_langid",
-      s"""SELECT lang, pred, COUNT(*) AS n FROM (
-         |  SELECT lang, $predSql AS pred FROM (
-         |    SELECT lang, $scoreSql
-         |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))
-         |GROUP BY lang, pred
-         |ORDER BY lang, pred""".stripMargin
-    ) { (s, dir) =>
-      def score(ms: Seq[String]): Column =
-        size(filter(col("w"), x => array_contains(lit(ms.toArray), x)))
-      val scored = Tables.documents(s, dir)
-        .select(col("lang"), split(col("text"), " ").as("w"))
-        .select(col("lang") +: LangMarkers.map { case (l, ms) => score(ms).as(s"s_$l") }: _*)
-      val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
-        val geAll = langs.filter(_ != l)
-          .map(o => col(s"s_$l") >= col(s"s_$o"))
-          .reduce(_ && _)
-        when(geAll, lit(l)).otherwise(els)
-      }
-      scored.select(col("lang"), pred.as("pred"))
-        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred"))
+  // Chained CASE: first language (in priority order) whose score is >=
+  // every other language's score wins. Factored so q31 (the confusion
+  // table) and q156 (kappa over it) share one predictor definition.
+  private val langList = LangMarkers.map(_._1)
+  private val langScoreSql = LangMarkers.map { case (l, ms) =>
+    s"len(list_filter(w, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+  }.mkString(", ")
+  private val langPredSql = langList.init.map { l =>
+    val geAll = langList.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+    s"WHEN $geAll THEN '$l'"
+  }.mkString("CASE ", " ", s" ELSE '${langList.last}' END")
+
+  /** (lang, pred, n) confusion-table subquery, oracle side. */
+  private def oracleLangConfusion: String =
+    s"""SELECT lang, pred, COUNT(*) AS n FROM (
+       |  SELECT lang, $langPredSql AS pred FROM (
+       |    SELECT lang, $langScoreSql
+       |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))
+       |GROUP BY lang, pred""".stripMargin
+
+  /** (lang, pred, n) confusion table, Spark side (unordered). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    def score(ms: Seq[String]): Column =
+      size(filter(col("w"), x => array_contains(lit(ms.toArray), x)))
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .select(col("lang") +: LangMarkers.map { case (l, ms) => score(ms).as(s"s_$l") }: _*)
+    val pred = langList.init.foldRight(lit(langList.last): Column) { (l, els) =>
+      val geAll = langList.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
     }
+    scored.select(col("lang"), pred.as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val q31Langid: Q = Q.sql(
+    "q31_langid",
+    oracleLangConfusion + "\nORDER BY lang, pred"
+  ) { (s, dir) =>
+    langConfusion(s, dir).orderBy(col("lang"), col("pred"))
   }
 
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenization
@@ -553,7 +560,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cohen's kappa between the langid prediction (q31) and the ground
+    * truth — chance-corrected agreement, the metric that exposes
+    * majority-class gaming where raw accuracy doesn't. ALL-INTEGER
+    * core: κ = (N·Σdiag − Σ row_l·col_l) / (N² − Σ row_l·col_l), both
+    * sides exact int64, reported in micro-units via integer DIV (exact
+    * while N ≲ 3·10⁹; swap to DECIMAL beyond). The whole computation
+    * runs on the |langs|²-row confusion table — corpus-scale work is
+    * q31's one aggregation. */
+  val q156LangidKappa: Q = Q.sql(
+    "q156_langid_kappa",
+    s"""WITH c AS (
+       |  ${oracleLangConfusion.replace("\n", "\n  ")}),
+       |m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |        CAST(SUM(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT) AS diag
+       |      FROM c),
+       |rm AS (SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY lang),
+       |cm AS (SELECT pred AS k, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY pred),
+       |e AS (SELECT CAST(SUM(rm.rn * cm.cn) AS BIGINT) AS chance
+       |      FROM rm JOIN cm ON rm.k = cm.k)
+       |SELECT m.nn AS n_docs, m.diag AS n_agree,
+       |  CAST(((m.nn * m.diag - e.chance) * 1000000) // (m.nn * m.nn - e.chance)
+       |    AS BIGINT) AS kappa_micro
+       |FROM m CROSS JOIN e
+       |ORDER BY n_docs""".stripMargin
+  ) { (s, dir) =>
+    val c = langConfusion(s, dir)
+    val m = c.agg(
+      sum(col("n")).as("nn"),
+      sum(when(col("lang") === col("pred"), col("n")).otherwise(0L)).as("diag"))
+    val rm = c.groupBy(col("lang").as("k")).agg(sum(col("n")).as("rn"))
+    val cm = c.groupBy(col("pred").as("k")).agg(sum(col("n")).as("cn"))
+    val e = rm.join(cm, "k").agg(sum(col("rn") * col("cn")).as("chance"))
+    m.crossJoin(broadcast(e))
+      .select(col("nn").as("n_docs"), col("diag").as("n_agree"),
+        expr("((nn * diag - chance) * 1000000) DIV (nn * nn - chance)").as("kappa_micro"))
+      .orderBy(col("n_docs")) // single row; total-sort contract
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
-    q142LangOverlap, q152BigramRarity)
+    q142LangOverlap, q152BigramRarity, q156LangidKappa)
 }

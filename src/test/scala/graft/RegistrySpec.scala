@@ -65,7 +65,8 @@ class RegistrySpec extends AnyFunSuite {
     "q148_ab_test",            // 1-row × 1-row group-moment join
     "q149_ks_drift",           // 1-row totals cross join (ECDF denominators)
     "q152_bigram_rarity",      // 1-row corpus-count cross join (rarity weight)
-    "q153_hard_negatives")     // bounded probe set × candidates, <> label condition
+    "q153_hard_negatives",     // bounded probe set × candidates, <> label condition
+    "q156_langid_kappa")       // 1-row × 1-row confusion-moment join
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
