@@ -914,14 +914,28 @@ object Analytics {
                                   basket: org.apache.spark.sql.Column,
                                   item: org.apache.spark.sql.Column,
                                   minSupport: Long = 3L): org.apache.spark.sql.DataFrame = {
-    val op = df.select(basket.as("__graft_basket"), item.as("__graft_item")).distinct()
-    val pc = op.groupBy(col("__graft_item")).agg(count(lit(1)).as("n"))
-    val no = op.agg(countDistinct(col("__graft_basket")).as("n_orders"))
-    op.as("a")
-      .join(op.as("b"),
-        col("a.__graft_basket") === col("b.__graft_basket")
-          && col("a.__graft_item") < col("b.__graft_item"))
-      .groupBy(col("a.__graft_item").as("item_a"), col("b.__graft_item").as("item_b"))
+    // baskets collect to sorted item sets on ONE basket exchange, then
+    // every C(n,2) pair is generated ROW-LOCALLY — no basket self-join
+    // (which would shuffle the (basket, item) stream a second time and
+    // hash-probe it against itself). Pair fan-out is bounded by basket
+    // size (C(7,2)=21 here); a pathological mega-basket is the input
+    // that needs a cap — the q25 shingle-df-cap discipline. Item
+    // frequencies and the basket total derive from the same frame.
+    val baskets = df
+      .groupBy(basket.as("__graft_basket"))
+      .agg(sort_array(collect_set(item)).as("items"))
+    val pc = baskets
+      .select(explode(col("items")).as("__graft_item"))
+      .groupBy(col("__graft_item")).agg(count(lit(1)).as("n"))
+    val no = baskets.agg(count(lit(1)).as("n_orders"))
+    baskets
+      .filter(size(col("items")) >= 2) // sequence() DESCENDS for start>stop
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(items) - 2), i ->
+          |  transform(sequence(i + 1, size(items) - 1), j ->
+          |    struct(items[i] AS item_a, items[j] AS item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
       .join(pc.select(col("__graft_item").as("item_a"), col("n").as("na")), "item_a")
