@@ -321,10 +321,14 @@ object Graft {
 
   /** Market-basket lift: item pairs co-occurring in ≥ `minSupport`
     * baskets as (item_a, item_b, n_both, lift) — the pair join runs
-    * within basket groups only, never all item pairs. */
+    * within basket groups only, never all item pairs. Baskets with more
+    * than `maxBasketSize` distinct items are excluded from pair
+    * generation (frequencies and totals stay exact) — the C(n,2)
+    * row-local fan-out needs that guard at scale. */
   def basketLift(df: DataFrame, basket: org.apache.spark.sql.Column,
-                 item: org.apache.spark.sql.Column, minSupport: Long = 3L): DataFrame =
-    ops.Analytics.basketLiftOf(df, basket, item, minSupport)
+                 item: org.apache.spark.sql.Column, minSupport: Long = 3L,
+                 maxBasketSize: Int = ops.Analytics.MaxBasketSize): DataFrame =
+    ops.Analytics.basketLiftOf(df, basket, item, minSupport, maxBasketSize)
 
   /** Pairwise Jaccard overlap of distinct 5-gram shingle sets between
     * the groups of `groupCol` (docs carry text + groupCol): the

@@ -906,6 +906,21 @@ object Analytics {
     * on l_orderkey), so pair volume is Σ C(basket,2) — linear for
     * bounded baskets, never |parts|². The min-support HAVING prunes
     * before the part-frequency joins; part counts broadcast. */
+  /** Baskets larger than this are excluded from PAIR GENERATION (item
+    * frequencies and the basket total stay exact, so surviving lifts are
+    * unchanged): a mega-basket of n items fans out C(n,2) pairs from ONE
+    * row — a 10⁶-item basket is 5·10¹¹ pairs plus an unbounded
+    * `collect_set` buffer. Same discipline as [[Dedup.MaxShingleDf]]:
+    * the cap is a pure pathological-data guard (observed basket max at
+    * sf0.1 is 7) and trades only the co-occurrence counts INSIDE capped
+    * baskets — a basket that large carries no association signal anyway
+    * (every pair in it is "bought together" once, diluting lift).
+    * Residual: the `collect_set` buffer still holds a capped basket's
+    * item array once (linear in basket size, ~8 MB at 10⁶ items) before
+    * the filter drops it — linear and spillable, unlike the C(n,2) pair
+    * fan-out this cap eliminates. */
+  private[graft] val MaxBasketSize = 1024
+
   /** Generic basket lift over any (basket, item) frame: item pairs
     * co-occurring in ≥ `minSupport` baskets, lift from exact counts —
     * see [[q144MarketBasket]] for the contract. Emits
@@ -913,14 +928,16 @@ object Analytics {
   private[graft] def basketLiftOf(df: org.apache.spark.sql.DataFrame,
                                   basket: org.apache.spark.sql.Column,
                                   item: org.apache.spark.sql.Column,
-                                  minSupport: Long = 3L): org.apache.spark.sql.DataFrame = {
+                                  minSupport: Long = 3L,
+                                  maxBasketSize: Int = MaxBasketSize): org.apache.spark.sql.DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
     // baskets collect to sorted item sets on ONE basket exchange, then
     // every C(n,2) pair is generated ROW-LOCALLY — no basket self-join
     // (which would shuffle the (basket, item) stream a second time and
-    // hash-probe it against itself). Pair fan-out is bounded by basket
-    // size (C(7,2)=21 here); a pathological mega-basket is the input
-    // that needs a cap — the q25 shingle-df-cap discipline. Item
-    // frequencies and the basket total derive from the same frame.
+    // hash-probe it against itself). Pair fan-out is bounded by
+    // C(maxBasketSize, 2) per row: mega-baskets are dropped from the
+    // pair branch only (see [[MaxBasketSize]]). Item frequencies and
+    // the basket total derive from the same frame and stay exact.
     val baskets = df
       .groupBy(basket.as("__graft_basket"))
       .agg(sort_array(collect_set(item)).as("items"))
@@ -929,7 +946,9 @@ object Analytics {
       .groupBy(col("__graft_item")).agg(count(lit(1)).as("n"))
     val no = baskets.agg(count(lit(1)).as("n_orders"))
     baskets
-      .filter(size(col("items")) >= 2) // sequence() DESCENDS for start>stop
+      // sequence() DESCENDS for start>stop, hence the >= 2 floor; the
+      // upper bound is the mega-basket guard
+      .filter(size(col("items")).between(2, maxBasketSize))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(items) - 2), i ->
           |  transform(sequence(i + 1, size(items) - 1), j ->

@@ -148,25 +148,67 @@ object Components {
 
   /** Triangle enumeration over the near-dup pair graph — the standard
     * distributed graph primitive beyond connected components (clustering
-    * coefficients, community seeds, dedup-cluster density audits). With
-    * edges stored once as (i < j), a triangle i<j<k is exactly one
-    * (i,j)⋈(j,k) wedge closed by an (i,k) edge, so each triangle is
-    * produced once — no orientation dedup pass.
+    * coefficients, community seeds, dedup-cluster density audits).
     *
-    * Scale: two equi-joins on edge endpoints. Wedge count is Σ deg²,
-    * the known cost of distributed triangle listing — bounded here
-    * because near-dup cluster sizes are bounded; on power-law graphs
-    * the standard mitigation (orient edges low-degree → high-degree)
-    * drops in without changing the result. */
-  /** (a, b, c) triangles of an (i, j) edge frame with i < j on every
-    * row; each triangle emitted exactly once. Exposed for the facade
-    * and [[q145Triangles]]. */
-  private[graft] def triangles(edges: DataFrame): DataFrame =
-    edges.as("e1")
-      .join(edges.as("e2"), col("e2.i") === col("e1.j"))
-      .join(edges.as("e3"),
-        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
-      .select(col("e1.i").as("a"), col("e1.j").as("b"), col("e2.j").as("c"))
+    * Edges are oriented low→high by TOTAL DEGREE ORDER (degree, then
+    * id): every triangle then has exactly one node with two out-edges,
+    * so each triangle is one out-wedge closed by one oriented edge — no
+    * orientation dedup pass, and wedge volume is Σ out-deg² ≤ O(m^1.5)
+    * (each out-degree is O(√m)) instead of the Σ deg² of a naive id
+    * orientation, which a single hot node (degree d → d² wedge rows)
+    * blows up on power-law graphs. The degree pass is one aggregate
+    * over the symmetrized endpoints plus two equi-joins to tag the
+    * edge ends — linear, and cheap next to the wedge join it bounds. */
+  /** Degree-orient an (i, j) edge frame: (src, dst, ddeg) rows with src
+    * before dst in (degree, id) order, ddeg = dst's degree (carried so
+    * downstream joins can compare ranks without re-joining degrees). */
+  private def orientEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("i"), col("j"))
+    val deg = e.select(col("i").as("n")).union(e.select(col("j").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val tagged = e
+      .join(deg.select(col("n").as("i"), col("deg").as("di")), "i")
+      .join(deg.select(col("n").as("j"), col("deg").as("dj")), "j")
+    val iLower = col("di") < col("dj") ||
+      (col("di") === col("dj") && col("i") < col("j"))
+    tagged.select(
+      when(iLower, col("i")).otherwise(col("j")).as("src"),
+      when(iLower, col("j")).otherwise(col("i")).as("dst"),
+      when(iLower, col("dj")).otherwise(col("di")).as("ddeg"))
+  }
+
+  /** Wedge join over an already-oriented (src, dst, ddeg) frame. */
+  private def wedgesOf(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e2.src") === col("e1.src") &&
+          (col("e2.ddeg") > col("e1.ddeg") ||
+            (col("e2.ddeg") === col("e1.ddeg") && col("e2.dst") > col("e1.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+
+  /** Out-wedges (u, v, w) of the degree-oriented edge frame: v and w
+    * are out-neighbors of u with v preceding w in (degree, id) order.
+    * Factored out so specs can assert the wedge bound directly. */
+  private[graft] def orientedWedges(edges: DataFrame): DataFrame =
+    wedgesOf(orientEdges(edges))
+
+  /** (a, b, c) triangles (a < b < c) of an (i, j) edge frame with
+    * distinct i < j rows; each triangle emitted exactly once. Exposed
+    * for the facade and [[q145Triangles]]. */
+  private[graft] def triangles(edges: DataFrame): DataFrame = {
+    // localCheckpoint evaluates the (possibly expensive) upstream pair
+    // pipeline + degree pass ONCE — the oriented frame is referenced
+    // three times below (same discipline as [[connectedComponents]])
+    val oriented = orientEdges(edges).localCheckpoint()
+    // the closing edge of a wedge (u→v, u→w), if present, is oriented
+    // v→w by the same (degree, id) order, so a semi-join closes it;
+    // sort_array restores id order for the (a, b, c) output contract
+    wedgesOf(oriented)
+      .join(oriented.as("e3"),
+        col("e3.src") === col("v") && col("e3.dst") === col("w"), "left_semi")
+      .select(sort_array(array(col("u"), col("v"), col("w"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+  }
 
   val q145Triangles: Q = Q.sql(
     "q145_triangles",

@@ -406,6 +406,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out((1L, 2L)) == 2.0 && out((1L, 3L)) == 1.0)
   }
 
+  test("basketLift caps mega-baskets: planted 1000-item basket generates no pairs, normal lifts intact") {
+    import spark.implicits._
+    // 4 normal baskets with the always-together pair (1,2) + item 3,
+    // plus ONE mega-basket (id 99) holding items 10000..10999. Uncapped,
+    // the mega-basket alone fans out C(1000,2) = 499,500 pairs from one
+    // row; capped, it contributes zero pairs but still counts toward
+    // item frequencies and n_orders (surviving lifts are exact).
+    val normal = (1 to 4).flatMap(b => Seq((b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L)))
+    val mega = (10000 to 10999).map(it => (99L, it.toLong))
+    val df = (normal ++ mega).toDF("b", "it")
+    val capped = Graft.basketLift(df, $"b", $"it", minSupport = 1L, maxBasketSize = 64)
+    val rows = capped.collect()
+    // only the 3 pairs from the normal baskets survive — bounded fan-out
+    assert(rows.length == 3, s"expected 3 normal-basket pairs, got ${rows.length}")
+    val lifts = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // n_orders = 5 (mega-basket still counted): lift(1,2) = 4*5/(4*4) = 1.25
+    assert(lifts((1L, 2L)) == 1.25, "frequencies/totals stay exact under the cap")
+    // and the uncapped default would have produced the quadratic fan-out
+    val uncapped = Graft.basketLift(df, $"b", $"it", minSupport = 1L)
+    assert(uncapped.count() == 3 + 499500L, "uncapped control: mega-basket fans out C(1000,2)")
+  }
+
   test("triangles enumerates each planted triangle exactly once; open wedges excluded") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) plus an open wedge 5-6-7
@@ -415,6 +437,24 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(tri.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
     assert(tri.length == 4, "each triangle exactly once")
+  }
+
+  test("triangles: degree orientation bounds wedges on a planted hot node") {
+    import spark.implicits._
+    // star: center 0 with 50 degree-1 leaves. A naive (i<j) wedge join
+    // pivots C(50,2) = 1225 wedge rows on the hot center; degree
+    // orientation points every edge leaf→center (out-degree 1 each,
+    // center out-degree 0), so Σ C(outdeg, 2) = 0 wedges.
+    val star = (1 to 50).map(l => (0L, l.toLong)).toDF("i", "j")
+    assert(graft.ops.Components.orientedWedges(star).count() == 0L)
+    assert(Graft.triangles(star).count() == 0L)
+    // close one leaf-leaf edge: exactly one wedge (at a leaf, not the
+    // hot center) and exactly one triangle, reported in id order
+    val withTri = star.union(Seq((1L, 2L)).toDF("i", "j"))
+    assert(graft.ops.Components.orientedWedges(withTri).count() == 1L)
+    val tri = Graft.triangles(withTri).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((0L, 1L, 2L)))
   }
 
   test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
