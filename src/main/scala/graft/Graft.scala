@@ -33,9 +33,13 @@ object Graft {
     ops.Dedup.neardupJaccard(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
 
   /** Min-label connected components over an undirected (i, j) edge
-    * list: (id, label) with label = min reachable id. */
-  def connectedComponents(edges: DataFrame): DataFrame =
-    ops.Components.connectedComponents(edges)
+    * list: (id, label) with label = min reachable id. High-diameter
+    * graphs converge in O(log n) rounds via path doubling. Set
+    * `reliable = true` (with `SparkContext.setCheckpointDir`) for
+    * cluster runs where the loop's lineage must survive executor
+    * loss. */
+  def connectedComponents(edges: DataFrame, reliable: Boolean = false): DataFrame =
+    ops.Components.connectedComponents(edges, reliable = reliable)
 
   /** The deduplicated corpus: drops every near-dup that is not its
     * component's min doc_id. All non-key columns pass through. */

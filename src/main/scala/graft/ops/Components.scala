@@ -33,17 +33,41 @@ import graft.Q
   */
 object Components {
 
+  /** Rounds of plain min-propagation before path-doubling kicks in:
+    * near-dup graphs (diameter 2-3) converge inside the plain window at
+    * one shuffle-join per round; anything still unconverged after it is
+    * a long-chain shape, where the extra label→label shortcut join per
+    * round buys O(log n) total rounds (pointer jumping — the
+    * label-doubling cousin of Kiveris et al.'s large-star/small-star). */
+  private val PlainRounds = 4
+
   /** Min-label connected components over an undirected edge list with
     * columns (i, j). Returns (id, component) for every node in the edge
     * list, component = min doc_id reachable.
     *
-    * Each round materializes via `localCheckpoint` and folds the
-    * convergence check into the same action. Min-propagation is
-    * monotone, so a round that changes nothing proves the fixpoint —
-    * the loop exits on the first zero-change round, and near-dup graphs
-    * have diameter 2-3, so that is 3-4 actions total. (See the inline
-    * note below on why multi-round batching was tried and reverted.) */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    * Each round materializes via checkpoint and folds the convergence
+    * check into the same action. Min-propagation is monotone, so a
+    * round that changes nothing proves the fixpoint — the loop exits on
+    * the first zero-change round, and near-dup graphs have diameter
+    * 2-3, so that is 3-4 actions total. After [[PlainRounds]] rounds a
+    * path-doubling shortcut (label := label's label) joins each round,
+    * so adversarial high-diameter chains converge in O(log n) rounds
+    * instead of O(diameter) — `maxIter` = 30 then covers diameters past
+    * 2²⁰ rather than aborting at 31. (See the inline note below on why
+    * multi-round batching was tried and reverted.)
+    *
+    * @param reliable when true, materialize rounds with reliable
+    *   `checkpoint()` (requires `SparkContext.setCheckpointDir`) so the
+    *   truncated lineage survives executor loss on a real cluster; the
+    *   default `localCheckpoint()` stores blocks executor-local — fine
+    *   single-process, lossy under node failure. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          reliable: Boolean = false): DataFrame = {
+    if (reliable) require(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs SparkContext.setCheckpointDir (reliable checkpoints write to it)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // No `.distinct()` on the symmetrized edges: the min-aggregation is
     // duplicate-tolerant, and near-dup pair generators emit distinct
     // (i<j) pairs already — the dedup shuffle bought nothing.
@@ -52,33 +76,51 @@ object Components {
     // whether or not it is materialized, so batching only added overshoot
     // rounds past convergence and Catalyst analysis of deeper plans.
     // Measured at sf0.1: per-round 1.45s, 4-round batches 2.0-3.1s.)
-    val sym = edges.select(col("i").as("src"), col("j").as("dst"))
-      .union(edges.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint() // evaluate the (possibly expensive) pair pipeline once
+    val sym = ckpt(edges.select(col("i").as("src"), col("j").as("dst"))
+      .union(edges.select(col("j").as("src"), col("i").as("dst"))))
     // Seed labels at min(self, direct neighbors): the node-collection
     // aggregation has to shuffle the edge list by src anyway, so folding
     // round 1's min-propagation into it is free — star-shaped near-dup
     // components converge one materialized round earlier (measured at
     // sf0.1: q72 1.76s → 1.4s).
-    var labels = sym.groupBy(col("src"))
+    var labels = ckpt(sym.groupBy(col("src"))
       .agg(min(col("dst")).as("nbrMin"))
-      .select(col("src").as("id"), least(col("src"), col("nbrMin")).as("label"))
-      .localCheckpoint()
+      .select(col("src").as("id"), least(col("src"), col("nbrMin")).as("label")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val prop = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbrMin"))
-      // the change flag rides along in the propagated row, so the
-      // convergence check is an aggregate over the already-checkpointed
-      // blocks — no extra join (and shuffle) per round
-      val staged = labels
+      // `prev` rides along so the change flag covers BOTH the
+      // propagation step and (in doubling rounds) the shortcut — the
+      // convergence check stays one aggregate over checkpointed blocks
+      val merged = labels
         .join(prop, labels("id") === prop("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
-          (coalesce(col("nbrMin"), col("label")) < col("label")).cast("long").as("chg"))
-        .localCheckpoint()
+          col("label").as("prev"))
+      val stepped =
+        if (it < PlainRounds) merged
+        else {
+          // path-doubling shortcut: label := label(label). Every label
+          // value is itself a node id in `labels` (labels only ever
+          // hold reachable node ids), so the inner join is total; the
+          // checkpoint keeps the self-join from recomputing the
+          // propagation shuffle twice. At the propagation fixpoint
+          // labels are component-constant, so the shortcut is a no-op
+          // there — the zero-change exit test is unaffected.
+          val m = ckpt(merged)
+          m.as("l1")
+            .join(m.select(col("id").as("lid"), col("label").as("llabel")),
+              col("l1.label") === col("lid"))
+            .select(col("l1.id").as("id"),
+              least(col("l1.label"), col("llabel")).as("label"),
+              col("l1.prev").as("prev"))
+        }
+      val staged = ckpt(stepped
+        .select(col("id"), col("label"),
+          (col("label") < col("prev")).cast("long").as("chg")))
       // coalesce: sum over an EMPTY staged frame is NULL (zero-pair
       // corpora — the common no-duplicates case must converge, not NPE)
       val changed = staged.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
@@ -86,6 +128,9 @@ object Components {
       converged = changed == 0
       it += 1
     }
+    // with doubling active past PlainRounds, label depth at least
+    // halves per round — 30 rounds covers any physically possible
+    // diameter, so this is a logic backstop, not a reachable abort
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

@@ -28,6 +28,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("path-doubling: a 100-node path converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // plain min-propagation moves the min label one hop per round, so a
+    // diameter-100 path needs ~100 rounds and would abort at maxIter=15;
+    // the post-PlainRounds shortcut must get there in ~4 + log2(100)
+    val path = (0L until 100L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Components.connectedComponents(path, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
+  test("reliable=true uses checkpointDir-backed checkpoints (and requires the dir)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("i", "j")
+    // before a checkpoint dir exists the flag must fail fast, not
+    // surface as a job-time SparkException from inside the loop
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Components.connectedComponents(edges, reliable = true)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val got = Components.connectedComponents(edges, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // reliable checkpoints actually landed on disk (lineage survives
+    // executor loss precisely because the blocks live here)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"expected RDD checkpoint files under $dir")
+  }
+
   test("q72 components agree with an independent union-find over q26's pairs") {
     val pairs = SparkEntry.queries("q26_neardup_minhash")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
