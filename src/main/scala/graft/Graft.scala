@@ -297,7 +297,9 @@ object Graft {
     ops.Sampling.temperatureSample(docs, strata, id)
 
   /** Robust median/MAD outliers of `valueCol` within `groupCol` at
-    * |robust_z| > z — the heavy-tail-safe twin of [[outliers]]. */
+    * |robust_z| > z — the heavy-tail-safe twin of [[outliers]]. Groups
+    * with MAD = 0 (majority-constant data: no robust scale) flag
+    * nothing rather than dividing by zero. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   z: Double = 3.0): DataFrame =
     ops.Analytics.madOutliersOf(df, groupCol, valueCol, z)

@@ -594,7 +594,14 @@ object Analytics {
     * itself never shuffles. */
   /** Median/MAD robust outliers of `valueCol` within `groupCol` groups
     * at |robust_z| > `z` — see [[q133MadOutliers]] for the determinism
-    * and scale contract. Emits (input cols…, d, robust_z). */
+    * and scale contract. Emits (input cols…, d, robust_z).
+    *
+    * Groups with MAD = 0 (more than half the values equal the median —
+    * discrete or constant data) are EXCLUDED: they have no robust scale
+    * to score against, and dividing by zero would emit IEEE Infinity on
+    * Spark while DuckDB's result depends on its ieee_floating_point_ops
+    * setting — the cross-engine determinism contract forbids that
+    * branch, so the degenerate groups flag nothing. */
   private[graft] def madOutliersOf(df: org.apache.spark.sql.DataFrame, groupCol: String,
                                    valueCol: String, z: Double): org.apache.spark.sql.DataFrame = {
     val med = df.groupBy(col(groupCol))
@@ -604,7 +611,8 @@ object Analytics {
     val mad = dev.groupBy(col(groupCol))
       .agg(round(percentile(abs(col("d")), lit(0.5)), 6).as("__graft_mad"))
     dev.join(broadcast(mad), groupCol)
-      .filter(abs(col("d")) > lit(z) * lit(1.4826) * col("__graft_mad"))
+      .filter(col("__graft_mad") > 0 &&
+        abs(col("d")) > lit(z) * lit(1.4826) * col("__graft_mad"))
       .withColumn("robust_z", round(col("d") / (lit(1.4826) * col("__graft_mad")), 6))
       .drop("__graft_med", "__graft_mad")
   }
@@ -623,7 +631,7 @@ object Analytics {
       |SELECT d.event_id, d.event_type, d.value,
       |  round(d.d / (1.4826 * m.mad), 6) AS robust_z
       |FROM dev d JOIN mad m ON d.event_type = m.event_type
-      |WHERE abs(d.d) > 3 * 1.4826 * m.mad
+      |WHERE m.mad > 0 AND abs(d.d) > 3 * 1.4826 * m.mad
       |ORDER BY d.event_id""".stripMargin
   ) { (s, dir) =>
     madOutliersOf(
@@ -663,7 +671,7 @@ object Analytics {
       .select(col("__graft_key"), col("rev"),
         sum(col("rev")).over(byRevenue).as("cum"),
         sum(col("rev")).over(Window.partitionBy()).as("tot"))
-      .select(col("__graft_key"), col("rev").cast("double").as("revenue"),
+      .select(col("__graft_key").as("key"), col("rev").cast("double").as("revenue"),
         share.as("cum_share"),
         when(share <= aCut, "A").when(share <= bCut, "B").otherwise("C").as("abc"))
   }
@@ -688,7 +696,7 @@ object Analytics {
       |ORDER BY l_partkey""".stripMargin
   ) { (s, dir) =>
     abcOf(Tables.lineitem(s, dir), col("l_partkey"), col("l_extendedprice"))
-      .withColumnRenamed("__graft_key", "l_partkey")
+      .withColumnRenamed("key", "l_partkey")
       .orderBy(col("l_partkey"))
   }
 

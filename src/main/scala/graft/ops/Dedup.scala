@@ -612,7 +612,11 @@ object Dedup {
     * agree mod s (fine for shared prefixes / whole-doc copies; wrong
     * tool for arbitrary-offset quotes). Exposed for the facade and
     * [[q128DupPassages]]. */
-  private[graft] def dupPassages(docs: DataFrame, width: Int, stride: Int): DataFrame =
+  private[graft] def dupPassages(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    // stride is interpolated into the window sequence: 0 would be an
+    // integer div-by-zero inside the plan, width < 1 nonsense windows
+    require(width >= 1 && stride >= 1,
+      s"dupPassages needs width >= 1 and stride >= 1, got width=$width stride=$stride")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= width)
@@ -626,6 +630,7 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
+  }
 
   /** Near-dup pair DIFF — the audit view a human (or survivor-selection
     * policy) reads to see WHY a pair matched: per verified q26 pair, the

@@ -303,6 +303,9 @@ class GraftApiSpec extends AnyFunSuite {
     assert(hits.agg(org.apache.spark.sql.functions.min($"first_doc")).head.getLong(0) == 1L)
     // stride 6 misses these unaligned copies (offsets 3/0/1 differ mod 6)
     assert(Graft.dupPassages(docs, stride = 6).count() == 0L)
+    // malformed windows fail fast, not as a div-by-zero inside the plan
+    intercept[IllegalArgumentException](Graft.dupPassages(docs, stride = 0))
+    intercept[IllegalArgumentException](Graft.dupPassages(docs, width = 0))
   }
 
   test("bm25Rank: higher tf of a rarer term outranks; absent docs score nothing") {
@@ -355,6 +358,17 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSet == Set(100L), "exactly the planted extreme")
     val rz = out.head.getDouble(out.head.fieldIndex("robust_z"))
     assert(rz > 1000, s"extreme should score huge, got $rz")
+  }
+
+  test("madOutliers: a zero-MAD group flags nothing instead of scoring Infinity") {
+    import spark.implicits._
+    // group "c" is majority-constant (MAD = 0): its deviating row must
+    // NOT surface with robust_z = Inf; the normal group still flags
+    val df = ((1 to 9).map(i => ("c", i.toLong, 5.0)) :+ (("c", 10L, 9.0))) ++
+      ((11 to 19).map(i => ("g", i.toLong, 10.0 + (i % 3))) :+ (("g", 20L, 1e6)))
+    val out = Graft.madOutliers(df.toDF("grp", "id", "v"), "grp", "v").collect()
+    assert(out.map(_.getLong(1)).toSet == Set(20L), "only the scorable group's extreme")
+    assert(out.forall(r => !r.getDouble(r.fieldIndex("robust_z")).isInfinite))
   }
 
   test("targetEncode: LOO removes the row's own target; frequency encodes n/N") {
@@ -460,7 +474,10 @@ class GraftApiSpec extends AnyFunSuite {
   test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
     import spark.implicits._
     val df = (1 to 20).flatMap(k => Seq((k.toLong, 100.0 * (21 - k)))).toDF("k", "m")
-    val out = Graft.abcClassify(df, $"k", $"m").orderBy($"cum_share").collect()
+    val abc = Graft.abcClassify(df, $"k", $"m")
+    assert(abc.columns.toSeq == Seq("key", "revenue", "cum_share", "abc"),
+      "facade contract: no internal dunder column names leak")
+    val out = abc.orderBy($"cum_share").collect()
     val shares = out.map(_.getDouble(2))
     assert(shares.zip(shares.tail).forall { case (x, y) => x <= y })
     assert(math.abs(shares.last - 1.0) < 1e-12)
