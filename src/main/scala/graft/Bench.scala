@@ -45,9 +45,11 @@ object Bench {
     // process noise at sf0.1 (GC, page cache, 61 queries sharing one JVM),
     // which is the same magnitude as a real regression. The headline
     // per-query number is the MIN of N timed passes — noise only ever
-    // inflates a timing, so min converges on true cost — and the per-query
-    // max-min spread is reported alongside so a round-over-round delta can
-    // be judged against measured run noise instead of guessed at.
+    // inflates a timing, so min converges on true cost. Spread is the gap
+    // between the best TWO passes (not max-min): a single outlier run —
+    // a GC pause or a first-timed-pass cold path — then reads as what it
+    // is instead of polluting the repeatability signal (VERDICT r6: q75's
+    // one 37s pass made max-min look like a 35s "spread" on a 1.97s query).
     val Passes = 3
     once() // warm-up
     val passes = Seq.fill(Passes)(once())
@@ -55,21 +57,38 @@ object Bench {
     val byQuery = passes.map(_._1)
     val results = byQuery.head.indices.map { i =>
       val name = byQuery.head(i)._1
-      val ts = byQuery.map(_(i)._2).filter(_ >= 0)
-      if (ts.isEmpty) (name, -1.0, 0.0) else (name, ts.min, ts.max - ts.min)
+      val ts = byQuery.map(_(i)._2).filter(_ >= 0).sorted
+      if (ts.isEmpty) (name, -1.0, 0.0)
+      else (name, ts.head, if (ts.size >= 2) ts(1) - ts.head else 0.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => jstr(k) + ":" + s }.mkString("{", ",", "}")
+    // 0.1 ms precision — noise floor is far above it, and the stdout line
+    // must stay SHORT: the driver snapshots the tail of stdout, so a long
+    // line truncates from the front (VERDICT r6 bench-reporting bug)
+    def num(v: Double): String =
+      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => jstr(k) + ":" + num(s) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$Passes,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
+    val timed = results.filter(_._2 >= 0)
+    val (spreadMaxQ, spreadMax) =
+      if (timed.isEmpty) ("", 0.0) else { val m = timed.maxBy(_._3); (m._1, m._3) }
+    // Field order is load-bearing: "queries" LAST, so a tail-truncated
+    // snapshot keeps the per-query times (the numbers a reader needs);
+    // per-query spread is summarized to scalars here and kept in full
+    // only in bench_out.json.
+    val head =
+      s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Passes,"sf":"$sfDir",""" +
+        s""""n_failed":${errors.size},"errors":$errs,""" +
+        s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)}"""
+    val line = s"""{$head,"queries":$qs}"""
+    Files.writeString(Paths.get("/root/repo/bench_out.json"),
+      s"""{$head,"spread":$spreads,"queries":$qs}""")
     spark.stop()
     // Last clean stdout line — after spark.stop() so no shutdown logs follow.
     println(line)
