@@ -297,4 +297,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalCounts == expected)
     } finally q.stop()
   }
+
+  test("restart recovery: a new query on the same checkpoint restores state, never re-emits") {
+    import spark.implicits._
+    // The remaining streaming contract past single-run replay: stop a
+    // stateful query mid-stream, start a FRESH query object on the same
+    // checkpoint dir (what a process restart does), and prove (a) the
+    // file source resumes after the already-committed files, (b)
+    // mapGroupsWithState counts continue from restored state instead of
+    // resetting, (c) phase-1 sink output is untouched — no duplicates.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (srcDir, sinkDir, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    def start() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(srcDir).as[Event]
+      .transform(Streaming.runningUserCounts)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.UserRunningCount], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+      }
+      .start()
+    val (a, b) = events.splitAt(events.size / 2)
+    a.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val phase1 = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(phase1.nonEmpty)
+    // "process restart": new data arrives while down, then a fresh query
+    b.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"))).toSet
+    // (c) phase-1 batches are byte-for-byte still there, nothing re-emitted into them
+    assert(all.filter(t => phase1.exists(_._1 == t._1)) == phase1,
+      "restart must not rewrite or duplicate committed batches")
+    assert((all -- phase1).nonEmpty && (all -- phase1).forall(t => phase1.forall(_._1 < t._1)),
+      "post-restart output lands only in strictly newer batch ids")
+    // (b) + convergence: last emission per user equals the batch answer
+    // over ALL events — only possible if phase-2 counting resumed from
+    // phase-1 state (a reset would leave second-half-only counts)
+    val finalCounts = all.groupBy(_._2).map { case (u, rows) => u -> rows.maxBy(_._1)._3 }
+    val expected = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+    assert(finalCounts == expected)
+    assert(events.map(_.user_id).toSet.exists(u =>
+      a.exists(_.user_id == u) && b.exists(_.user_id == u)),
+      "fixture must actually split some user's events across the restart")
+  }
 }
