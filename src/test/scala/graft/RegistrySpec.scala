@@ -21,6 +21,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.size == SparkEntry.queries.size)
   }
 
+  test("README facade table lists every public Graft method; its query names are registered") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val section = readme.split("## Facade: `graft\\.Graft`") match {
+      case Array(_, rest) => rest.split("\n## ")(0)
+      case _ => fail("README.md must contain the '## Facade: `graft.Graft`' section")
+    }
+    val rows = section.linesIterator.filter(_.startsWith("| `")).toSeq
+    val listed = rows.map(_.split("`")(1)).toSet
+    // reflection over the facade object: public defs only (default-arg
+    // and other compiler-synthesized members carry '$' in the name)
+    val methods = Graft.getClass.getDeclaredMethods
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName).filterNot(_.contains("$")).toSet
+    assert(methods == listed,
+      s"facade/table drift — undocumented: ${methods -- listed}; stale rows: ${listed -- methods}")
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val qnames = rows.flatMap(r => "q\\d+[a-z0-9_]+".r.findAllIn(r)).distinct
+    assert(qnames.nonEmpty && qnames.forall(registered),
+      s"table references unregistered queries: ${qnames.filterNot(registered)}")
+  }
+
   test("every oracle-paired query ends in a global total sort") {
     def topSortIsGlobal(p: LogicalPlan): Boolean = p match {
       case s: Sort => s.global
