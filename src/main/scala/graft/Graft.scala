@@ -341,4 +341,24 @@ object Graft {
     * cross-source contamination matrix, at 60-bit hash grain. */
   def shingleOverlap(docs: DataFrame, groupCol: String): DataFrame =
     ops.TextAnalysis.shingleOverlapOf(docs, groupCol)
+
+  /** Gopher-style per-doc repetition signals over (doc_id, text):
+    * (dup2_frac, dup10_frac, top2_share) — duplicate n-gram fractions
+    * and the top 2-gram's share. Row-local, zero shuffle; docs under
+    * 10 tokens are excluded. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    ops.TextAnalysis.repetitionSignalsOf(docs)
+
+  /** Quality-aware [[dedup]]: one survivor per near-dup component — the
+    * max-(quality, −doc_id) member rather than the min id, so clusters
+    * keep their cleanest copy. All non-key columns pass through. */
+  def dedupByQuality(docs: DataFrame): DataFrame =
+    ops.Components.bestSurvivors(docs,
+      nearDupPairs(docs).select(col("i"), col("j")))
+
+  /** Per-doc out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` tokens (ties by token string): (doc_id, n_tokens,
+    * n_oov, oov_rate) — the vocab-coverage / tokenizer-prep audit. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 50000): DataFrame =
+    ops.TextAnalysis.oovRateOf(docs, vocabSize)
 }

@@ -191,6 +191,65 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
+  /** Survivor selection by QUALITY, not min id: within each near-dup
+    * component keep the argmax-quality member (ties broken by min
+    * doc_id — a total order, so the survivor set is deterministic).
+    * This is the policy real pipelines want — near-dup clusters usually
+    * contain one clean original and N mangled copies, and min-id keeps
+    * whichever was crawled first, not whichever is best.
+    *
+    * Scale: components exist only for duplicated docs (small);
+    * quality joins at that grain; the per-component argmax is a
+    * `max_by` aggregate (partial-merge friendly); the corpus itself
+    * streams through one broadcast anti-join, unshuffled — identical
+    * shape to [[q73DedupSurvivors]] with one extra small-side join. */
+  val q158BestSurvivors: Q = Q.sql(
+    "q158_best_survivors",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |q AS (
+       |  ${TextAnalysis.oracleTextStats.replace("\n", "\n  ")}),
+       |ranked AS (
+       |  SELECT c.id, row_number() OVER (
+       |    PARTITION BY c.component ORDER BY s.quality DESC, c.id) AS rn
+       |  FROM comp c JOIN q s ON s.doc_id = c.id),
+       |dropped AS (SELECT id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d ANTI JOIN dropped ON d.doc_id = dropped.id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    bestSurvivors(graft.Tables.documents(s, dir),
+      Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generic quality-aware dedup over (doc_id, text, …) docs and an
+    * (i, j) near-dup pair frame: all columns pass through; exactly one
+    * doc per near-dup component survives — the max-(quality, −doc_id)
+    * member, scored by [[TextAnalysis.statsOf]]'s composite. */
+  private[graft] def bestSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val quality = TextAnalysis.statsOf(docs.withColumn("lang", lit("")))
+      .select(col("doc_id").as("id"), col("quality"))
+    // argmax by (quality, -id): quality ties fall back to the min id,
+    // making the winner — and thus the output — a total-order function
+    val best = comps.join(quality, "id")
+      .groupBy(col("label"))
+      .agg(max_by(col("id"), struct(col("quality"), negate(col("id")))).as("keep"))
+    val dropped = comps.join(broadcast(best), "label")
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    docs.join(broadcast(dropped), docs("doc_id") === dropped("id"), "left_anti")
+  }
+
   /** Triangle enumeration over the near-dup pair graph — the standard
     * distributed graph primitive beyond connected components (clustering
     * coefficients, community seeds, dedup-cluster density audits).
@@ -269,5 +328,6 @@ object Components {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
-  val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles)
+  val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
+    q158BestSurvivors)
 }

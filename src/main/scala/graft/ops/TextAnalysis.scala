@@ -598,7 +598,119 @@ object TextAnalysis {
       .orderBy(col("n_docs")) // single row; total-sort contract
   }
 
+  /** Gopher/MassiveText-style per-document repetition signals — the
+    * standard corpus-repetition filter family, complementing
+    * [[statsOf]]'s length/stopword battery and the corpus-grain passage
+    * index (q128): dup2_frac / dup10_frac = the fraction of 2-gram /
+    * 10-gram positions repeating an earlier in-document occurrence,
+    * top2_share = the most frequent 2-gram's share of all 2-gram
+    * positions. High values mark boilerplate loops and degenerate
+    * machine text. Docs under 10 tokens carry no 10-gram signal and are
+    * excluded.
+    *
+    * Determinism: all three signals divide exact integer counts and
+    * round to 6 dp — partition- and engine-independent.
+    *
+    * Scale: fully ROW-LOCAL — n-gram arrays, distinct counts, and one
+    * sorted-run fold per row; zero shuffle, the corpus streams through
+    * map tasks (contrast q128, which must aggregate at corpus hash
+    * grain to see CROSS-doc repetition). */
+  private[graft] def repetitionSignalsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // longest equal run in the sorted 2-gram array == max 2-gram count;
+    // an aggregate() fold beats a per-doc explode+count+max round trip
+    // (no shuffle), and the null-safe <=> seeds the first run correctly
+    val topRun =
+      """aggregate(array_sort(g2),
+        |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+        |  (s, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  if(x <=> s.prev, s.run + 1L, 1L),
+        |    'best', greatest(s.best, if(x <=> s.prev, s.run + 1L, 1L))),
+        |  s -> s.best)""".stripMargin
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .withColumn("g2",
+        expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+      .withColumn("g10",
+        expr("transform(sequence(0, size(w) - 10), i -> array_join(slice(w, i + 1, 10), ' '))"))
+      .select(col("doc_id"),
+        round((size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
+          / size(col("g2")), 6).as("dup2_frac"),
+        round((size(col("g10")) - size(array_distinct(col("g10")))).cast("double")
+          / size(col("g10")), 6).as("dup10_frac"),
+        round(expr(topRun).cast("double") / size(col("g2")), 6).as("top2_share"))
+  }
+
+  val q157Repetition: Q = Q.sql(
+    "q157_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g2,
+      |    [array_to_string(w[i:i+9], ' ') FOR i IN range(1, len(w) - 8)] AS g10
+      |  FROM t WHERE len(w) >= 10),
+      |c AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+      |top2 AS (
+      |  SELECT doc_id, MAX(n) AS topn FROM (
+      |    SELECT doc_id, gram, COUNT(*) AS n FROM c GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup2_frac,
+      |  round(CAST(len(g10) - len(list_distinct(g10)) AS DOUBLE) / len(g10), 6) AS dup10_frac,
+      |  round(CAST(t2.topn AS DOUBLE) / len(g2), 6) AS top2_share
+      |FROM g JOIN top2 t2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    repetitionSignalsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` tokens — the tokenizer-prep question ("how much of
+    * the corpus does a K-entry vocab cover, and which docs are OOV
+    * outliers?"). Vocabulary rank ties break by token string, so the
+    * vocab — and every rate — is a deterministic function of the corpus.
+    *
+    * Scale: the vocab is one map-side-combined token aggregate (shuffle
+    * ∝ distinct tokens) topped by TakeOrderedAndProject (K rows), then
+    * BROADCAST; the per-doc pass is one partial-aggregated groupBy on
+    * doc_id. The corpus token stream itself never joins corpus-sized
+    * state. */
+  private[graft] def oovRateOf(docs: org.apache.spark.sql.DataFrame,
+                               vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("__graft_in_vocab"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  val q159OovRate: Q = Q.sql(
+    "q159_oov_rate",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |vocab AS (
+      |  SELECT t FROM (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1)
+      |  ORDER BY n DESC, t LIMIT 20),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      |  FROM tok GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_oov,
+      |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+      |FROM agg ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    oovRateOf(Tables.documents(s, dir), 20).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
-    q142LangOverlap, q152BigramRarity, q156LangidKappa)
+    q142LangOverlap, q152BigramRarity, q156LangidKappa, q157Repetition, q159OovRate)
 }

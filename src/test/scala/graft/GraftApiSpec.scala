@@ -471,6 +471,55 @@ class GraftApiSpec extends AnyFunSuite {
     assert(tri.toSeq == Seq((0L, 1L, 2L)))
   }
 
+  test("bestSurvivors keeps the max-quality cluster member, not the min id") {
+    import spark.implicits._
+    // cluster {1, 5, 9} by explicit pairs; doc 5 has the best composite
+    // quality (more words + stopwords); doc 20 is a singleton outside
+    val rich = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and to in is on a"
+    val poor = "w1 w1 w1 w1 w1 w1 w1 w1 w1 w1"
+    val docs = Seq((1L, poor), (5L, rich), (9L, poor), (20L, "solo doc text here okay"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (5L, 9L)).toDF("i", "j")
+    val kept = graft.ops.Components.bestSurvivors(docs, pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 20L), s"expected best-quality survivor 5 + singleton 20, got $kept")
+    // facade path: exact duplicates tie on quality -> min id wins (total order)
+    val twins = Seq((3L, rich), (7L, rich)).toDF("doc_id", "text")
+    val dq = Graft.dedupByQuality(twins).select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(dq == Set(3L))
+  }
+
+  test("oovRate scores docs against the corpus top-K vocabulary with deterministic ties") {
+    import spark.implicits._
+    // corpus counts: a=4, b=3, z=3, q=1 -> top-2 vocab = {a, b} (z ties b, 'b' < 'z')
+    val docs = Seq((1L, "a a b z"), (2L, "a b z q"), (3L, "a b z a")).toDF("doc_id", "text")
+    val out = Graft.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    assert(out(3L) == ((4L, 1L, 0.25)))
+    intercept[IllegalArgumentException](Graft.oovRate(docs, vocabSize = 0))
+  }
+
+  test("repetitionSignals: looped text scores high, diverse text zero, short docs excluded") {
+    import spark.implicits._
+    val loop = Seq.fill(10)("buy now click here").mkString(" ")         // 40 tokens, 4-token loop
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")              // all tokens distinct
+    val docs = Seq((1L, loop), (2L, diverse), (3L, "too short to have ten grams"))
+      .toDF("doc_id", "text")
+    val out = Graft.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!out.contains(3L), "sub-10-token docs carry no 10-gram signal")
+    val (d2, d10, t2) = out(1L)
+    // 39 2-gram positions over only 4 distinct values; 31 10-gram
+    // positions over 4 distinct (period-4 text)
+    assert(d2 == math.round((39 - 4) / 39.0 * 1e6) / 1e6.toDouble)
+    assert(d10 == math.round((31 - 4) / 31.0 * 1e6) / 1e6.toDouble)
+    assert(t2 == math.round(10 / 39.0 * 1e6) / 1e6.toDouble, "top 2-gram 'buy now' appears 10x")
+    val (e2, e10, et2) = out(2L)
+    assert(e2 == 0.0 && e10 == 0.0 && et2 == math.round(1 / 39.0 * 1e6) / 1e6.toDouble)
+  }
+
   test("abcClassify: cum_share is monotone, classes split at 80/95, revenue preserved") {
     import spark.implicits._
     val df = (1 to 20).flatMap(k => Seq((k.toLong, 100.0 * (21 - k)))).toDF("k", "m")
