@@ -361,4 +361,12 @@ object Graft {
     * n_oov, oov_rate) — the vocab-coverage / tokenizer-prep audit. */
   def oovRate(docs: DataFrame, vocabSize: Int = 50000): DataFrame =
     ops.TextAnalysis.oovRateOf(docs, vocabSize)
+
+  /** Leakage-safe train/eval split: a deterministic md5 bucket of each
+    * doc's near-dup COMPONENT, so transitive near-copies always land on
+    * the same side (per-doc hashing can't guarantee that). Appends
+    * (grp, split); `trainPermille`/1000 of groups go to train. */
+  def leakageSafeSplit(docs: DataFrame, trainPermille: Int = 800): DataFrame =
+    ops.Components.leakageSafeSplitOf(docs,
+      nearDupPairs(docs).select(col("i"), col("j")), trainPermille)
 }

@@ -250,6 +250,62 @@ object Components {
     docs.join(broadcast(dropped), docs("doc_id") === dropped("id"), "left_anti")
   }
 
+  /** Leakage-safe train/eval split: membership is a deterministic md5
+    * bucket of each doc's near-dup COMPONENT (singletons group by their
+    * own id), so transitively-linked near-duplicates always land on the
+    * same side — the split-contamination guard a real corpus pipeline
+    * needs (an eval doc whose near-copy sits in train is a leak that
+    * per-doc hashing, q65's mechanism, cannot prevent).
+    *
+    * Determinism: the q65 bucket formula (`graft_md5long64 % 1000`,
+    * reproduced digit-for-digit in DuckDB), keyed by group id — split
+    * assignment is a pure function of corpus content, stable across
+    * engines, reruns, and partitionings.
+    *
+    * Scale: components exist only for duplicated docs → the (id, label)
+    * map broadcasts; the corpus takes one broadcast left join and
+    * streams through unshuffled. */
+  val q160LeakageSafeSplit: Q = Q.sql(
+    "q160_leakage_safe_split",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+       |  CASE WHEN CAST(concat('0x', substr(md5(CAST(
+       |         coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT)
+       |       % 1000 < 800 THEN 'train' ELSE 'eval' END AS split
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    leakageSafeSplitOf(graft.Tables.documents(s, dir),
+      Dedup.minhashPairs(s, dir).select(col("i"), col("j")), 800)
+      .select(col("doc_id"), col("grp"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generic form over (doc_id, …) docs and an (i, j) near-dup pair
+    * frame: all doc columns pass through plus (grp, split), train share
+    * ≈ `trainPermille`/1000 of GROUPS. */
+  private[graft] def leakageSafeSplitOf(docs: DataFrame, pairs: DataFrame,
+                                        trainPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0, 1000], got $trainPermille")
+    val comps = connectedComponents(pairs)
+    val grp = coalesce(col("label"), col("doc_id"))
+    docs.join(broadcast(comps), docs("doc_id") === comps("id"), "left")
+      .withColumn("grp", grp)
+      .withColumn("split",
+        when(call_function("graft_md5long64", col("grp").cast("string")) % 1000
+          < trainPermille, "train").otherwise("eval"))
+      .drop("id", "label")
+  }
+
   /** Triangle enumeration over the near-dup pair graph — the standard
     * distributed graph primitive beyond connected components (clustering
     * coefficients, community seeds, dedup-cluster density audits).
@@ -329,5 +385,5 @@ object Components {
   }
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
-    q158BestSurvivors)
+    q158BestSurvivors, q160LeakageSafeSplit)
 }

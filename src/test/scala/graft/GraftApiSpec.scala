@@ -489,6 +489,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(dq == Set(3L))
   }
 
+  test("leakageSafeSplit keeps near-dup clusters on one side; permille bounds hold") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    // clusters {1,5,9} and {20,21}; the rest are singletons
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("i", "j")
+    val out = graft.ops.Components.leakageSafeSplitOf(docs, pairs, 800)
+      .select($"doc_id", $"grp", $"split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 40)
+    assert(Set(out(1L), out(5L), out(9L)).size == 1, "cluster {1,5,9}: one group, one side")
+    assert(out(20L) == out(21L), "cluster {20,21} splits together")
+    assert(out(2L)._1 == 2L, "singletons group by their own id")
+    // permille edges are total functions of the group hash
+    assert(graft.ops.Components.leakageSafeSplitOf(docs, pairs, 0)
+      .filter($"split" === "train").count() == 0)
+    assert(graft.ops.Components.leakageSafeSplitOf(docs, pairs, 1000)
+      .filter($"split" === "eval").count() == 0)
+    intercept[IllegalArgumentException](Graft.leakageSafeSplit(docs, trainPermille = -1))
+  }
+
   test("oovRate scores docs against the corpus top-K vocabulary with deterministic ties") {
     import spark.implicits._
     // corpus counts: a=4, b=3, z=3, q=1 -> top-2 vocab = {a, b} (z ties b, 'b' < 'z')
