@@ -369,4 +369,27 @@ object Graft {
   def leakageSafeSplit(docs: DataFrame, trainPermille: Int = 800): DataFrame =
     ops.Components.leakageSafeSplitOf(docs,
       nearDupPairs(docs).select(col("i"), col("j")), trainPermille)
+
+  /** Bigram-LM cross-entropy quality score (the CCNet/KenLM perplexity
+    * proxy): trains Laplace-smoothed bigram counts on the corpus itself
+    * and appends (n_bigrams, xent) — higher xent = less language-like.
+    * Deterministic across partitionings (integer micro-nat sums). */
+  def lmQuality(docs: DataFrame): DataFrame =
+    ops.Quality.lmQualityOf(docs)
+
+  /** Per-source doc cap (the domain-cap curation discipline): at most
+    * `k` docs kept per source, selected by deterministic salted-md5
+    * order — an unbiased within-source sample. Returns (doc_id, source,
+    * kept); sort-free via a bounded k-th-smallest threshold aggregate. */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame =
+    ops.Curate.sourceCapOf(docs, k)
+
+  /** Benchmark-integrity containment report (the reverse of
+    * [[decontaminate]]): per EVAL doc, the fraction of its 5-gram
+    * shingles found anywhere in `corpus` — containment near 1.0 means
+    * the benchmark item is memorizable verbatim. The corpus side is
+    * filtered by the broadcast eval-shingle set, never shuffled. */
+  def evalContainment(evalSet: DataFrame, corpus: DataFrame,
+                      dirtyFrac: Double = 0.2): DataFrame =
+    ops.Decontam.containmentOf(evalSet, corpus, dirtyFrac)
 }

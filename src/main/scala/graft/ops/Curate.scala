@@ -184,5 +184,47 @@ object Curate {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest)
+  /** Per-source doc cap — the web-curation domain-cap discipline (no
+    * single domain may dominate the corpus; C4/RefinedWeb drop or
+    * downsample hot domains): keep at most K docs per source, chosen by
+    * a deterministic salted-md5 order (an unbiased within-source sample,
+    * the 'strat:' idiom of q71), flag the rest.
+    *
+    * Scale: selection is the SORT-FREE threshold pattern — a
+    * [[graft.functions.KthSmallest]] bounded aggregate computes each
+    * source's K-th-smallest (hash, doc_id) cut point with O(K) state per
+    * group and |sources|×K shuffle rows, then membership is a broadcast
+    * join + row-local pair comparison. A row_number window here would
+    * per-group sort the full corpus — a billion-doc hot domain makes
+    * that a spill sort for a selection that needs one cut point. */
+  val q162SourceCap: Q = Q.sql(
+    "q162_source_cap",
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST(concat('0x', substr(md5(concat('scap:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+      |SELECT doc_id, source, rk <= 15 AS kept FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    sourceCapOf(Tables.documents(s, dir), 15).orderBy(col("doc_id"))
+  }
+
+  /** Generic form over any (doc_id, source, …) frame: (doc_id, source,
+    * kept) with at most `k` kept per source. */
+  private[graft] def sourceCapOf(docs: org.apache.spark.sql.DataFrame,
+                                 k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hashed = docs.select(col("doc_id"), col("source"),
+      call_function("graft_md5long64",
+        concat(lit("scap:"), col("doc_id").cast("string"))).as("h"))
+    val th = hashed.groupBy(col("source"))
+      .agg(graft.functions.KthSmallest.udaf(k)(col("h"), col("doc_id")).as("th"))
+    hashed.join(broadcast(th), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("h") < col("th._1") ||
+          (col("h") === col("th._1") && col("doc_id") <= col("th._2"))).as("kept"))
+  }
+
+  val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest, q162SourceCap)
 }

@@ -92,5 +92,70 @@ object Decontam {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q101Decontaminate)
+  /** The REVERSE probe of [[decontaminate]] — the GPT-3-appendix-style
+    * benchmark-integrity report: score each EVAL doc by the fraction of
+    * ITS shingles that occur anywhere in the training corpus. q101 says
+    * which train docs to drop; this says which benchmark items are
+    * already compromised (a containment near 1.0 means the benchmark
+    * item is memorizable verbatim and its score is meaningless).
+    *
+    * Scale: the corpus side is never shuffled by content — its exploded
+    * shingles are FILTERED by the broadcast eval-shingle set first
+    * (semi-join), so the only aggregation runs over corpus∩eval hits,
+    * bounded by the eval suite's size, not the corpus's. */
+  private[graft] def containmentOf(evalSet: DataFrame, corpus: DataFrame,
+                                   dirtyFrac: Double = 0.2): DataFrame =
+    containmentHashed(Dedup.hashedShinglesOf(evalSet),
+      Dedup.hashedShinglesOf(corpus), dirtyFrac)
+
+  private[graft] def containmentHashed(evalHashed: DataFrame, corpusHashed: DataFrame,
+                                       dirtyFrac: Double): DataFrame = {
+    val evalShingles = evalHashed.select(explode(col("hs")).as("h")).distinct()
+    val hits = corpusHashed.select(explode(col("hs")).as("h"))
+      .join(broadcast(evalShingles), Seq("h"), "left_semi")
+      .distinct().withColumn("hit", lit(1L))
+    evalHashed
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(hits), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_in_corpus"))
+      .select(col("doc_id"), col("n_shingles"), col("n_in_corpus"),
+        (col("n_in_corpus").cast("double") / col("n_shingles")).as("containment"),
+        (col("n_in_corpus").cast("double") / col("n_shingles") >= dirtyFrac)
+          .as("compromised"))
+  }
+
+  /** Benchmark containment report at 5-gram grain, dirty threshold 0.2;
+    * the eval split is the q101 convention (doc_id % 20 = 0). */
+  val q163EvalContainment: Q = Q.sql(
+    "q163_eval_containment",
+    s"""WITH
+       |${Dedup.oracleDocs},
+       |${Dedup.oracleHashed},
+       |hits AS (
+       |  SELECT DISTINCT ev.h FROM
+       |    (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 20 = 0) ev
+       |  JOIN (SELECT unnest(hs) AS h FROM hashed WHERE doc_id % 20 != 0) c ON c.h = ev.h),
+       |evd AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+       |  FROM hashed WHERE doc_id % 20 = 0),
+       |agg AS (
+       |  SELECT evd.doc_id, evd.n_shingles,
+       |    CAST(SUM(CASE WHEN hits.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_corpus
+       |  FROM evd LEFT JOIN hits ON hits.h = evd.h
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, n_shingles, n_in_corpus,
+       |  CAST(n_in_corpus AS DOUBLE) / n_shingles AS containment,
+       |  CAST(n_in_corpus AS DOUBLE) / n_shingles >= 0.2 AS compromised
+       |FROM agg ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    containmentOf(
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("doc_id") % 20 =!= 0))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment)
 }

@@ -206,5 +206,85 @@ object Quality {
       .groupBy(col("nat"), col("seg")).agg(sum(col("n")).as("n"))
       .withColumn("k_ok", col("n") >= k)
 
-  val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub, q110KAnonymity)
+  /** Bigram-LM cross-entropy quality score — the CCNet/KenLM idiom
+    * (a doc whose word sequence is improbable under a language model
+    * trained on the corpus itself is boilerplate, gibberish, or
+    * off-distribution): train Laplace-smoothed bigram counts on the
+    * WHOLE corpus in one pass, then score each doc by its average
+    * negative log-probability, -1/n · Σ ln p(w2|w1) with
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    *
+    * Determinism at 1000 executors: per-bigram log-probs are rounded to
+    * integer micro-nats row-locally (each term is a pure function of
+    * exact integer counts), then summed as exact longs — the aggregate
+    * is partition-order-independent, unlike a raw double sum. The final
+    * division rounds to 6 dp, the q68/q136 discipline.
+    *
+    * Scale: bigram occurrences are pre-aggregated per (doc, w1, w2)
+    * before joining the count tables (map-side combine), and both count
+    * joins are hash joins on token keys — the vocabulary scales with the
+    * corpus, so neither side is broadcast (the q152 bigram-df
+    * discipline). Only the 1-row vocab-size scalar broadcasts. */
+  val q161LmQuality: Q = Q.sql(
+    "q161_lm_quality",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT t, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |big AS (
+      |  SELECT doc_id, w[k+1] AS w1, w[k+2] AS w2, COUNT(*) AS n_occ
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS k FROM tok)
+      |  GROUP BY 1, 2, 3),
+      |c2t AS (
+      |  SELECT w1, w2, CAST(SUM(n_occ) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT b.doc_id, b.n_occ,
+      |    CAST(round(ln((u.c1 + v.v) / (c.c2 + 1.0)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM big b JOIN uni u ON u.t = b.w1
+      |  JOIN c2t c ON c.w1 = b.w1 AND c.w2 = b.w2
+      |  CROSS JOIN v)
+      |SELECT d.doc_id,
+      |  coalesce(CAST(SUM(s.n_occ) AS BIGINT), 0) AS n_bigrams,
+      |  round(SUM(s.lp_micro * s.n_occ) / 1e6 / SUM(s.n_occ), 6) AS xent
+      |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    lmQualityOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Generic form over any (doc_id, text) frame: appends (n_bigrams,
+    * xent); docs with fewer than two tokens get n_bigrams = 0 and a
+    * NULL score (no bigram evidence — the caller decides the policy). */
+  private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val uni = tok.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val big = tok.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("n_occ"))
+    val c2t = big.groupBy(col("w1"), col("w2")).agg(sum(col("n_occ")).as("c2"))
+    val scored = big
+      .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
+      .join(c2t, Seq("w1", "w2"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("n_occ"),
+        round(log((col("c1") + col("v")) / (col("c2") + lit(1.0))) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n_occ")).as("n_bigrams"),
+        sum(col("lp_micro") * col("n_occ")).as("lp_sum"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("lp_sum") / 1e6 / col("n_bigrams"), 6).as("xent"))
+  }
+
+  val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub, q110KAnonymity,
+    q161LmQuality)
 }

@@ -556,4 +556,66 @@ class GraftApiSpec extends AnyFunSuite {
     }
     assert(math.abs(out.map(_.getDouble(1)).sum - (1 to 20).map(k => 100.0 * (21 - k)).sum) < 1e-6)
   }
+
+  test("lmQuality matches the hand-computed Laplace bigram cross-entropy; partition-invariant") {
+    import spark.implicits._
+    // tokens a:3 b:3 x:1 -> V=3; bigrams c2(a,b)=3, c2(b,a)=1
+    // -ln p(b|a) = ln((3+3)/(3+1)) = ln 1.5; -ln p(a|b) = ln((3+3)/(1+1)) = ln 3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graft.lmQuality(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val out = run(docs)
+    val ln15 = math.round(math.log(1.5) * 1e6)   // 405465 micro-nats
+    val ln3  = math.round(math.log(3.0) * 1e6)   // 1098612
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2.contains(BigDecimal((2 * ln15 + ln3) / 1e6 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2L) == ((1L, Some(ln15 / 1e6))))
+    assert(out(3L) == ((0L, None)), "single-token doc: no bigram evidence, NULL score")
+    assert(run(docs.repartition(7)) == out, "micro-nat integer sums are partition-order-independent")
+  }
+
+  test("sourceCap equals the window-sort reference and is merge-order invariant") {
+    import spark.implicits._
+    // hot source with 30 docs (over k=5), small source with 3 (under k)
+    val docs = ((1L to 30L).map(i => (i, "hot")) ++ Seq((101L, "cold"), (102L, "cold"), (103L, "cold")))
+      .toDF("doc_id", "source")
+    def keptOf(df: org.apache.spark.sql.DataFrame) =
+      Graft.sourceCap(df, 5).filter($"kept").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = keptOf(docs)
+    assert(kept.count(_._2 == "hot") == 5, "hot source capped at k")
+    assert(kept.count(_._2 == "cold") == 3, "under-k source keeps everything")
+    // reference: the 5 smallest salted hashes win — replicate with a window sort
+    val ref = docs.withColumn("h", org.apache.spark.sql.functions.call_function(
+        "graft_md5long64", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("scap:"), $"doc_id".cast("string"))))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= 5).select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == ref, "bounded-threshold selection ≡ window-sort selection")
+    // 13 partitions force partial-aggregate merges in arbitrary order
+    assert(keptOf(docs.repartition(13)) == kept, "KthSmallest merge is order-independent")
+    intercept[IllegalArgumentException](Graft.sourceCap(docs, 0))
+  }
+
+  test("evalContainment scores eval docs by corpus shingle containment") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "totally unrelated training text goes right here now")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "one two three four five six seven eight"),  // verbatim in corpus
+      (101L, "alpha beta gamma delta epsilon zeta eta"),  // disjoint
+      (102L, "zz one two three four five yy")             // partial: 1 of 3 shingles hits
+    ).toDF("doc_id", "text")
+    val out = Graft.evalContainment(evalSet, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(100L)._3 == 1.0 && out(100L)._4, "verbatim benchmark item: containment 1.0")
+    assert(out(101L) == ((3L, 0L, 0.0, false)), "disjoint item untouched")
+    assert(out(102L)._1 == 3L && out(102L)._2 == 1L, "partial item: 1 of 3 shingles in corpus")
+    assert(out(102L)._3 == 1.0 / 3 && out(102L)._4, "ratio exact; above the 0.2 threshold")
+  }
 }

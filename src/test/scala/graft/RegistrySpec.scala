@@ -85,6 +85,7 @@ class RegistrySpec extends AnyFunSuite {
     "q143_training_manifest",  // 1-row weight-total cross join (via temperature thresholds)
     "q144_market_basket",      // 1-row order-count cross join (lift denominator)
     "q148_ab_test",            // 1-row × 1-row group-moment join
+    "q161_lm_quality",         // 1-row vocab-size cross join (Laplace V)
     "q149_ks_drift",           // 1-row totals cross join (ECDF denominators)
     "q152_bigram_rarity",      // 1-row corpus-count cross join (rarity weight)
     "q153_hard_negatives",     // bounded probe set × candidates, <> label condition
