@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Public library facade — the engine's operators over YOUR DataFrames,
@@ -383,6 +383,29 @@ object Graft {
     * kept); sort-free via a bounded k-th-smallest threshold aggregate. */
   def sourceCap(docs: DataFrame, k: Int): DataFrame =
     ops.Curate.sourceCapOf(docs, k)
+
+  /** Curriculum phase assignment: exact global NTILE of `scored` over
+    * (quality DESC, doc_id) into `phases` blocks, computed with the
+    * scalable-global-rank pattern (range repartition + per-partition
+    * rank + broadcast prefix offsets), never a one-partition window. */
+  def curriculum(scored: DataFrame, phases: Int = 4): DataFrame =
+    ops.Curate.curriculumOf(scored, phases)
+
+  /** Per-group unigram/trigram type-token ratios — the diversity-
+    * collapse diagnostic for template-generated or spam sources.
+    * Returns (source, n_tokens, n_types, ttr_uni, n_trigrams,
+    * n_tri_types, ttr_tri) per distinct `group` value. */
+  def ngramDiversity(docs: DataFrame, group: Column): DataFrame =
+    ops.TextAnalysis.ngramDiversityOf(docs, group)
+
+  /** DSIR-style importance selection (hashed-n-gram log-likelihood
+    * ratio vs a target distribution, NeurIPS 2023): appends (n_feats,
+    * weight, selected) keeping the `topN` docs whose unigram+bigram
+    * bucket profile best matches the rows where `isTarget` holds.
+    * Bucket table and top-N threshold broadcast; one corpus scan. */
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+                 buckets: Int = 256, topN: Int = 100): DataFrame =
+    ops.Curate.dsirSelectOf(docs, isTarget, buckets, topN)
 
   /** Benchmark-integrity containment report (the reverse of
     * [[decontaminate]]): per EVAL doc, the fraction of its 5-gram

@@ -226,5 +226,176 @@ object Curate {
           (col("h") === col("th._1") && col("doc_id") <= col("th._2"))).as("kept"))
   }
 
-  val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest, q162SourceCap)
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * each doc by how much its hashed-n-gram distribution looks like a
+    * TARGET distribution relative to the raw corpus, then keep the
+    * top-N. Features are word unigrams + bigrams hashed into `buckets`
+    * buckets; per-bucket importance is the Laplace-smoothed
+    * log-likelihood ratio ln(p_target(b)/p_raw(b)); a doc's weight is
+    * the sum of its features' ratios — exactly the paper's bag-of-
+    * hashed-n-grams estimator, with the Gumbel-resampling step replaced
+    * by a deterministic top-N (weight, doc_id) cut so the result is
+    * reproducible and oracle-checkable.
+    *
+    * Scale: ONE corpus scan builds per-(doc, bucket) counts with
+    * map-side combine; the bucket table (≤ `buckets` rows — fixed, not
+    * corpus-proportional) and its 1-row totals broadcast; the top-N cut
+    * is the [[graft.functions.KthSmallest]] sort-free threshold — O(N)
+    * aggregator state, no global sort of the corpus.
+    *
+    * Determinism: bucket log-ratios round to integer micro-nats
+    * row-locally from exact integer counts (the q161 discipline), so
+    * per-doc weights are exact long sums — partition-order-independent
+    * on a 1000-executor run. */
+  val q164DsirSelect: Q = Q.sql(
+    "q164_dsir_select",
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS w FROM documents),
+      |feat AS (
+      |  SELECT doc_id, is_t, unnest(w) AS f FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, is_t, w[k+1] || ' ' || w[k+2] AS f
+      |  FROM (SELECT doc_id, is_t, w, unnest(range(0, len(w) - 1)) AS k FROM tok)),
+      |db AS (
+      |  SELECT doc_id, is_t,
+      |    CAST(concat('0x', substr(md5(concat('dsir:', f)), 1, 15)) AS BIGINT) % 256 AS b,
+      |    COUNT(*) AS n_occ
+      |  FROM feat GROUP BY 1, 2, 3),
+      |bt AS (
+      |  SELECT b, CAST(SUM(n_occ) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN is_t THEN n_occ ELSE 0 END) AS BIGINT) AS ct
+      |  FROM db GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_tot, CAST(SUM(ct) AS BIGINT) AS t_tot FROM bt),
+      |lr AS (
+      |  SELECT b, CAST(round(ln(((ct + 1.0) / (t_tot + 256)) / ((cr + 1.0) / (r_tot + 256))) * 1e6) AS BIGINT) AS lr_micro
+      |  FROM bt CROSS JOIN tot),
+      |dw AS (
+      |  SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_feats,
+      |    CAST(SUM(d.n_occ * lr.lr_micro) AS BIGINT) AS w_micro
+      |  FROM db d JOIN lr ON lr.b = d.b GROUP BY 1),
+      |rk AS (
+      |  SELECT doc_id, n_feats, w_micro,
+      |    ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS rk FROM dw)
+      |SELECT doc_id, n_feats, round(w_micro / 1e6, 6) AS weight, rk <= 100 AS selected
+      |FROM rk ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    dsirSelectOf(Tables.documents(s, dir), col("lang") === "en", 256, 100)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generic form over any (doc_id, text, …) frame: appends (n_feats,
+    * weight, selected) with at most `topN` selected, scored against the
+    * rows where `isTarget` holds. */
+  private[graft] def dsirSelectOf(docs: org.apache.spark.sql.DataFrame,
+                                  isTarget: org.apache.spark.sql.Column,
+                                  buckets: Int = 256,
+                                  topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
+      split(col("text"), " ").as("w"))
+    val uni = tok.select(col("doc_id"), col("is_t"), explode(col("w")).as("f"))
+    val big = tok.where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(col("doc_id"), col("is_t"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        concat(col("bg.a"), lit(" "), col("bg.b")).as("f"))
+    val db = uni.unionByName(big)
+      .select(col("doc_id"), col("is_t"),
+        pmod(call_function("graft_md5long64", concat(lit("dsir:"), col("f"))),
+          lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("is_t"), col("b")).agg(count(lit(1)).as("n_occ"))
+    val bt = db.groupBy(col("b")).agg(
+      sum(col("n_occ")).as("cr"),
+      sum(when(col("is_t"), col("n_occ")).otherwise(0L)).as("ct"))
+    val tot = bt.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+    val lr = bt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + lit(1.0)) / (col("t_tot") + lit(buckets))) /
+                  ((col("cr") + lit(1.0)) / (col("r_tot") + lit(buckets)))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    val dw = db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n_occ")).as("n_feats"),
+        sum(col("n_occ") * col("lr_micro")).as("w_micro"))
+    val th = dw.agg(
+      graft.functions.KthSmallest.udaf(topN)(-col("w_micro"), col("doc_id")).as("th"))
+    dw.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("w_micro") / 1e6, 6).as("weight"),
+        (-col("w_micro") < col("th._1") ||
+          (-col("w_micro") === col("th._1") && col("doc_id") <= col("th._2")))
+          .as("selected"))
+  }
+
+  /** Curriculum phase assignment — order the corpus cleanest-first (the
+    * curriculum-learning discipline: early training sees the
+    * highest-quality docs) and split it into `phases` contiguous blocks
+    * by exact global NTILE over (quality DESC, doc_id).
+    *
+    * Scale: NTILE needs a GLOBAL rank, and the naive window
+    * (`Window.orderBy` with no partition) funnels the whole corpus
+    * through ONE partition — the canonical 100 TB scale-killer. This
+    * uses the scalable-global-rank pattern instead: range-repartition on
+    * the sort key (Spark's distributed sort machinery), rank WITHIN each
+    * partition via an ordinary partitioned window, then add per-
+    * partition row-count prefix offsets (a ≤|partitions|-row broadcast).
+    * Every stage is parallel; the only driver-side values are the corpus
+    * count and partition counts (scalars). Result is EXACTLY the
+    * single-window answer: range partitions tile the sort order, so
+    * offset + local rank = global rank. */
+  val q166Curriculum: Q = Q.sql(
+    "q166_curriculum",
+    s"""WITH s AS (
+       |  ${TextAnalysis.oracleTextStats.replace("\n", "\n  ")})
+       |SELECT doc_id, quality,
+       |  NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS phase
+       |FROM s ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    curriculumOf(TextAnalysis.textStats(s, dir), 4).orderBy(col("doc_id"))
+  }
+
+  /** Generic form over any frame carrying (doc_id, quality): returns
+    * (doc_id, quality, phase) with phase ∈ 1..`phases` assigned by exact
+    * NTILE over (quality DESC, doc_id). */
+  private[graft] def curriculumOf(scored: org.apache.spark.sql.DataFrame,
+                                  phases: Int): org.apache.spark.sql.DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    import org.apache.spark.sql.expressions.Window
+    // fixed-point sort key: quality is already round(…,9), so ×1e9 is exact
+    val keyed = scored.select(col("doc_id"), col("quality"),
+      (-round(col("quality") * 1e9, 0)).cast("long").as("nq"))
+    val ranged = keyed
+      .repartitionByRange(col("nq"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("pid")).orderBy(col("nq"), col("doc_id"))
+    val withLocal = ranged.withColumn("lrk", row_number().over(local).cast("long"))
+    // ≤|partitions| rows: per-partition counts → exclusive prefix offsets
+    val offsets = withLocal.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off",
+        coalesce(sum(col("pn")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("off"))
+    val n1 = keyed.agg(count(lit(1)).as("n"))
+    val p = lit(phases.toLong)
+    withLocal.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("quality"), (col("off") + col("lrk")).as("r"),
+        (col("n") % p).as("rem"), expr(s"n DIV ${phases.toLong}").as("base"))
+      // NTILE arithmetic from the 1-based global rank r: the first n%P
+      // tiles hold ceil(n/P) rows, the rest floor(n/P). Integral `div`,
+      // not `/` (which is floating on longs).
+      .select(col("doc_id"), col("quality"),
+        expr("""CAST(CASE WHEN r <= rem * (base + 1)
+               |  THEN (r - 1) DIV (base + 1) + 1
+               |  ELSE rem + (r - rem * (base + 1) - 1) DIV base + 1
+               |END AS BIGINT)""".stripMargin).as("phase"))
+  }
+
+  val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest, q162SourceCap,
+    q164DsirSelect, q166Curriculum)
 }

@@ -710,7 +710,65 @@ object TextAnalysis {
     oovRateOf(Tables.documents(s, dir), 20).orderBy(col("doc_id"))
   }
 
+  /** Per-source n-gram diversity — the diversity-collapse diagnostic
+    * (template-generated or spam sources repeat the same trigram
+    * skeletons, so their trigram type-token ratio craters while unigram
+    * TTR looks normal; the Self-BLEU intuition at corpus grain without
+    * the quadratic doc-doc comparison). Reports unigram and trigram
+    * type/token counts and TTRs per source.
+    *
+    * Scale: both grains aggregate at (source, gram) — vocabulary-grain
+    * hash keys (the q152 discipline: vocabulary scales with the corpus,
+    * so nothing broadcasts) — then collapse to |sources| rows. Exact
+    * distinct counts via the two-level aggregate, never
+    * countDistinct-over-everything in one step with giant hash sets. */
+  val q165NgramDiversity: Q = Q.sql(
+    "q165_ngram_diversity",
+    """WITH tok AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |u AS (SELECT source, t, COUNT(*) AS c FROM (SELECT source, unnest(w) AS t FROM tok) GROUP BY 1, 2),
+      |us AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types FROM u GROUP BY 1),
+      |tg AS (SELECT source, w[k+1] || ' ' || w[k+2] || ' ' || w[k+3] AS t, COUNT(*) AS c
+      |       FROM (SELECT source, w, unnest(range(0, len(w) - 2)) AS k FROM tok) GROUP BY 1, 2),
+      |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams, CAST(COUNT(*) AS BIGINT) AS n_tri_types FROM tg GROUP BY 1)
+      |SELECT us.source, n_tokens, n_types,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr_uni,
+      |  coalesce(n_trigrams, 0) AS n_trigrams, coalesce(n_tri_types, 0) AS n_tri_types,
+      |  round(CAST(n_tri_types AS DOUBLE) / n_trigrams, 6) AS ttr_tri
+      |FROM us LEFT JOIN ts ON ts.source = us.source ORDER BY us.source""".stripMargin
+  ) { (s, dir) =>
+    ngramDiversityOf(Tables.documents(s, dir), col("source")).orderBy(col("source"))
+  }
+
+  /** Generic form: per-`group` unigram/trigram type-token ratios over
+    * whitespace tokens of `text`. Groups whose docs are all shorter
+    * than three tokens get n_trigrams = 0 and a NULL ttr_tri. */
+  private[graft] def ngramDiversityOf(docs: DataFrame, group: Column): DataFrame = {
+    val tok = docs.select(group.as("source"), split(col("text"), " ").as("w"))
+    val us = tok.select(col("source"), explode(col("w")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val ts = tok.where(size(col("w")) >= 3)
+      .select(col("source"),
+        slice(col("w"), lit(1), size(col("w")) - 2).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 2).as("b"),
+        slice(col("w"), lit(3), size(col("w")) - 2).as("c"))
+      .select(col("source"), explode(arrays_zip(col("a"), col("b"), col("c"))).as("g"))
+      .select(col("source"),
+        concat_ws(" ", col("g.a"), col("g.b"), col("g.c")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_trigrams"), count(lit(1)).as("n_tri_types"))
+    us.join(ts, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr_uni"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_types"), lit(0L)).as("n_tri_types"),
+        round(col("n_tri_types").cast("double") / col("n_trigrams"), 6).as("ttr_tri"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
-    q142LangOverlap, q152BigramRarity, q156LangidKappa, q157Repetition, q159OovRate)
+    q142LangOverlap, q152BigramRarity, q156LangidKappa, q157Repetition, q159OovRate,
+    q165NgramDiversity)
 }

@@ -601,6 +601,74 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.sourceCap(docs, 0))
   }
 
+  test("dsirSelect prefers docs matching the target distribution; partition-invariant") {
+    import spark.implicits._
+    // 4 target docs in "aa bb" vocabulary, 4 raw-only in "xx yy", 2 mixed
+    val docs = (
+      (1L to 4L).map(i => (i, s"aa bb aa bb cc$i", true)) ++
+      (5L to 8L).map(i => (i, s"xx yy xx yy zz$i", false)) ++
+      Seq((9L, "aa bb xx yy", false), (10L, "qq rr ss tt", false))
+    ).toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graft.dsirSelect(df, $"is_t", buckets = 64, topN = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val out = run(docs)
+    assert(out.size == 10)
+    // the 4 selected docs are exactly the target-vocabulary ones
+    assert(out.filter(_._2._2).keySet == Set(1L, 2L, 3L, 4L))
+    // target-vocab docs outscore raw-only docs
+    assert((1L to 4L).map(out(_)._1).min > (5L to 8L).map(out(_)._1).max)
+    // the mixed doc sits between the two blocks
+    assert(out(9L)._1 < (1L to 4L).map(out(_)._1).min)
+    assert(out(9L)._1 > (5L to 8L).map(out(_)._1).max)
+    assert(run(docs.repartition(7)) == out, "micro-nat weights are partition-independent")
+    // under-topN corpus: everything selected (sentinel threshold)
+    val tiny = Seq((1L, "aa bb", true), (2L, "xx", false)).toDF("doc_id", "text", "is_t")
+    assert(Graft.dsirSelect(tiny, $"is_t", 64, 10).collect().forall(_.getBoolean(3)))
+    intercept[IllegalArgumentException](Graft.dsirSelect(docs, $"is_t", 1, 4))
+    intercept[IllegalArgumentException](Graft.dsirSelect(docs, $"is_t", 64, 0))
+  }
+
+  test("ngramDiversity matches hand-computed type-token ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c", "A"),   // 6 tokens {a,b,c}; trigrams abc,bca,cab,abc
+      (2L, "x y", "B"),           // no trigram
+      (3L, "p p p p", "B")        // 4 tokens 1 type; trigrams ppp,ppp -> 2 occ 1 type
+    ).toDF("doc_id", "text", "source")
+    val out = Graft.ngramDiversity(docs, org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getDouble(3)) == ((6L, 3L, 0.5)))
+    assert((a.getLong(4), a.getLong(5), a.getDouble(6)) == ((4L, 3L, 0.75)))
+    val b = out("B")
+    assert((b.getLong(1), b.getLong(2)) == ((6L, 3L)), "B: tokens x,y,p*4")
+    assert((b.getLong(4), b.getLong(5), b.getDouble(6)) == ((2L, 1L, 0.5)),
+      "the 2-token doc contributes no trigrams; ppp counted once as a type")
+  }
+
+  test("curriculum equals the one-window NTILE on uneven tiles; partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, ntile, row_number}
+    // n=10, phases=4 -> tile sizes 3,3,2,2; planted ties in quality
+    val scored = Seq(
+      (1L, 0.9), (2L, 0.9), (3L, 0.8), (4L, 0.8), (5L, 0.8),
+      (6L, 0.5), (7L, 0.4), (8L, 0.3), (9L, 0.3), (10L, 0.1)
+    ).toDF("doc_id", "quality")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graft.curriculum(df, 4).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out = run(scored)
+    val ref = scored.withColumn("phase", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("quality").desc, col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(out == ref, "scalable rank ≡ single-window NTILE, ties and uneven tiles included")
+    assert(out(1L) == 1L && out(5L) == 2L && out(10L) == 4L)
+    assert(run(scored.repartition(7)) == out)
+    assert(run(scored).values.toSeq.sorted == Seq(1L,1L,1L,2L,2L,2L,3L,3L,4L,4L))
+    assert(Graft.curriculum(scored, 1).collect().forall(_.getLong(2) == 1L))
+    intercept[IllegalArgumentException](Graft.curriculum(scored, 0))
+  }
+
   test("evalContainment scores eval docs by corpus shingle containment") {
     import spark.implicits._
     val corpus = Seq(
