@@ -293,26 +293,43 @@ object Curate {
                                   topN: Int = 100): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(topN >= 1, s"topN must be >= 1, got $topN")
+    // unigrams ++ bigrams built in ONE projection (zip_with over the two
+    // shifted slices), so the corpus parquet is scanned exactly once —
+    // a union of two explode branches would scan it twice (PlanSpec-
+    // guarded). slice(w,1,0) is empty for 1-token docs, so zip_with
+    // degrades to no bigrams.
     val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
       split(col("text"), " ").as("w"))
-    val uni = tok.select(col("doc_id"), col("is_t"), explode(col("w")).as("f"))
-    val big = tok.where(size(col("w")) >= 2)
+    val db = tok
       .select(col("doc_id"), col("is_t"),
-        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
-        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
-      .select(col("doc_id"), col("is_t"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+        explode(concat(col("w"),
+          zip_with(
+            slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+            slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)))).as("f"))
       .select(col("doc_id"), col("is_t"),
-        concat(col("bg.a"), lit(" "), col("bg.b")).as("f"))
-    val db = uni.unionByName(big)
-      .select(col("doc_id"), col("is_t"),
-        pmod(call_function("graft_md5long64", concat(lit("dsir:"), col("f"))),
-          lit(buckets.toLong)).as("b"))
+        // coalesce makes `b` non-nullable (it never is), so the dw⋈lr
+        // inner join adds no isnotnull(b) pushdown — a pushed filter
+        // would make this subtree differ from bt's and defeat
+        // ReuseExchange, re-scanning the corpus (PlanSpec-guarded)
+        coalesce(pmod(call_function("graft_md5long64", concat(lit("dsir:"), col("f"))),
+          lit(buckets.toLong)), lit(0L)).as("b"))
       .groupBy(col("doc_id"), col("is_t"), col("b")).agg(count(lit(1)).as("n_occ"))
     val bt = db.groupBy(col("b")).agg(
       sum(col("n_occ")).as("cr"),
       sum(when(col("is_t"), col("n_occ")).otherwise(0L)).as("ct"))
-    val tot = bt.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
-    val lr = bt.crossJoin(broadcast(tot))
+    // corpus totals via a global window over the ≤`buckets`-row bucket
+    // table — bounded single-partition work that keeps the plan LINEAR.
+    // A separate totals aggregate re-derives the whole scan subtree
+    // (ReuseExchange does not bridge the differing column prunings), so
+    // the corpus would be scanned twice. PlanSpec asserts one scan.
+    // pmod(b,1)=0 for every row: a one-partition window over ≤`buckets`
+    // rows, written non-foldably so WindowExec doesn't warn about a
+    // global window (it IS global, and bounded)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(pmod(col("b"), lit(1L)))
+    val lr = bt
+      .withColumn("r_tot", sum(col("cr")).over(wAll))
+      .withColumn("t_tot", sum(col("ct")).over(wAll))
       .select(col("b"),
         round(log(((col("ct") + lit(1.0)) / (col("t_tot") + lit(buckets))) /
                   ((col("cr") + lit(1.0)) / (col("r_tot") + lit(buckets)))) * 1e6, 0)

@@ -211,4 +211,36 @@ class PlanSpec extends AnyFunSuite {
     // exchange sits directly above a percentile ObjectHashAggregate
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q164 DSIR executes exactly ONE corpus scan (ReuseExchange collapses the diamonds)") {
+    // runtime assertion: the zip_with feature fusion plus window-based
+    // totals keep the plan linear enough that AQE's ReuseExchange serves
+    // every other consumer (bt vs dw, dw vs th) from the first exchange
+    // at sf0.001 everything broadcasts statically and there is no hash
+    // exchange to reuse — run at sf0.01 where the diamond is real
+    val df = SparkEntry.queries("q164_dsir_select")(spark, Sf001)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // only the Final Plan section is what executed (Initial Plan is the
+    // pre-AQE static tree and legitimately shows the diamond)
+    val end = full.indexOf("== Initial Plan ==") match {
+      case -1 => full.length
+      case i  => i
+    }
+    val plan = full.substring(full.indexOf("== Final Plan =="), end)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, plan)
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("q166 curriculum ranks inside pid partitions, never one global window") {
+    val plan = formatted(q("q166_curriculum"))
+    // the corpus-side row_number must be partitioned by spark_partition_id
+    assert(plan.contains("windowspecdefinition(pid"), plan)
+    // the only empty-partition window runs over the ≤|partitions|-row
+    // offset table (prefix sums of per-partition counts), never the docs
+    val globalWindows = plan.linesIterator.count(l =>
+      l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(pid"))
+    assert(globalWindows <= 1, plan)
+  }
 }

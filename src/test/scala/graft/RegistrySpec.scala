@@ -86,7 +86,7 @@ class RegistrySpec extends AnyFunSuite {
     "q144_market_basket",      // 1-row order-count cross join (lift denominator)
     "q148_ab_test",            // 1-row × 1-row group-moment join
     "q161_lm_quality",         // 1-row vocab-size cross join (Laplace V)
-    "q164_dsir_select",        // 1-row totals + 1-row top-N threshold cross joins
+    "q164_dsir_select",        // 1-row top-N threshold cross join
     "q166_curriculum",         // 1-row corpus-count cross join (NTILE arithmetic)
     "q149_ks_drift",           // 1-row totals cross join (ECDF denominators)
     "q152_bigram_rarity",      // 1-row corpus-count cross join (rarity weight)
