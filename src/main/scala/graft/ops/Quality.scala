@@ -257,16 +257,29 @@ object Quality {
     * xent); docs with fewer than two tokens get n_bigrams = 0 and a
     * NULL score (no bigram evidence — the caller decides the policy). */
   private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val uni = tok.select(explode(col("w")).as("t"))
+    // coalesce(…, "") makes every join key non-nullable (split yields no
+    // nulls), so the count-table joins push no isnotnull filters into
+    // one consumer's subtree — differing pushed filters defeat
+    // ReuseExchange and re-scan the corpus (the q164 lesson)
+    // doc_id too: the final left join pushes isnotnull(doc_id) into the
+    // per-doc branch only, which would desync it from the c2t branch
+    val tok = docs.select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+      split(col("text"), " ").as("w"))
+    val uni = tok.select(explode(col("w")).as("t0"))
+      .select(coalesce(col("t0"), lit("")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val v = uni.agg(count(lit(1)).as("v"))
+    // count(c1 >= 1) ≡ count(*) here (c1 is a group count, always ≥ 1)
+    // but REFERENCES c1, keeping this branch's partial aggregate
+    // identical to the join branch's so the uni exchange is reused
+    val v = uni.agg(count(when(col("c1") >= 1, 1)).as("v"))
     val big = tok.where(size(col("w")) >= 2)
       .select(col("doc_id"),
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
       .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
-      .select(col("doc_id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .select(col("doc_id"),
+        coalesce(col("bg.a"), lit("")).as("w1"),
+        coalesce(col("bg.b"), lit("")).as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("n_occ"))
     val c2t = big.groupBy(col("w1"), col("w2")).agg(sum(col("n_occ")).as("c2"))
     val scored = big

@@ -543,18 +543,27 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // ONE corpus pass: collapse to (h, doc_id) pair grain first, so the
+    // df table (count of pairs per h ≡ countDistinct(doc_id)) derives
+    // from the pair aggregate's own exchange — ReuseExchange serves the
+    // join side from it instead of a second scan+explode. coalesce keeps
+    // h non-nullable so the join pushes no isnotnull into one branch.
     val bi = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
-      .select(col("doc_id"), Hashes.hexLong(col("bg")).as("h"))
-    val df = bi.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("doc_id"), coalesce(Hashes.hexLong(col("bg")), lit(0L)).as("h"))
+    val pairs = bi.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
+    // count(occ >= 1) ≡ count(*) (occ is a group count) but REFERENCES
+    // occ, keeping this branch's partial aggregate identical to the join
+    // branch's so the pairs exchange is reused (the q161 v trick)
+    val df = pairs.groupBy(col("h")).agg(count(when(col("occ") >= 1, 1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    bi.join(df, "h")
+    pairs.join(df, "h")
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(expr("n DIV df")).as("s"))
+      .agg(sum(col("occ")).as("n_bigrams"), sum(col("occ") * expr("n DIV df")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("s DIV n_bigrams").as("rarity_q"))
       .orderBy(col("doc_id"))
