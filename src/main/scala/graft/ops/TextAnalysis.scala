@@ -247,11 +247,16 @@ object TextAnalysis {
       .select(explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
         concat(get(col("w"), i), lit(" "), get(col("w"), i + 1)))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-    val unigrams = words.select(explode(col("w")).as("term"))
+    // coalesce: non-nullable term, so the two collocation joins push no
+    // isnotnull(term) below the count aggregate (grouping-key filters
+    // push through and desync the subtrees — the q164 lesson)
+    val unigrams = words.select(explode(col("w")).as("t0"))
+      .select(coalesce(col("t0"), lit("")).as("term"))
     val uc = unigrams.groupBy(col("term")).agg(count(lit(1)).as("c"))
     // corpus size as a broadcast 1-row join, not a driver-side action —
-    // the whole query stays one lazy plan
-    val nDf = unigrams.agg(count(lit(1)).as("n"))
+    // and derived from uc (Σc ≡ token count), so the third corpus pass
+    // collapses onto uc's reused exchange
+    val nDf = uc.agg(sum(col("c")).as("n"))
     bigrams
       .join(uc.select(col("term").as("t1"), col("c").as("c1")),
         split(col("bigram"), " ").getItem(0) === col("t1"))
@@ -362,16 +367,27 @@ object TextAnalysis {
       |LIMIT 50""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // (doc_id, w) is already distinct (array_distinct) — the aggregate
+    // exists to create a REUSABLE exchange boundary: without it the hit
+    // list is a bare projection and the df branch's only option is a
+    // second corpus scan. The extra shuffle moves only matched-term
+    // rows (≤ |terms| per doc); the saved scan is the whole corpus.
+    // coalesce keeps w non-nullable (no asymmetric isnotnull pushdown).
     val hits = docs
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
+        explode(array_distinct(split(col("text"), " "))).as("w0"))
+      .select(col("doc_id"), coalesce(col("w0"), lit("")).as("w"))
       .filter(col("w").isin(SearchTerms: _*))
-    val df = hits.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("occ"))
+    val df = hits.groupBy(col("w")).agg(count(when(col("occ") >= 1, 1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     hits.join(broadcast(df), "w")
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("n DIV df")).as("score"))
+      // when(occ >= 1, …) is always taken (occ is a group count); it
+      // REFERENCES occ so this branch's partial aggregate matches the
+      // df branch's and the hits exchange is reused (one corpus scan)
+      .agg(sum(when(col("occ") >= 1, expr("n DIV df"))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
   }
@@ -402,13 +418,20 @@ object TextAnalysis {
     val stats = d.agg(
       count(lit(1)).as("n"),
       expr("(sum(size(w)) * 1000) DIV count(1)").as("avgdl_milli"))
+    // coalesce keeps t non-nullable so the df join pushes no asymmetric
+    // isnotnull(t) into one branch of the f diamond (the q164 lesson)
     val f = d
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("t"))
+        explode(col("w")).as("t0"))
+      .select(col("doc_id"), col("dl"), coalesce(col("t0"), lit("")).as("t"))
       .filter(col("t").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).as("tf"))
-    val dft = f.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    // (doc_id, t) is unique in f (dl is functionally dependent on
+    // doc_id), so countDistinct(doc_id) ≡ count(*); count(tf >= 1)
+    // additionally REFERENCES tf so this branch's partial aggregate
+    // matches the join branch's and the f exchange is reused
+    val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
     f.join(broadcast(dft), "t")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
