@@ -225,11 +225,17 @@ object Analytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct (each aliases its own t_<stage> column): $stages")
-    val first = events.filter(col("event_type") === stages.head)
+    // non-nullable user_id: each stage frame is consumed twice (next
+    // stage's inner join + the final left-join chain); a pushed
+    // isnotnull(user_id) in only the inner-join branch would desync the
+    // subtrees and re-run every stage aggregate (the q164 ReuseExchange
+    // lesson). The stage scans themselves stay filter-pushed.
+    val ev = events.withColumn("user_id", coalesce(col("user_id"), lit(-1L)))
+    val first = ev.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
     val frames = stages.tail.foldLeft(first :: Nil) { (acc, st) =>
       val prevT = acc.head.columns.last
-      events.filter(col("event_type") === st)
+      ev.filter(col("event_type") === st)
         .join(acc.head.select(col("user_id"), col(prevT)), "user_id")
         .filter(col("t") > col(prevT) && col("t") <= col(prevT) + windowUs)
         .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$st")) :: acc
@@ -301,8 +307,12 @@ object Analytics {
       |FROM m JOIN sz ON m.cohort_day = sz.cohort_day
       |ORDER BY m.cohort_day, m.day_offset""".stripMargin
   ) { (s, dir) =>
+    // non-nullable key and day: coh is consumed by both sz and the act
+    // join; asymmetric isnotnull pushdown would re-derive it from a
+    // second events scan (the q164 ReuseExchange lesson)
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      .select(coalesce(col("user_id"), lit(-1L)).as("user_id"),
+        coalesce((unix_micros(col("ts")) / 86400000000L).cast("long"), lit(0L)).as("d"))
     val coh = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
     val sz = coh.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
     val act = ev.join(coh, "user_id")
