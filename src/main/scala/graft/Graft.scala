@@ -191,6 +191,13 @@ object Graft {
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
     * Dequantize as codes[i]·scale/127 (max error scale/254). */
+  /** SemDeDup: semantic dedup in embedding space — k-means clusters,
+    * then within each cluster drop any vector whose cosine to a
+    * lower-id member is ≥ `tau`. Returns (vec_id, cluster, kept).
+    * Input: (vec_id, v: array<double>). */
+  def semDedup(vectors: DataFrame, k: Int = 16, tau: Double = 0.999): DataFrame =
+    ops.Similarity.semDedupOf(vectors, k, tau)
+
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     ops.Quantize.int8Of(embeddings)
 

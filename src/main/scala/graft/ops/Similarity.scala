@@ -382,6 +382,54 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** SemDeDup — semantic deduplication in embedding space (Abbas et
+    * al. 2023: k-means-cluster the embeddings, then drop near-identical
+    * neighbors WITHIN each cluster). Complements the lexical family:
+    * q24 catches byte dups, q25/q26 word-overlap dups; this catches
+    * paraphrases and re-encodings that share no tokens.
+    *
+    * Policy (deterministic): a vector is dropped iff some LOWER-id
+    * vector in its cluster has cosine ≥ τ — the paper's keep-one-per-
+    * ε-ball greedy sweep with id order as the scan order. Emits every
+    * vector with (cluster, kept).
+    *
+    * Scale: the pair search is EQUI-JOINED on cluster id (the k-means
+    * coarse quantizer bounds candidates exactly like q60's IVF lists
+    * and q28's LSH buckets — never an all-pairs product); centroids are
+    * tiny and broadcast by the fitted model; the anti-join's drop set
+    * is ≤ duplicated vectors. ML-dependent (seeded KMeans) →
+    * non-oracle; AnnSpec plants exact duplicates and asserts the
+    * survivor policy. */
+  val q167SemDedup: Q = Q.heavy("q167_semdedup") { (s, dir) =>
+    semDedupOf(vecs(s, dir).select(col("vec_id"), col("v")), 16, 0.999)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Generic form over (vec_id, v: array<double>): (vec_id, cluster,
+    * kept) with at most one member kept per ε-ball per cluster. */
+  private[graft] def semDedupOf(vectors: DataFrame, k: Int, tau: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vectors.withColumn("nrm", norm(col("v")))
+      .withColumn("mlVec", array_to_vector(col("v")))
+    val km = new KMeans().setK(k).setSeed(30)
+      .setFeaturesCol("mlVec").setPredictionCol("cluster").fit(e)
+    val indexed = km.transform(e).select(col("vec_id"), col("v"), col("nrm"),
+      col("cluster"))
+    val dropped = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9)
+        >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    indexed
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("hit"), lit(true)).as("kept"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
-    q131JlProjection, q153HardNegatives)
+    q131JlProjection, q153HardNegatives, q167SemDedup)
 }

@@ -40,4 +40,28 @@ class AnnSpec extends AnyFunSuite {
   test("IVF is deterministic for the fixed seed") {
     assert(topk("q60_ann_ivf") == topk("q60_ann_ivf"))
   }
+
+  test("semDedup drops planted duplicates, keeps the lowest id, spares the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two well-separated groups; ids 1/2/3 identical, 4 a near-dup of
+    // them (cos ~0.9999 after normalization), 10/11 far apart from all
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val aEps = Seq(1.0, 0.001, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val c = Seq(0.0, 0.0, 1.0, 0.0)
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a), (4L, aEps), (10L, b), (11L, c)
+    ).toDF("vec_id", "v")
+    val out = Graft.semDedup(docs, k = 2, tau = 0.999).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out.size == 6)
+    assert(out(1L)._2, "lowest id of the duplicate ball survives")
+    assert(!out(2L)._2 && !out(3L)._2 && !out(4L)._2, "later near-identicals dropped")
+    assert(out(10L)._2 && out(11L)._2, "distinct vectors untouched")
+    // duplicates necessarily share a cluster for the within-cluster scan
+    assert(Seq(2L, 3L, 4L).forall(i => out(i)._1 == out(1L)._1))
+    intercept[IllegalArgumentException](Graft.semDedup(docs, 0, 0.9))
+    intercept[IllegalArgumentException](Graft.semDedup(docs, 2, 1.5))
+  }
 }
