@@ -377,6 +377,12 @@ object Graft {
     ops.Components.leakageSafeSplitOf(docs,
       nearDupPairs(docs).select(col("i"), col("j")), trainPermille)
 
+  /** Per-doc novelty share: the fraction of a doc's distinct 5-gram
+    * shingles whose corpus-wide first occurrence (min doc_id) is this
+    * doc — exact dups of earlier docs score 0. One corpus scan. */
+  def novelty(docs: DataFrame): DataFrame =
+    ops.Dedup.noveltyOf(docs)
+
   /** Bigram-LM cross-entropy quality score (the CCNet/KenLM perplexity
     * proxy): trains Laplace-smoothed bigram counts on the corpus itself
     * and appends (n_bigrams, xent) — higher xent = less language-like.

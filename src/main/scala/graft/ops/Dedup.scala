@@ -674,8 +674,58 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Per-doc novelty share — the data-valuation metric a curation run
+    * uses to find docs that add nothing: the fraction of a doc's
+    * DISTINCT 5-gram shingles whose corpus-wide FIRST occurrence (min
+    * doc_id) is this doc. Exact duplicates of earlier docs score 0;
+    * boilerplate-heavy docs score low; the q25/q109 family flags who a
+    * doc copies, this says how much of it is copied from anyone.
+    *
+    * Scale: one corpus scan — the (h, doc_id) pair aggregate creates
+    * the reusable exchange both consumers (first-occurrence table and
+    * the scoring join) hang off (the q164 ReuseExchange discipline:
+    * non-nullable keys, reference-keeping no-ops). The first-occurrence
+    * table is vocabulary-grain and stays hash-joined, never broadcast. */
+  val q168Novelty: Q = Q.sql(
+    "q168_novelty",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |pairs AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hashed),
+       |first AS (SELECT h, MIN(doc_id) AS first_doc FROM pairs GROUP BY h),
+       |agg AS (
+       |  SELECT p.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+       |  FROM pairs p JOIN first f ON f.h = p.h GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_first,
+       |  round(CAST(n_first AS DOUBLE) / n_shingles, 6) AS novelty
+       |FROM agg ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    noveltyOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Generic form over (doc_id, text): (doc_id, n_shingles, n_first,
+    * novelty); docs shorter than 5 tokens are absent (no shingles). */
+  private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
+    val pairs = hashedShinglesOf(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h0"))
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        coalesce(col("h0"), lit(0L)).as("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
+    // min(when(occ >= 1, …)) ≡ min(doc_id) but references occ, keeping
+    // this branch's partial aggregate identical to the join branch's so
+    // the pairs exchange is reused (one corpus scan)
+    val firstDoc = pairs.groupBy(col("h"))
+      .agg(min(when(col("occ") >= 1, col("doc_id"))).as("first_doc"))
+    pairs.join(firstDoc, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
+      .select(col("doc_id"), col("n_shingles"), col("n_first"),
+        round(col("n_first").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
-    q154NeardupDiff)
+    q154NeardupDiff, q168Novelty)
 }

@@ -647,6 +647,24 @@ class GraftApiSpec extends AnyFunSuite {
       "the 2-token doc contributes no trigrams; ppp counted once as a type")
   }
 
+  test("novelty: first occurrences score 1, duplicates 0, partial overlap exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),         // 2 shingles, both first here
+      (2L, "a b c d e f"),         // exact dup of doc 1 -> novelty 0
+      (3L, "z y x w v u t"),       // 3 shingles, disjoint
+      (4L, "a b c d e q r s t u"), // 6 shingles, 1 copied from doc 1
+      (5L, "shorty")               // < 5 tokens: no shingles, absent
+    ).toDF("doc_id", "text")
+    val out = Graft.novelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 4 && !out.contains(5L))
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)), "verbatim re-post adds nothing")
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((6L, 5L, 0.833333)), "one of six shingles already seen")
+  }
+
   test("curriculum equals the one-window NTILE on uneven tiles; partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, ntile, row_number}
