@@ -391,10 +391,13 @@ object Curate {
     val local = Window.partitionBy(col("pid")).orderBy(col("nq"), col("doc_id"))
     val withLocal = ranged.withColumn("lrk", row_number().over(local).cast("long"))
     // ≤|partitions| rows: per-partition counts → exclusive prefix offsets
+    // one partition over ≤|partitions| rows; pmod(pid,1)=0 written
+    // non-foldably so WindowExec doesn't warn about a global window
     val offsets = withLocal.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
       .withColumn("off",
         coalesce(sum(col("pn")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("pid"), col("off"))
     val n1 = keyed.agg(count(lit(1)).as("n"))
