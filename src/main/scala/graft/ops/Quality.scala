@@ -246,7 +246,8 @@ object Quality {
       |  CROSS JOIN v)
       |SELECT d.doc_id,
       |  coalesce(CAST(SUM(s.n_occ) AS BIGINT), 0) AS n_bigrams,
-      |  round(SUM(s.lp_micro * s.n_occ) / 1e6 / SUM(s.n_occ), 6) AS xent
+      |  CAST((2 * SUM(s.lp_micro * s.n_occ) + SUM(s.n_occ))
+      |    // (2 * SUM(s.n_occ)) AS BIGINT) / 1e6 AS xent
       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, dir) =>
@@ -292,10 +293,15 @@ object Quality {
       .groupBy(col("doc_id")).agg(
         sum(col("n_occ")).as("n_bigrams"),
         sum(col("lp_micro") * col("n_occ")).as("lp_sum"))
+    // final rounding to 6 dp as EXACT integer half-up — (2a+b) DIV (2b)
+    // on int64 micro-nats — not round() of a double quotient: a quotient
+    // that lands exactly on a 6-dp half (hit once at sf0.1) rounds
+    // differently through the two engines' double paths, while the
+    // integer division is bit-identical by construction
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("lp_sum") / 1e6 / col("n_bigrams"), 6).as("xent"))
+        (expr("(2 * lp_sum + n_bigrams) DIV (2 * n_bigrams)") / 1e6).as("xent"))
   }
 
   val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub, q110KAnonymity,
