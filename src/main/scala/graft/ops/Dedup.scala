@@ -697,7 +697,7 @@ object Dedup {
        |    CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first
        |  FROM pairs p JOIN first f ON f.h = p.h GROUP BY 1)
        |SELECT doc_id, n_shingles, n_first,
-       |  round(CAST(n_first AS DOUBLE) / n_shingles, 6) AS novelty
+       |  CAST((2000000 * n_first + n_shingles) // (2 * n_shingles) AS BIGINT) / 1e6 AS novelty
        |FROM agg ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     noveltyOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -721,7 +721,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
       .select(col("doc_id"), col("n_shingles"), col("n_first"),
-        round(col("n_first").cast("double") / col("n_shingles"), 6).as("novelty"))
+        // exact int64 half-up (the q161 6-dp-tie discipline)
+        (expr("(2000000 * n_first + n_shingles) DIV (2 * n_shingles)") / 1e6)
+          .as("novelty"))
   }
 
   val all: Seq[Q] = Seq(

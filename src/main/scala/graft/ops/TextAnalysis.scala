@@ -666,12 +666,18 @@ object TextAnalysis {
         expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
       .withColumn("g10",
         expr("transform(sequence(0, size(w) - 10), i -> array_join(slice(w, i + 1, 10), ' '))"))
+      // 6-dp rounding as exact int64 half-up — (2e6·a + b) DIV (2b) —
+      // not round() of a double quotient: a ratio landing exactly on a
+      // 6th-decimal half rounds differently through the two engines'
+      // round() (the q161 sf0.1 lesson); the integer form is
+      // bit-identical by construction
       .select(col("doc_id"),
-        round((size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
-          / size(col("g2")), 6).as("dup2_frac"),
-        round((size(col("g10")) - size(array_distinct(col("g10")))).cast("double")
-          / size(col("g10")), 6).as("dup10_frac"),
-        round(expr(topRun).cast("double") / size(col("g2")), 6).as("top2_share"))
+        (expr("(2000000 * (size(g2) - size(array_distinct(g2))) + size(g2)) DIV (2 * size(g2))")
+          / 1e6).as("dup2_frac"),
+        (expr("(2000000 * (size(g10) - size(array_distinct(g10))) + size(g10)) DIV (2 * size(g10))")
+          / 1e6).as("dup10_frac"),
+        (expr(s"(2000000 * ($topRun) + size(g2)) DIV (2 * size(g2))") / 1e6)
+          .as("top2_share"))
   }
 
   val q157Repetition: Q = Q.sql(
@@ -689,9 +695,9 @@ object TextAnalysis {
       |    SELECT doc_id, gram, COUNT(*) AS n FROM c GROUP BY 1, 2)
       |  GROUP BY doc_id)
       |SELECT g.doc_id,
-      |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup2_frac,
-      |  round(CAST(len(g10) - len(list_distinct(g10)) AS DOUBLE) / len(g10), 6) AS dup10_frac,
-      |  round(CAST(t2.topn AS DOUBLE) / len(g2), 6) AS top2_share
+      |  CAST((2000000 * (len(g2) - len(list_distinct(g2))) + len(g2)) // (2 * len(g2)) AS BIGINT) / 1e6 AS dup2_frac,
+      |  CAST((2000000 * (len(g10) - len(list_distinct(g10))) + len(g10)) // (2 * len(g10)) AS BIGINT) / 1e6 AS dup10_frac,
+      |  CAST((2000000 * t2.topn + len(g2)) // (2 * len(g2)) AS BIGINT) / 1e6 AS top2_share
       |FROM g JOIN top2 t2 USING (doc_id)
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
@@ -721,7 +727,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__graft_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        // exact int64 half-up (the q161 6-dp-tie discipline)
+        (expr("(2000000 * n_oov + n_tokens) DIV (2 * n_tokens)") / 1e6)
+          .as("oov_rate"))
   }
 
   val q159OovRate: Q = Q.sql(
@@ -736,7 +744,7 @@ object TextAnalysis {
       |    CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
       |  FROM tok GROUP BY 1)
       |SELECT doc_id, n_tokens, n_oov,
-      |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+      |  CAST((2000000 * n_oov + n_tokens) // (2 * n_tokens) AS BIGINT) / 1e6 AS oov_rate
       |FROM agg ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     oovRateOf(Tables.documents(s, dir), 20).orderBy(col("doc_id"))
