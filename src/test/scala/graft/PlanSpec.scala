@@ -212,25 +212,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q164 DSIR executes exactly ONE corpus scan (ReuseExchange collapses the diamonds)") {
-    // runtime assertion: the zip_with feature fusion plus window-based
-    // totals keep the plan linear enough that AQE's ReuseExchange serves
-    // every other consumer (bt vs dw, dw vs th) from the first exchange
-    // at sf0.001 everything broadcasts statically and there is no hash
-    // exchange to reuse — run at sf0.01 where the diamond is real
-    val df = SparkEntry.queries("q164_dsir_select")(spark, Sf001)
+  /** Count parquet scans in the EXECUTED (post-AQE final) plan at
+    * sf0.01 — sf0.001 broadcasts everything statically, leaving no hash
+    * exchange to reuse. The Initial Plan section legitimately shows the
+    * diamond AQE later collapses, so only the Final section counts. */
+  private def executedFinalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf001)
     df.collect()
     val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // only the Final Plan section is what executed (Initial Plan is the
-    // pre-AQE static tree and legitimately shows the diamond)
-    val end = full.indexOf("== Initial Plan ==") match {
+    val start = full.indexOf("== Final Plan ==")
+    if (start < 0) full
+    else full.substring(start, full.indexOf("== Initial Plan ==") match {
       case -1 => full.length
       case i  => i
-    }
-    val plan = full.substring(full.indexOf("== Final Plan =="), end)
-    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, plan)
+    })
+  }
+
+  test("q164 DSIR executes exactly ONE corpus scan (ReuseExchange collapses the diamonds)") {
+    // the zip_with feature fusion plus window-based totals keep the plan
+    // linear enough that AQE's ReuseExchange serves every other consumer
+    // (bt vs dw, dw vs th) from the first exchange
+    val plan = executedFinalPlan("q164_dsir_select")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
     assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("the ReuseExchange sweep holds: executed scan counts stay at their floors") {
+    // floors established in plans/R7_PLAN_AUDIT.md — a regression here
+    // means a join started pushing an asymmetric isnotnull, or a pruned
+    // aggregate column desynced a shared subtree, and a corpus-sized
+    // re-scan silently returned
+    val floors = Map(
+      "q168_novelty" -> 1,
+      "q152_bigram_rarity" -> 2, "q129_bm25" -> 2, "q121_ranked_search" -> 2,
+      "q82_collocations" -> 2, "q106_cohort_retention" -> 2,
+      "q161_lm_quality" -> 3, "q105_funnel" -> 3)
+    floors.foreach { case (name, floor) =>
+      val scans = executedFinalPlan(name).linesIterator.count(_.contains("Scan parquet"))
+      assert(scans <= floor, s"$name: $scans executed scans, floor is $floor")
+    }
   }
 
   test("q166 curriculum ranks inside pid partitions, never one global window") {
