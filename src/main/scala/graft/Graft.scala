@@ -404,6 +404,13 @@ object Graft {
   def curriculum(scored: DataFrame, phases: Int = 4): DataFrame =
     ops.Curate.curriculumOf(scored, phases)
 
+  /** Intra-doc code-switch detection: per doc, the language-marker hit
+    * count, dominant language and its share of all marker evidence, and
+    * a mixed flag (dominant share < 80%) — the multilingual-curation
+    * filter for docs a per-language split should drop or segment. */
+  def codeSwitch(docs: DataFrame): DataFrame =
+    ops.TextAnalysis.codeSwitchOf(docs.sparkSession, docs)
+
   /** Per-group unigram/trigram type-token ratios — the diversity-
     * collapse diagnostic for template-generated or spam sources.
     * Returns (source, n_tokens, n_types, ttr_uni, n_trigrams,

@@ -807,8 +807,70 @@ object TextAnalysis {
         round(col("n_tri_types").cast("double") / col("n_trigrams"), 6).as("ttr_tri"))
   }
 
+  /** Intra-doc code-switch detection — the multilingual-curation filter
+    * q31 can't express: q31 assigns each doc ONE language; this scores
+    * how concentrated a doc's language-marker tokens are (top-language
+    * share of all marker hits) and flags docs whose dominant language
+    * holds under 80% of the evidence — the docs a per-language corpus
+    * split should drop or segment. Same marker lists as q31.
+    *
+    * Scale: the marker table is a ≤|markers|-row broadcast; marker hits
+    * aggregate at (doc, lang) grain with map-side combine, and both the
+    * per-doc total and the top-language pick are derived from that ONE
+    * aggregate (its exchange is reused — the q164 discipline). The
+    * 80% test and the share are exact integer arithmetic (5·top < 4·T;
+    * int64 half-up 6-dp — the q161 tie discipline). */
+  val q169CodeSwitch: Q = Q.sql(
+    "q169_code_switch",
+    s"""WITH m(lang, t) AS (VALUES ${LangMarkers.flatMap { case (l, ms) =>
+          ms.map(t => s"('$l', '$t')") }.mkString(", ")}),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |hits AS (SELECT doc_id, m.lang, COUNT(*) AS c FROM tok JOIN m ON m.t = tok.t GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits FROM hits GROUP BY 1),
+       |top AS (SELECT doc_id, lang AS top_lang, c,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rk FROM hits)
+       |SELECT d.doc_id, coalesce(tot.n_hits, 0) AS n_hits, top.top_lang,
+       |  CAST((2000000 * top.c + tot.n_hits) // (2 * tot.n_hits) AS BIGINT) / 1e6 AS top_share,
+       |  coalesce(5 * top.c < 4 * tot.n_hits, FALSE) AS mixed
+       |FROM documents d
+       |LEFT JOIN tot ON tot.doc_id = d.doc_id
+       |LEFT JOIN (SELECT * FROM top WHERE rk = 1) top ON top.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    codeSwitchOf(s, Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Generic form over (doc_id, text): (doc_id, n_hits, top_lang,
+    * top_share, mixed); docs with zero marker hits get (0, null, null,
+    * false). */
+  private[graft] def codeSwitchOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val markers = broadcast(
+      LangMarkers.flatMap { case (l, ms) => ms.map(t => (l, t)) }.toDF("lang", "t"))
+    val ids = docs.select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"))
+    val hits = docs
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        explode(split(col("text"), " ")).as("t0"))
+      .select(col("doc_id"), coalesce(col("t0"), lit("")).as("t"))
+      .join(markers, "t")
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("c"))
+    // both consumers reference c so their partials match and the hits
+    // exchange is reused (the q164 discipline)
+    val tot = hits.groupBy(col("doc_id")).agg(sum(col("c")).as("n_hits"))
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("lang"))
+    val top = hits.withColumn("rk", row_number().over(rkW)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("top_lang"), col("c"))
+    ids.join(tot, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("top_lang"),
+        (expr("(2000000 * c + n_hits) DIV (2 * n_hits)") / 1e6).as("top_share"),
+        coalesce(lit(5) * col("c") < lit(4) * col("n_hits"), lit(false)).as("mixed"))
+  }
+
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
     q142LangOverlap, q152BigramRarity, q156LangidKappa, q157Repetition, q159OovRate,
-    q165NgramDiversity)
+    q165NgramDiversity, q169CodeSwitch)
 }

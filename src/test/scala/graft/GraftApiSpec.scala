@@ -647,6 +647,21 @@ class GraftApiSpec extends AnyFunSuite {
       "the 2-token doc contributes no trigrams; ppp counted once as a type")
   }
 
+  test("codeSwitch: pure doc concentrated, mixed doc flagged, markerless null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a order table the"),   // en only: share 1.0
+      (2L, "the hash join a row"),     // en 2, de 3: top de, share 0.6, mixed
+      (3L, "qq zz yy")                 // no marker hits
+    ).toDF("doc_id", "text")
+    val out = Graft.codeSwitch(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, Some("en"), Some(1.0), false)))
+    assert(out(2L) == ((5L, Some("de"), Some(0.6), true)))
+    assert(out(3L) == ((0L, None, None, false)))
+  }
+
   test("novelty: first occurrences score 1, duplicates 0, partial overlap exact") {
     import spark.implicits._
     val docs = Seq(
