@@ -191,15 +191,32 @@ object Graft {
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
     * Dequantize as codes[i]·scale/127 (max error scale/254). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    ops.Quantize.int8Of(embeddings)
+
   /** SemDeDup: semantic dedup in embedding space — k-means clusters,
     * then within each cluster drop any vector whose cosine to a
     * lower-id member is ≥ `tau`. Returns (vec_id, cluster, kept).
-    * Input: (vec_id, v: array<double>). */
-  def semDedup(vectors: DataFrame, k: Int = 16, tau: Double = 0.999): DataFrame =
-    ops.Similarity.semDedupOf(vectors, k, tau)
-
-  def quantizeInt8(embeddings: DataFrame): DataFrame =
-    ops.Quantize.int8Of(embeddings)
+    * Input: (vec_id, v: array<double>).
+    *
+    * Choose k ≈ N/⟨target cluster size⟩ (SemDeDup's own regime — the
+    * paper runs 50k clusters for ~100M embeddings): clusters bound the
+    * pair search only when k scales with the corpus. Clusters that
+    * still exceed `maxClusterSize` are guarded in-engine: exact
+    * duplicates collapse to one representative first, and the rest are
+    * sub-bucketed by banded centroid-relative sign bits — exact-dup
+    * recall survives structurally, near-dup recall inside an oversized
+    * cluster becomes banded-approximate. Zero-norm vectors have no
+    * cosine and are kept as singletons.
+    *
+    * Determinism caveat: the k-means fit sums floats across
+    * partitions, so despite the fixed seed the cluster assignment —
+    * and hence WHICH near-dups share a cluster — can vary with
+    * partitioning/parallelism. Within a fitted model the survivor
+    * policy is deterministic (lowest id per ε-ball wins). */
+  def semDedup(vectors: DataFrame, k: Int = 16, tau: Double = 0.999,
+               maxClusterSize: Int = 4096): DataFrame =
+    ops.Similarity.semDedupOf(vectors, k, tau, maxClusterSize)
 
   /** Latest-wins changelog compaction (CDC upsert / SCD type 1): keep,
     * per distinct `keys` value, the row sorting first under `version`

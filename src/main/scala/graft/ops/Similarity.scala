@@ -388,46 +388,135 @@ object Similarity {
     * q24 catches byte dups, q25/q26 word-overlap dups; this catches
     * paraphrases and re-encodings that share no tokens.
     *
-    * Policy (deterministic): a vector is dropped iff some LOWER-id
-    * vector in its cluster has cosine ≥ τ — the paper's keep-one-per-
-    * ε-ball greedy sweep with id order as the scan order. Emits every
-    * vector with (cluster, kept).
+    * Policy (deterministic given the fitted model): a vector is dropped
+    * iff some LOWER-id vector in its cluster has cosine ≥ τ — the
+    * paper's keep-one-per-ε-ball greedy sweep with id order as the scan
+    * order. Emits every vector with (cluster, kept). Zero-norm vectors
+    * have no cosine and are kept as singletons.
     *
-    * Scale: the pair search is EQUI-JOINED on cluster id (the k-means
-    * coarse quantizer bounds candidates exactly like q60's IVF lists
-    * and q28's LSH buckets — never an all-pairs product); centroids are
-    * tiny and broadcast by the fitted model; the anti-join's drop set
-    * is ≤ duplicated vectors. ML-dependent (seeded KMeans) →
-    * non-oracle; AnnSpec plants exact duplicates and asserts the
-    * survivor policy. */
+    * Scale: k-means clusters only bound the pair search if k grows with
+    * the corpus — SemDeDup in practice runs k ≈ N/⟨target cluster
+    * size⟩ (the paper uses 50k clusters for ~100M embeddings). The
+    * caller owns k; `maxClusterSize` is the in-engine guard for the
+    * clusters that end up oversized anyway (skew, or a lazily chosen
+    * k): exact-duplicate vectors are first collapsed to one
+    * representative (so an all-identical giant cluster costs one
+    * group-by, not |c|² pairs), and any cluster still above the bound
+    * is sub-bucketed by banded centroid-relative sign bits before the
+    * pair join (see [[semDedupBuckets]]). ML-dependent (seeded KMeans)
+    * → non-oracle; AnnSpec plants exact duplicates plus a giant skewed
+    * cluster and asserts survivor policy + bounded candidate pairs. */
   val q167SemDedup: Q = Q.heavy("q167_semdedup") { (s, dir) =>
     semDedupOf(vecs(s, dir).select(col("vec_id"), col("v")), 16, 0.999)
       .orderBy(col("vec_id"))
   }
 
-  /** Generic form over (vec_id, v: array<double>): (vec_id, cluster,
-    * kept) with at most one member kept per ε-ball per cluster. */
-  private[graft] def semDedupOf(vectors: DataFrame, k: Int, tau: Double): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+  /** Bits per band / bands for the oversized-cluster sub-bucketing. */
+  private val SubBucketBits = 16
+  private val SubBucketBands = 4
+
+  /** Sub-bucket representatives for the within-cluster pair join:
+    * (rep_id, v, nrm, cluster, band, sig). Clusters with ≤
+    * `maxClusterSize` reps keep one band with sig 0 (the plain
+    * within-cluster join). An oversized cluster is split by the signs
+    * of its vectors' coordinates relative to the cluster centroid —
+    * r = ceil(log2(size/maxClusterSize)) bits (≤ [[SubBucketBits]]),
+    * replicated over [[SubBucketBands]] bands reading different
+    * coordinate offsets, OR-combined by the downstream distinct. Two
+    * IDENTICAL vectors always share every sig (exact-dup recall is
+    * structural); near-identical pairs can straddle a sign boundary in
+    * all bands — that recall loss is the documented price of bounding
+    * a cluster the caller's k failed to bound. Sizes and centroids are
+    * ≤ k rows → broadcast; reps never shuffle here. */
+  private[graft] def semDedupBuckets(reps: DataFrame, centers: DataFrame,
+                                     maxClusterSize: Int): DataFrame = {
+    val sizes = reps.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__graft_csz"))
+      .withColumn("__graft_r",
+        least(ceil(log(2.0, col("__graft_csz").cast("double") / maxClusterSize)),
+          lit(SubBucketBits.toLong)).cast("int"))
+    val sized = reps.join(broadcast(sizes), Seq("cluster"))
+    val small = sized.filter(col("__graft_csz") <= maxClusterSize)
+      .select(col("rep_id"), col("v"), col("nrm"), col("cluster"),
+        lit(0).as("band"), lit(0L).as("sig"))
+    val dimIdx = (j: Int) =>
+      (pmod(col("band") * lit(SubBucketBits) + lit(j), size(col("v"))) + 1).cast("int")
+    val sig = (0 until SubBucketBits).map { j =>
+      when(lit(j) < col("__graft_r") &&
+        element_at(col("v"), dimIdx(j)) > element_at(col("mu"), dimIdx(j)),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val big = sized.filter(col("__graft_csz") > maxClusterSize)
+      .join(broadcast(centers), Seq("cluster"))
+      .withColumn("band", explode(lit((0 until SubBucketBands).toArray)))
+      .select(col("rep_id"), col("v"), col("nrm"), col("cluster"),
+        col("band"), sig.as("sig"))
+    small.unionByName(big)
+  }
+
+  /** The candidate pair frame the cosine filter runs over: bucketed
+    * reps self-joined on (cluster, band, sig) with a.rep_id < b.rep_id.
+    * Exposed at pair grain so AnnSpec can assert the oversized-cluster
+    * guard actually bounds the volume. */
+  private[graft] def semDedupPairJoin(bucketed: DataFrame): DataFrame =
+    bucketed.as("a").join(bucketed.as("b"),
+      col("a.cluster") === col("b.cluster") && col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && col("a.rep_id") < col("b.rep_id"))
+
+  /** (member rows with rep_id, bucketed reps, zero-norm output rows) —
+    * the shared prep for [[semDedupOf]] and the AnnSpec volume guard. */
+  private[graft] def semDedupPrep(vectors: DataFrame, k: Int,
+                                  maxClusterSize: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
     val e = vectors.withColumn("nrm", norm(col("v")))
       .withColumn("mlVec", array_to_vector(col("v")))
-    val km = new KMeans().setK(k).setSeed(30)
-      .setFeaturesCol("mlVec").setPredictionCol("cluster").fit(e)
-    val indexed = km.transform(e).select(col("vec_id"), col("v"), col("nrm"),
-      col("cluster"))
-    val dropped = indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+    // Spark ML KMeans requires k > 1; k == 1 is the degenerate
+    // single-cluster fit (centroid = global mean), done without ML
+    val (indexed, centerRows) = if (k == 1) {
+      val mu = e.select(Summarizer.mean(col("mlVec")).as("mu")).first()
+        .getAs[org.apache.spark.ml.linalg.Vector](0)
+      (e.select(col("vec_id"), col("v"), col("nrm"), lit(0).as("cluster")),
+        Seq((0, mu.toArray.toSeq)))
+    } else {
+      val km = new KMeans().setK(k).setSeed(30)
+        .setFeaturesCol("mlVec").setPredictionCol("cluster").fit(e)
+      (km.transform(e).select(col("vec_id"), col("v"), col("nrm"), col("cluster")),
+        km.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) })
+    }
+    val zeroNorm = indexed.filter(col("nrm") === 0)
+      .select(col("vec_id"), col("cluster"), lit(true).as("kept"))
+    val members = indexed.filter(col("nrm") > 0)
+      .withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy(col("cluster"), col("v"))))
+    val reps = members.filter(col("vec_id") === col("rep_id"))
+      .select(col("rep_id"), col("v"), col("nrm"), col("cluster"))
+    val centers = vectors.sparkSession.createDataFrame(centerRows)
+      .toDF("cluster", "mu")
+    (members, semDedupBuckets(reps, centers, maxClusterSize), zeroNorm)
+  }
+
+  /** Generic form over (vec_id, v: array<double>): (vec_id, cluster,
+    * kept) with at most one member kept per ε-ball per cluster (recall
+    * caveats for oversized clusters: see [[semDedupBuckets]]). */
+  private[graft] def semDedupOf(vectors: DataFrame, k: Int, tau: Double,
+                                maxClusterSize: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val (members, bucketed, zeroNorm) = semDedupPrep(vectors, k, maxClusterSize)
+    val dropped = semDedupPairJoin(bucketed)
       .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9)
         >= tau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    indexed
-      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("b.rep_id").as("rep_id")).distinct()
+    members
+      .join(dropped.withColumn("hit", lit(true)), Seq("rep_id"), "left")
       .select(col("vec_id"), col("cluster"),
-        coalesce(!col("hit"), lit(true)).as("kept"))
+        (col("vec_id") === col("rep_id") && coalesce(!col("hit"), lit(true)))
+          .as("kept"))
+      .unionByName(zeroNorm)
   }
 
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,

@@ -63,5 +63,48 @@ class AnnSpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L).forall(i => out(i)._1 == out(1L)._1))
     intercept[IllegalArgumentException](Graft.semDedup(docs, 0, 0.9))
     intercept[IllegalArgumentException](Graft.semDedup(docs, 2, 1.5))
+    intercept[IllegalArgumentException](Graft.semDedup(docs, 2, 0.9, 0))
+  }
+
+  test("semDedup bounds the pair join in a giant skewed cluster, keeps exact-dup recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one giant cluster (k = 1): 600 DISTINCT vectors in a tight ball.
+    // Coordinates 0-4 encode the low 5 bits of the id as ±eps (what the
+    // centroid-relative sign sub-bucketing reads), coordinate 5 is the
+    // dominant direction, coordinate 6 a per-id tiny unique value so no
+    // two are byte-identical. Every pair has cosine ~1-1e-7 >= tau, so
+    // unguarded SemDeDup would keep only id 0 via C(600,2) pairs.
+    val eps = 0.001
+    def vec(i: Long): Seq[Double] =
+      (0 until 5).map(j => if (((i >> j) & 1L) == 1L) eps else -eps) ++
+        Seq(10.0, 1e-6 * i, 0.0)
+    val ball = (0L until 600L).map(i => (i, vec(i)))
+    val exactDups = Seq((1000L, vec(5L)), (1001L, vec(5L)))
+    val zero = Seq((2000L, Seq.fill(8)(0.0)))
+    val docs = (ball ++ exactDups ++ zero).toDF("vec_id", "v")
+
+    val maxClusterSize = 32
+    val (_, bucketed, _) = ops.Similarity.semDedupPrep(docs, 1, maxClusterSize)
+    val pairs = ops.Similarity.semDedupPairJoin(bucketed)
+      .select(col("a.rep_id"), col("b.rep_id")).distinct().count()
+    // 600 reps (the two exact dups collapse into rep 5, zero-norm is
+    // excluded) split into 32 sign-buckets of ~19 -> ~5.5k candidate
+    // pairs; the unguarded join would be C(600,2) = 179,700
+    assert(pairs > 0 && pairs <= 12000L, s"pair join not bounded: $pairs")
+
+    val out = Graft.semDedup(docs, k = 1, tau = 0.999, maxClusterSize = maxClusterSize)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 603)
+    // exact-duplicate recall is structural (collapse happens before any
+    // bucketing): the copies of id 5's vector are dropped, 5 survives
+    assert(out(5L) && !out(1000L) && !out(1001L))
+    // within each sign-bucket the lowest id wins -> survivors are
+    // exactly ids 0..31 (one per 5-bit pattern); near-dups that
+    // straddle a bucket boundary are the documented recall price
+    val kept = out.filter { case (id, k) => id < 1000L && k }.keySet
+    assert(kept == (0L until 32L).toSet, s"unexpected survivor set: $kept")
+    // zero-norm vector has no cosine: kept as its own singleton
+    assert(out(2000L))
   }
 }
