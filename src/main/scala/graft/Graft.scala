@@ -229,7 +229,8 @@ object Graft {
   /** Ordered conversion funnel over (user_id, event_type, t) rows: per
     * user the first qualifying time of each stage (each strictly after
     * the previous and within `windowUs`), plus the furthest stage
-    * reached. One aggregate + co-partitioned equi-join per stage. */
+    * reached. Rows with a null user_id belong to no user's funnel and
+    * are dropped. One aggregate + co-partitioned equi-join per stage. */
   def funnel(events: DataFrame, stages: Seq[String], windowUs: Long): DataFrame =
     ops.Analytics.funnelOf(events, stages, windowUs)
 

@@ -225,12 +225,13 @@ object Analytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct (each aliases its own t_<stage> column): $stages")
-    // non-nullable user_id: each stage frame is consumed twice (next
-    // stage's inner join + the final left-join chain); a pushed
-    // isnotnull(user_id) in only the inner-join branch would desync the
-    // subtrees and re-run every stage aggregate (the q164 ReuseExchange
-    // lesson). The stage scans themselves stay filter-pushed.
-    val ev = events.withColumn("user_id", coalesce(col("user_id"), lit(-1L)))
+    // null user_id rows can't belong to any user's funnel — drop them
+    // ONCE, before the per-stage branches. The filter must sit on the
+    // shared subtree: a pushed isnotnull(user_id) in only the
+    // inner-join branch would desync the subtrees and re-run every
+    // stage aggregate (the q164 ReuseExchange lesson); an identical
+    // explicit filter on both keeps them byte-canonical.
+    val ev = events.filter(col("user_id").isNotNull)
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
     val frames = stages.tail.foldLeft(first :: Nil) { (acc, st) =>
@@ -258,7 +259,8 @@ object Analytics {
     * per-stage frames are one row per user). */
   val q105Funnel: Q = Q.sql(
     "q105_funnel",
-    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      |             WHERE user_id IS NOT NULL),
       |v AS (SELECT user_id, MIN(t) AS t_view FROM ev
       |      WHERE event_type = 'view' GROUP BY user_id),
       |c AS (SELECT ev.user_id, MIN(ev.t) AS t_click FROM ev
@@ -293,7 +295,8 @@ object Analytics {
   val q106CohortRetention: Q = Q.sql(
     "q106_cohort_retention",
     """WITH ev AS (
-      |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
       |sz AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM coh GROUP BY cohort_day),
       |act AS (
@@ -307,12 +310,14 @@ object Analytics {
       |FROM m JOIN sz ON m.cohort_day = sz.cohort_day
       |ORDER BY m.cohort_day, m.day_offset""".stripMargin
   ) { (s, dir) =>
-    // non-nullable key and day: coh is consumed by both sz and the act
-    // join; asymmetric isnotnull pushdown would re-derive it from a
-    // second events scan (the q164 ReuseExchange lesson)
+    // null users/timestamps can't cohort — drop them once on the
+    // shared subtree (coh is consumed by both sz and the act join;
+    // asymmetric isnotnull pushdown would re-derive it from a second
+    // events scan — the q164 ReuseExchange lesson)
     val ev = Tables.events(s, dir)
-      .select(coalesce(col("user_id"), lit(-1L)).as("user_id"),
-        coalesce((unix_micros(col("ts")) / 86400000000L).cast("long"), lit(0L)).as("d"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
     val coh = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
     val sz = coh.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
     val act = ev.join(coh, "user_id")

@@ -219,6 +219,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
   }
 
+  test("funnel drops null-user events instead of pooling them into one synthetic user") {
+    import spark.implicits._
+    // two anonymous sessions that would jointly fake a full conversion
+    // if nulls were coalesced to a sentinel user
+    val ev = Seq(
+      (Some(1L), "a", 10L),
+      (None, "a", 10L), (None, "b", 12L), (None, "c", 14L)
+    ).toDF("user_id", "event_type", "t")
+    val got = Graft.funnel(ev, Seq("a", "b", "c"), windowUs = 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 1))
+  }
+
   test("outliers flags exactly the far point and appends its z-score") {
     import spark.implicits._
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
