@@ -23,18 +23,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default. REQUIRES `spark.sql.legacy.parquet
-    * .nanosAsLong=true` on the session ([[Sessions.local]] sets it; set it
-    * at build time in any other session). The nanos-as-long value is
-    * rebuilt into a micros TIMESTAMP via integer division — `DIV` keeps
-    * full int64 precision where `/` (double) would lose sub-millisecond
-    * bits at 2024 epochs.
+  /** The events table: `ts` normalizes to a session-TZ TIMESTAMP (UTC —
+    * [[Sessions.local]] pins the session TZ) whatever physical type the
+    * generator wrote. Two generations exist in the wild:
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 rejects by default and
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]])
+    *    surfaces as a long — rebuilt into a micros TIMESTAMP via integer
+    *    division (`DIV` keeps full int64 precision where `/` (double)
+    *    would lose sub-millisecond bits at 2024 epochs);
+    *  - native parquet micros with isAdjustedToUTC=false, which Spark
+    *    reads as TIMESTAMP_NTZ — cast to TIMESTAMP (identical wall-clock
+    *    under the pinned UTC session TZ, and keeps every downstream
+    *    plan + written schema byte-identical across generations).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
