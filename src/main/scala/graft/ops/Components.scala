@@ -33,6 +33,26 @@ import graft.Q
   */
 object Components {
 
+  /** Session conf key: when set to `true`, every lineage-truncating
+    * checkpoint in this module (the CC loop AND [[triangles]]' oriented
+    * frame) uses reliable `checkpoint()` instead of `localCheckpoint()`,
+    * so callers that cannot pass a flag (the q145/q158/q160 registry
+    * entries, the facade) still get executor-loss-safe materialization
+    * on a real cluster. Requires `SparkContext.setCheckpointDir`. */
+  val ReliableConfKey = "spark.graft.reliableCheckpoint"
+
+  private def sessionReliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(ReliableConfKey).exists(_.trim.equalsIgnoreCase("true"))
+
+  private def requireCheckpointDir(df: DataFrame): Unit = require(
+    df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+    "reliable=true needs SparkContext.setCheckpointDir (reliable checkpoints write to it)")
+
+  /** Materialize + truncate lineage: reliable (HDFS-grade, survives
+    * executor loss) when `reliable`, else executor-local blocks. */
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
   /** Rounds of plain min-propagation before path-doubling kicks in:
     * near-dup graphs (diameter 2-3) converge inside the plain window at
     * one shuffle-join per round; anything still unconverged after it is
@@ -60,14 +80,13 @@ object Components {
     *   `checkpoint()` (requires `SparkContext.setCheckpointDir`) so the
     *   truncated lineage survives executor loss on a real cluster; the
     *   default `localCheckpoint()` stores blocks executor-local — fine
-    *   single-process, lossy under node failure. */
+    *   single-process, lossy under node failure. The
+    *   [[ReliableConfKey]] session conf turns the flag on globally. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
                           reliable: Boolean = false): DataFrame = {
-    if (reliable) require(
-      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
-      "reliable=true needs SparkContext.setCheckpointDir (reliable checkpoints write to it)")
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val rel = reliable || sessionReliable(edges)
+    if (rel) requireCheckpointDir(edges)
+    def ckpt(df: DataFrame): DataFrame = materialize(df, rel)
     // No `.distinct()` on the symmetrized edges: the min-aggregation is
     // duplicate-tolerant, and near-dup pair generators emit distinct
     // (i<j) pairs already — the dedup shuffle bought nothing.
@@ -296,14 +315,17 @@ object Components {
                                         trainPermille: Int): DataFrame = {
     require(trainPermille >= 0 && trainPermille <= 1000,
       s"trainPermille must be in [0, 1000], got $trainPermille")
+    // collision-proof internal names (__graft_ convention): a caller
+    // frame that already carries "id" or "label" must pass through
+    // untouched, not get silently dropped or turn the join ambiguous
     val comps = connectedComponents(pairs)
-    val grp = coalesce(col("label"), col("doc_id"))
-    docs.join(broadcast(comps), docs("doc_id") === comps("id"), "left")
-      .withColumn("grp", grp)
+      .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
+    docs.join(broadcast(comps), docs("doc_id") === col("__graft_cc_id"), "left")
+      .withColumn("grp", coalesce(col("__graft_cc_label"), docs("doc_id")))
       .withColumn("split",
         when(call_function("graft_md5long64", col("grp").cast("string")) % 1000
           < trainPermille, "train").otherwise("eval"))
-      .drop("id", "label")
+      .drop("__graft_cc_id", "__graft_cc_label")
   }
 
   /** Triangle enumeration over the near-dup pair graph — the standard
@@ -356,10 +378,14 @@ object Components {
     * distinct i < j rows; each triangle emitted exactly once. Exposed
     * for the facade and [[q145Triangles]]. */
   private[graft] def triangles(edges: DataFrame): DataFrame = {
-    // localCheckpoint evaluates the (possibly expensive) upstream pair
+    // checkpoint evaluates the (possibly expensive) upstream pair
     // pipeline + degree pass ONCE — the oriented frame is referenced
-    // three times below (same discipline as [[connectedComponents]])
-    val oriented = orientEdges(edges).localCheckpoint()
+    // three times below (same discipline as [[connectedComponents]]);
+    // the ReliableConfKey session conf upgrades it to a reliable
+    // checkpoint, same as the CC loop
+    val rel = sessionReliable(edges)
+    if (rel) requireCheckpointDir(edges)
+    val oriented = materialize(orientEdges(edges), rel)
     // the closing edge of a wedge (u→v, u→w), if present, is oriented
     // v→w by the same (degree, id) order, so a semi-join closes it;
     // sort_array restores id order for the (a, b, c) output contract

@@ -382,13 +382,16 @@ object Curate {
                                   phases: Int): org.apache.spark.sql.DataFrame = {
     require(phases >= 1, s"phases must be >= 1, got $phases")
     import org.apache.spark.sql.expressions.Window
-    // fixed-point sort key: quality is already round(…,9), so ×1e9 is exact
-    val keyed = scored.select(col("doc_id"), col("quality"),
-      (-round(col("quality") * 1e9, 0)).cast("long").as("nq"))
+    // sort on quality DESC directly — repartitionByRange accepts sort
+    // expressions, so no fixed-point key is needed (a ×1e9 long key
+    // collapses sub-1e-9 differences and overflows past ~9.2e9; the
+    // facade accepts arbitrary caller-scored frames)
+    val keyed = scored.select(col("doc_id"), col("quality"))
     val ranged = keyed
-      .repartitionByRange(col("nq"), col("doc_id"))
+      .repartitionByRange(col("quality").desc, col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
-    val local = Window.partitionBy(col("pid")).orderBy(col("nq"), col("doc_id"))
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
     val withLocal = ranged.withColumn("lrk", row_number().over(local).cast("long"))
     // ≤|partitions| rows: per-partition counts → exclusive prefix offsets
     // one partition over ≤|partitions| rows; pmod(pid,1)=0 written

@@ -61,6 +61,27 @@ class ComponentsSpec extends AnyFunSuite {
     assert(wrote > 0, s"expected RDD checkpoint files under $dir")
   }
 
+  test("ReliableConfKey session conf upgrades every checkpoint site (CC + triangles)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Components.ReliableConfKey, "true")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("i", "j")
+      // no per-call flag anywhere — the conf alone must flip both the
+      // CC loop and triangles' oriented-frame checkpoint to reliable
+      val got = Components.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      val tri = Components.triangles(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(tri == Set((1L, 2L, 3L)))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected reliable checkpoint files under $dir")
+    } finally spark.conf.unset(Components.ReliableConfKey)
+  }
+
   test("q72 components agree with an independent union-find over q26's pairs") {
     val pairs = SparkEntry.queries("q26_neardup_minhash")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

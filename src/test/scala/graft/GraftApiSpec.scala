@@ -522,6 +522,21 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.leakageSafeSplit(docs, trainPermille = -1))
   }
 
+  test("leakageSafeSplit passes caller id/label columns through untouched") {
+    import spark.implicits._
+    // the component frame's internal (id, label) used to collide with
+    // caller columns of the same names — dropped silently or ambiguous
+    val docs = Seq((1L, "a", 7L), (5L, "b", 8L), (9L, "c", 9L), (30L, "d", 10L))
+      .toDF("doc_id", "label", "id")
+    val pairs = Seq((1L, 5L), (5L, 9L)).toDF("i", "j")
+    val out = graft.ops.Components.leakageSafeSplitOf(docs, pairs, 800)
+    assert(out.columns.toSeq == Seq("doc_id", "label", "id", "grp", "split"))
+    val byDoc = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byDoc(1L) == (("a", 7L, 1L)) && byDoc(9L) == (("c", 9L, 1L)))
+    assert(byDoc(30L) == (("d", 10L, 30L)), "singleton keeps caller id/label intact")
+  }
+
   test("oovRate scores docs against the corpus top-K vocabulary with deterministic ties") {
     import spark.implicits._
     // corpus counts: a=4, b=3, z=3, q=1 -> top-2 vocab = {a, b} (z ties b, 'b' < 'z')
@@ -713,6 +728,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(run(scored).values.toSeq.sorted == Seq(1L,1L,1L,2L,2L,2L,3L,3L,4L,4L))
     assert(Graft.curriculum(scored, 1).collect().forall(_.getLong(2) == 1L))
     intercept[IllegalArgumentException](Graft.curriculum(scored, 0))
+  }
+
+  test("curriculum keys on raw quality: sub-1e-9 gaps and huge magnitudes survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, ntile}
+    // the old ×1e9 long sort key collapsed deltas below 1e-9 to doc_id
+    // order and overflowed past |q| ≈ 9.2e9; the raw-quality range sort
+    // must match the documented NTILE over (quality DESC, doc_id)
+    val scored = Seq(
+      (1L, 1e10), (2L, 1.0 + 2e-12), (3L, 1.0 + 1e-12),
+      (4L, 1.0), (5L, -1e10), (6L, -1e10)
+    ).toDF("doc_id", "quality")
+    val out = Graft.curriculum(scored, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = scored.withColumn("phase", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("quality").desc, col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(out == ref)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
   }
 
   test("evalContainment scores eval docs by corpus shingle containment") {
