@@ -66,9 +66,7 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // 0.1 ms precision — noise floor is far above it, and the stdout line
-    // must stay SHORT: the driver snapshots the tail of stdout, so a long
-    // line truncates from the front (VERDICT r6 bench-reporting bug)
+    // 0.1 ms precision for the full-fidelity file snapshot.
     def num(v: Double): String =
       if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
@@ -78,17 +76,38 @@ object Bench {
     val timed = results.filter(_._2 >= 0)
     val (spreadMaxQ, spreadMax) =
       if (timed.isEmpty) ("", 0.0) else { val m = timed.maxBy(_._3); (m._1, m._3) }
-    // Field order is load-bearing: "queries" LAST, so a tail-truncated
-    // snapshot keeps the per-query times (the numbers a reader needs);
-    // per-query spread is summarized to scalars here and kept in full
-    // only in bench_out.json.
     val head =
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Passes,"sf":"$sfDir",""" +
         s""""n_failed":${errors.size},"errors":$errs,""" +
         s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)}"""
-    val line = s"""{$head,"queries":$qs}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"),
       s"""{$head,"spread":$spreads,"queries":$qs}""")
+    // The driver snapshots only the LAST 2000 chars of stdout (measured:
+    // BENCH_r06/r07 "tail" is exactly 2000 and front-truncated → "parsed":
+    // null — VERDICT r7 item 8). A full-name 0.1-ms map over 170 queries
+    // is ~4 KB and can never fit, so the stdout line carries the per-query
+    // times in the SHORTEST parseable encoding: integer milliseconds keyed
+    // by each query's unique qNN prefix ("q14" for q14_weighted_flags).
+    // ~1.9 KB at 170 queries; full names + spreads stay in bench_out.json.
+    // If prefixes ever collide or the registry outgrows even that, the
+    // guard degrades to a bench-order array — still one self-contained
+    // JSON line, never a truncated one.
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val compact =
+      if (prefixes.distinct.size == prefixes.size)
+        "\"queries_ms\":" + prefixes.zip(results).map { case (p, (_, v, _)) =>
+          jstr(p) + ":" + ms(v)
+        }.mkString("{", ",", "}")
+      else "\"order\":\"bench\",\"queries_ms\":" +
+        results.map(r => ms(r._2)).mkString("[", ",", "]")
+    val arrayForm = "\"order\":\"bench\",\"queries_ms\":" +
+      results.map(r => ms(r._2)).mkString("[", ",", "]")
+    val MaxLine = 1950
+    val line = Seq(compact, arrayForm, "\"queries_ms\":\"see bench_out.json\"")
+      .map(q => s"""{$head,"full":"bench_out.json",$q}""")
+      .find(_.length <= MaxLine)
+      .getOrElse(s"""{"metric":"total","value":${num(total)},"full":"bench_out.json"}""")
     spark.stop()
     // Last clean stdout line — after spark.stop() so no shutdown logs follow.
     println(line)
