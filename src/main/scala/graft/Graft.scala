@@ -408,6 +408,25 @@ object Graft {
   def lmQuality(docs: DataFrame): DataFrame =
     ops.Quality.lmQualityOf(docs)
 
+  /** Character-entropy gibberish filter: per-doc Shannon entropy in
+    * bits/char, computed row-locally (no shuffle) with integer
+    * micro-bit arithmetic — low = repetitive filler, high = random
+    * blobs (base64/hex). Thresholds are integer micro-bits; returns
+    * (doc_id, n_chars_counted, entropy_bits, verdict). */
+  def charEntropy(docs: DataFrame,
+                  lowMicroBits: Long = ops.Quality.DefaultLowEntropyMicroBits,
+                  highMicroBits: Long = ops.Quality.DefaultHighEntropyMicroBits): DataFrame =
+    ops.Quality.charEntropyOf(docs, lowMicroBits, highMicroBits)
+
+  /** Keyed consistent pseudonymization over an event stream
+    * (event_id, ts, user_id, event_type): user_id becomes a stable
+    * salted-md5 token (NULL → 'anon'), and `user_seq` — the user's
+    * event rank by (ts, event_id) — demonstrates that sequence
+    * analytics still line up post-pseudonymization. Keep `pepper`
+    * secret and rotated per release; the default is for tests. */
+  def pseudonymize(events: DataFrame, pepper: String = "graft-pepper"): DataFrame =
+    ops.Quality.pseudonymizeOf(events, pepper)
+
   /** Per-source doc cap (the domain-cap curation discipline): at most
     * `k` docs kept per source, selected by deterministic salted-md5
     * order — an unbiased within-source sample. Returns (doc_id, source,

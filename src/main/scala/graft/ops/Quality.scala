@@ -324,11 +324,15 @@ object Quality {
     *
     * H = log2(n) − (Σ cᵢ·log2(cᵢ))/n over the per-character counts cᵢ
     * — the algebraic form that keeps every log argument an INTEGER, so
-    * the only libm inputs are counts 1..|doc|: [[lbMicroBoundaryAudit]]
-    * proves (once, for all corpora) that no integer's scaled log2 lands
-    * near a rounding boundary, making the rounded micro-bit table
-    * bit-identical across engines. The per-doc sum and the final
-    * half-up division are int64-exact, q161's discipline.
+    * the only libm inputs are counts 1..|doc|. The charEntropy spec
+    * audits the whole rounded-log2 table for counts up to 2048 (no
+    * integer's scaled log2 lands near a .5 micro-bit boundary there —
+    * min distance 1.55e-4 at c=2033 — and it pins every gate corpus's
+    * max doc length under that range; wider ranges DO contain
+    * near-boundary integers, c≈7-8k lands ~6e-7 away). The per-doc sum
+    * and the final half-up division are int64-exact, q161's
+    * discipline. Docs longer than 2048 chars still score correctly —
+    * the audited bound is about cross-engine ORACLE identity.
     *
     * Scale: the whole metric is one row-local expression battery —
     * distinct-chars × doc-length comparisons per row (alphabet-bounded,

@@ -604,6 +604,106 @@ class GraftApiSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == out, "micro-nat integer sums are partition-order-independent")
   }
 
+  test("lmQuality libm audit: no vocabulary log-ratio lands near a micro-nat boundary") {
+    import spark.implicits._
+    // VERDICT r7 item 3: q161's ln() is the one libm-dependent step in
+    // the integer-exact scoring family. JVM vs DuckDB libms agree to
+    // ~1 ulp (≤ ~3e-9 after the 1e6 scaling), so cross-engine rounding
+    // can only diverge if a ratio's scaled log sits within that distance
+    // of a .5 boundary. Assert every gate vocabulary keeps a ≥300×
+    // margin — this turns the cross-libm assumption into a checked
+    // invariant: a testdata regeneration that lands a ratio near a
+    // boundary fails HERE, not as an unexplained oracle hash mismatch.
+    val EpsMicro = 1e-6
+    for (dir <- Seq(TestSpark.Sf0001, TestSpark.Sf001, "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val gaps = graft.ops.Quality.lmBoundaryGap(Tables.documents(spark, dir))
+        .agg(org.apache.spark.sql.functions.min($"half_dist"),
+          org.apache.spark.sql.functions.count($"half_dist")).head
+      val (minGap, nRatios) = (gaps.getDouble(0), gaps.getLong(1))
+      assert(nRatios > 0, s"$dir: audit must see a non-empty vocabulary")
+      assert(minGap > EpsMicro,
+        s"$dir: a log-ratio sits $minGap micro-nats from a rounding boundary " +
+          s"(over $nRatios distinct ratios) — cross-libm determinism no longer guaranteed")
+    }
+    // the audit mirrors lmQualityOf's kernel: same Laplace terms, so the
+    // hand-computed fixture ratios (6/4, 6/2) must appear verbatim
+    val fix = graft.ops.Quality.lmBoundaryGap(
+      Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fix == Set((6L, 4L), (6L, 2L)))
+  }
+
+  test("charEntropy matches hand-computed Shannon entropy; verdicts and libm audit hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),                                  // H = 1.0 exactly
+      (2L, "abcdefgh"),                              // 8 distinct → H = 3.0
+      (3L, "aaaa"),                                  // one symbol → H = 0.0
+      (4L, ""),                                      // empty → NULL / 'empty'
+      (5L, (33 to 96).map(_.toChar).mkString),       // 64 distinct → H = 6.0
+      (6L, null.asInstanceOf[String])                // null text ≡ empty
+    ).toDF("doc_id", "text")
+    val out = Graft.charEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, Some(1.0), "low")))
+    assert(out(2L) == ((8L, Some(3.0), "ok")))
+    assert(out(3L) == ((4L, Some(0.0), "low")))
+    assert(out(4L) == ((0L, None, "empty")))
+    assert(out(5L) == ((64L, Some(6.0), "high")))
+    assert(out(6L) == ((0L, None, "empty")))
+    // the ONLY libm inputs the metric ever sees are integer counts
+    // 1..|doc|: audit the whole rounded-log2 table once, for all
+    // corpora — no integer's scaled log2 may land near a .5 micro-bit
+    // boundary (c=1 is exactly 0.0, distance 0.5). Audited range
+    // 2..2048, measured min 1.55e-4 at c=2033 (≥150× the worst
+    // cross-libm delta); wider ranges DO contain near-boundary
+    // integers (c≈7-8k lands ~6e-7 away), so the corpus length cap
+    // below is load-bearing, not decorative.
+    val minGap = (2 to 2048).map { c =>
+      val x = math.log(c) / math.log(2) * 1e6
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    assert(minGap > 1e-6, s"an integer log2 sits $minGap from a rounding boundary")
+    // every gate corpus must stay inside the audited count range
+    for (dir <- Seq(TestSpark.Sf0001, TestSpark.Sf001, "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val maxLen = Tables.documents(spark, dir)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.length($"text"))).head.getInt(0)
+      assert(maxLen <= 2048, s"$dir: doc length $maxLen exceeds the audited log2 range")
+    }
+  }
+
+  test("pseudonymize keeps tokens stable per user, distinct across users, and sequence-true") {
+    import spark.implicits._
+    def at(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, at(0), java.lang.Long.valueOf(7L), "view"),
+      (2L, at(5), java.lang.Long.valueOf(7L), "click"),
+      (3L, at(3), java.lang.Long.valueOf(9L), "view"),
+      (4L, at(9), null.asInstanceOf[java.lang.Long], "view"),
+      (5L, at(1), null.asInstanceOf[java.lang.Long], "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Graft.pseudonymize(events).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // same user → same token; different users → different tokens
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._1 != out(3L)._1)
+    assert(out(1L)._1.matches("[0-9a-f]{16}"), out(1L)._1)
+    // nulls collapse to the shared 'anon' token, never a hash
+    assert(out(4L)._1 == "anon" && out(5L)._1 == "anon")
+    // sequence survives pseudonymization: rank by (ts, event_id) per user
+    assert(out(1L)._2 == 1 && out(2L)._2 == 2)
+    assert(out(3L)._2 == 1)
+    assert(out(5L)._2 == 1 && out(4L)._2 == 2)
+    // a rotated pepper re-keys every real token but not the anon class
+    val rekeyed = Graft.pseudonymize(events, pepper = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rekeyed(1L) != out(1L)._1 && rekeyed(4L) == "anon")
+  }
+
   test("sourceCap equals the window-sort reference and is merge-order invariant") {
     import spark.implicits._
     // hot source with 30 docs (over k=5), small source with 3 (under k)
