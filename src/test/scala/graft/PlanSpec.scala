@@ -242,14 +242,7 @@ class PlanSpec extends AnyFunSuite {
     // means a join started pushing an asymmetric isnotnull, or a pruned
     // aggregate column desynced a shared subtree, and a corpus-sized
     // re-scan silently returned
-    val floors = Map(
-      "q168_novelty" -> 1, "q142_lang_overlap" -> 1, "q160_leakage_safe_split" -> 1,
-      "q152_bigram_rarity" -> 2, "q129_bm25" -> 2, "q121_ranked_search" -> 2,
-      "q82_collocations" -> 2, "q106_cohort_retention" -> 2,
-      "q162_source_cap" -> 2, "q163_eval_containment" -> 2,
-      "q165_ngram_diversity" -> 2, "q169_code_switch" -> 2,
-      "q161_lm_quality" -> 3, "q105_funnel" -> 3)
-    floors.foreach { case (name, floor) =>
+    PlanFloors.executedScanFloors.foreach { case (name, floor) =>
       val scans = executedFinalPlan(name).linesIterator.count(_.contains("Scan parquet"))
       assert(scans <= floor, s"$name: $scans executed scans, floor is $floor")
     }
