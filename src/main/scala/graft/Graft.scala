@@ -32,6 +32,26 @@ object Graft {
                           minJaccard: Double = 0.8): DataFrame =
     ops.Dedup.neardupJaccard(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
 
+  /** PQ-compressed approximate nearest neighbors over any (vec_id,
+    * v: array<double>) frame: trains 8×16 per-subspace codebooks
+    * (seeded), encodes every vector to 8 codes (32× compression), and
+    * ranks probes (vec_id < probeMax) by asymmetric distance — m table
+    * lookups per stored vector, the stored vector never touched.
+    * Returns (query_id, neighbor_id, adc, rk). */
+  def pqTopK(vectors: DataFrame, probeMax: Long = 10L, topK: Int = 5): DataFrame =
+    ops.Quantize.pqTopK(vectors, probeMax, topK)
+
+  /** Directional shingle-containment pairs: (i, j, c_ij, c_ji) where
+    * c_ij = |shingles(i) ∩ shingles(j)| / |shingles(i)|, kept when
+    * either direction ≥ `minContainment` — catches a short doc quoted
+    * whole inside a long one, which symmetric Jaccard structurally
+    * misses. Same df-capped inverted-index candidates as
+    * [[jaccardNearDupPairs]]. */
+  def containmentPairs(docs: DataFrame,
+                       maxShingleDf: Long = ops.Dedup.MaxShingleDf,
+                       minContainment: Double = ops.Dedup.MinContainment): DataFrame =
+    ops.Dedup.containmentPairs(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minContainment)
+
   /** Min-label connected components over an undirected (i, j) edge
     * list: (id, label) with label = min reachable id. High-diameter
     * graphs converge in O(log n) rounds via path doubling. Set

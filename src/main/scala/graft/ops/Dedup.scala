@@ -211,6 +211,60 @@ object Dedup {
     neardupJaccard(docHashedShingles(s, dir), MaxShingleDf, 0.8)
   }
 
+  /** Default directional-containment threshold: a doc whose shingles are
+    * ≥90% covered by another doc is (mostly) a subset of it. */
+  private[graft] val MinContainment = 0.9
+
+  /** Directional shingle containment, factored for the facade: for each
+    * candidate pair, C(i→j) = |hi∩hj|/|hi| and C(j→i) = |hi∩hj|/|hj|;
+    * pairs kept when either direction reaches `minC`. The
+    * subset-duplication detector symmetric Jaccard structurally misses:
+    * a short doc quoted whole inside a long one has J ≈ |A|/|B| (tiny,
+    * below any useful Jaccard bar) but containment 1.0 — the
+    * quote/excerpt/boilerplate-wrapper case a curation pass wants to
+    * drop or attribute. Candidates ride the same df-capped inverted
+    * index as q25 (identical scale guarantees: hot shingles never
+    * generate pairs, verification uses full arrays); both divisions
+    * take identical integer operands on both engines → bit-identical
+    * doubles. */
+  private[graft] def containmentPairs(docs: DataFrame, maxDf: Long, minC: Double): DataFrame =
+    jaccardCandidates(docs, maxDf)
+      .join(docs.select(col("doc_id").as("i"), col("hs").as("hi")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("hs").as("hj")), "j")
+      .withColumn("inter", size(array_intersect(col("hi"), col("hj"))))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / size(col("hi"))).as("c_ij"),
+        (col("inter").cast("double") / size(col("hj"))).as("c_ji"))
+      .filter(greatest(col("c_ij"), col("c_ji")) >= minC)
+
+  val q172Containment: Q = Q.sql(
+    "q172_containment",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+       |stop AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |         WHERE df > $MaxShingleDf),
+       |cold AS (SELECT doc_id, h FROM sh ANTI JOIN stop USING (h)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT i, j,
+       |    len(list_intersect(hi.hs, hj.hs)) AS inter,
+       |    len(hi.hs) AS na, len(hj.hs) AS nb
+       |  FROM cand JOIN hashed hi ON hi.doc_id = i JOIN hashed hj ON hj.doc_id = j)
+       |SELECT i, j,
+       |  CAST(inter AS DOUBLE)/na AS c_ij,
+       |  CAST(inter AS DOUBLE)/nb AS c_ji
+       |FROM scored
+       |WHERE greatest(CAST(inter AS DOUBLE)/na, CAST(inter AS DOUBLE)/nb)
+       |      >= $MinContainment
+       |ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    containmentPairs(docHashedShingles(s, dir), MaxShingleDf, MinContainment)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** MinHash + LSH banding near-dup — the 100 TB path (see object doc).
     * 16 universal-hash min-hashes per doc, banded 4×4; docs sharing a
     * band bucket become candidates; candidates verified with exact
@@ -729,5 +783,5 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
-    q154NeardupDiff, q168Novelty)
+    q154NeardupDiff, q168Novelty, q172Containment)
 }

@@ -72,5 +72,92 @@ object Quantize {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(q102QuantizeEmb)
+  // --------------------------------------------------- product quantization
+
+  /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 centroids
+    * per subspace codebook → 8 nibble codes per vector (256 raw bytes →
+    * 8, a 32× compression on top of which int8 [[int8Of]] is the 4×
+    * path). Published method (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"). */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 16
+
+  private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** Train per-subspace codebooks (seeded KMeans, seed 30+s like q60's
+    * coarse quantizer) on a (vec_id, v: array<double>) frame. The m
+    * fits iterate over an m-column projection of the corpus — at 100 TB
+    * codebooks train on a sample (they need ~1e5-1e6 vectors, not the
+    * corpus); encoding below is the full-corpus pass. */
+  private[graft] def pqCodebooks(vectors: DataFrame): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subs = vectors.select(
+      (0 until PqM).map(i =>
+        slice(col("v"), i * PqSubDim + 1, PqSubDim).as(s"sub$i")): _*)
+    (0 until PqM).map { i =>
+      new KMeans().setK(PqK).setSeed(30 + i)
+        .setFeaturesCol("f").setPredictionCol("c")
+        .fit(subs.select(array_to_vector(col(s"sub$i")).as("f")))
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** Encode every vector against broadcast codebooks in ONE row-local
+    * pass: per subspace, the argmin-L2 centroid index. The codebook is
+    * a nested literal (m × k × subDim doubles ≈ 8 KB) baked into the
+    * expression — no join, no shuffle, scan-speed at any corpus size. */
+  private[graft] def pqEncode(vectors: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cbLit = typedLit(cbs)
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), s => {
+      val sub = slice(col("v"), s * PqSubDim + 1, lit(PqSubDim))
+      val dists = transform(element_at(cbLit, s + 1), c => l2(sub, c))
+      array_position(dists, array_min(dists)) - 1
+    })
+    vectors.select(col("vec_id"), col("v"), codes.as("codes"))
+  }
+
+  /** PQ-ANN via asymmetric distance computation (q173): probes carry a
+    * per-subspace distance TABLE to every centroid (m × k doubles,
+    * computed once per probe); each stored vector's approximate L2 is
+    * then m table lookups summed through its codes — the stored vector
+    * itself is never touched. Plan shape at 100 TB: the bounded probe
+    * set (with tables) broadcasts, the code table streams through a
+    * deliberate broadcast nested-loop join (the q27 discipline, but
+    * over 8-byte codes instead of 256-byte vectors), and IVF-style list
+    * pruning (q60) composes in front when even the code scan is too
+    * much. ML-dependent (seeded KMeans) → non-oracle; AnnSpec plants
+    * on-centroid vectors where ADC is EXACT and asserts twin retrieval
+    * and the self-distance-zero invariant. */
+  private[graft] def pqTopK(vectors: DataFrame, probeMax: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = pqCodebooks(vectors)
+    val cbLit = typedLit(cbs)
+    val encoded = pqEncode(vectors, cbs)
+    val dt = transform(cbLit, (cbS, i) =>
+      transform(cbS, c => l2(slice(col("qv"), i * PqSubDim + 1, lit(PqSubDim)), c)))
+    val probes = vectors.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id"), dt.as("dt"))
+    val adc = aggregate(
+      zip_with(col("dt"), col("codes"), (t, c) => element_at(t, (c + 1).cast("int"))),
+      lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    probes
+      .join(encoded, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(adc, 9).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
+  val q173PqAnn: Q = Q.heavy("q173_pq_ann") { (s, dir) =>
+    val vectors = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    pqTopK(vectors, probeMax = 10L, topK = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(q102QuantizeEmb, q173PqAnn)
 }

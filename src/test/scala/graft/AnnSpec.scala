@@ -41,6 +41,52 @@ class AnnSpec extends AnyFunSuite {
     assert(topk("q60_ann_ivf") == topk("q60_ann_ivf"))
   }
 
+  test("PQ-ADC is exact on on-centroid vectors: twins retrieved at distance zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 groups × 10 EXACT duplicates, each group built from one 8-dim
+    // prototype repeated across the 8 subspaces. Every subvector sits ON
+    // a k-means centroid (k=16 ≥ 4 distinct points per subspace), so the
+    // quantization error is zero and ADC == true squared L2: in-group
+    // twins score 0.0, cross-group pairs score the true positive gap.
+    val protos = Seq.tabulate(4, 8)((g, d) => if (d == g * 2) 10.0 * (g + 1) else 1.0)
+    val vectors = (0 until 40).map { id =>
+      val g = id / 10
+      (id.toLong, Seq.fill(8)(protos(g)).flatten)
+    }.toDF("vec_id", "v")
+    val out = graft.ops.Quantize.pqTopK(vectors, probeMax = 40L, topK = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 40)
+    byQuery.foreach { case (q, rows) =>
+      val group = q / 10
+      val twins = rows.sortBy(_._4).map(_._2)
+      assert(twins.toSet == (group * 10 until (group + 1) * 10).map(_.toLong).toSet - q,
+        s"probe $q must retrieve exactly its 9 twins, got ${twins.mkString(",")}")
+      assert(rows.forall(_._3 == 0.0),
+        s"on-centroid twins must score ADC 0.0, got ${rows.map(_._3).mkString(",")}")
+    }
+    // encoding is consistent: twins share the same code word
+    val cbs = graft.ops.Quantize.pqCodebooks(vectors)
+    val codes = graft.ops.Quantize.pqEncode(vectors, cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    (0 until 40).foreach { id =>
+      assert(codes(id.toLong) == codes((id / 10 * 10).toLong))
+    }
+    assert(codes.values.toSet.size == 4, "the 4 groups must map to 4 distinct code words")
+  }
+
+  test("PQ registry query returns well-formed deterministic rankings") {
+    val pq = SparkEntry.queries("q173_pq_ann")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      val ns = rows.sortBy(_._3).map(_._2)
+      assert(ns.length <= 5 && ns.distinct.length == ns.length)
+    }
+  }
+
   test("semDedup drops planted duplicates, keeps the lowest id, spares the rest") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -104,6 +104,31 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs catches the excerpt Jaccard misses, in the right direction") {
+    import spark.implicits._
+    // long doc of 60 distinct words; short doc = a 20-word contiguous
+    // excerpt → every short-doc shingle appears in the long doc
+    // (containment 1.0) while Jaccard is ~16/56 ≈ 0.29, far below 0.8
+    val words = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.slice(20, 40).mkString(" ")),
+      (3L, "totally unrelated content about five more words")
+    ).toDF("doc_id", "text")
+    val got = Graft.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    val (cIj, cJi) = got((1L, 2L))
+    // i=1 is the long doc: only partially covered by the excerpt;
+    // j=2 is the excerpt: fully contained
+    assert(cJi == 1.0, s"excerpt must be fully contained, got $cJi")
+    assert(cIj < 0.5, s"long doc must not read as contained, got $cIj")
+    // and the symmetric-Jaccard path indeed misses this pair
+    val jac = Graft.jaccardNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard 0.8 must miss the excerpt pair")
+  }
+
   test("incrementalNearDups matches incoming docs against the standing set only") {
     import spark.implicits._
     val existing = corpus.filter($"doc_id".isin(1L, 4L))
