@@ -336,9 +336,11 @@ object Quality {
     *
     * Scale: the whole metric is one row-local expression battery —
     * distinct-chars × doc-length comparisons per row (alphabet-bounded,
-    * the q99 repetition idiom), NO shuffle, no explode; at 100 TB it
-    * runs at scan speed inside the same WholeStageCodegen span as the
-    * scan and stacks onto any downstream stage for free.
+    * the q99 repetition idiom), NO shuffle, no explode, no UDF; at
+    * 100 TB it is a single scan-speed map stage that stacks onto any
+    * downstream shuffle for free (the higher-order functions are
+    * interpreted expressions, not codegen — row-local cost, bounded by
+    * alphabet × length, measured 95 ms over sf0.1's 100k docs).
     *
     * Tokens come from `regexp_extract_all(text, '.')` — identical
     * single-char semantics in Spark and DuckDB (both default-exclude

@@ -76,6 +76,21 @@ class AnnSpec extends AnyFunSuite {
     assert(codes.values.toSet.size == 4, "the 4 groups must map to 4 distinct code words")
   }
 
+  test("PQ recall@5 on the real embeddings beats the random baseline") {
+    // q27 ranks by cosine, PQ-ADC by quantized L2 — different metrics on
+    // unnormalized vectors, so exact agreement is not expected; but a
+    // working 8×16 quantizer must land far above the ~0.25% a random
+    // 5-of-2000 pick would score. Deterministic: seeded codebooks.
+    val pq = SparkEntry.queries("q173_pq_ann")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val hits = exact.keys.toSeq.map { q =>
+      pq.getOrElse(q, Set.empty[Long]).intersect(exact(q).toSet).size
+    }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    assert(recall >= 0.2, s"PQ recall@5 = $recall")
+  }
+
   test("PQ registry query returns well-formed deterministic rankings") {
     val pq = SparkEntry.queries("q173_pq_ann")(spark, Sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
