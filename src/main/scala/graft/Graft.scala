@@ -492,4 +492,15 @@ object Graft {
   def evalContainment(evalSet: DataFrame, corpus: DataFrame,
                       dirtyFrac: Double = 0.2): DataFrame =
     ops.Decontam.containmentOf(evalSet, corpus, dirtyFrac)
+
+  /** Semantic decontamination: flags corpus vectors whose cosine to any
+    * eval-set vector reaches `minSim` (paraphrased leakage the n-gram
+    * decontaminators can't see). Both frames carry (vec_id,
+    * v: array<double>); candidates come from shared LSH buckets, the
+    * eval side broadcasts, the corpus never shuffles. Returns (vec_id,
+    * eval_id, sim) — the best eval match per flagged vector. */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+                       minSim: Double = 0.9): DataFrame =
+    ops.Similarity.semanticDecontamOf(
+      ops.Similarity.bucketized(corpus), ops.Similarity.bucketized(evalSet), minSim)
 }

@@ -199,6 +199,73 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Semantic-decontamination flag threshold. The synthetic embeddings
+    * are near-orthogonal (q29's near-dup bar is 0.1; measured max
+    * corpus×eval cosine at sf0.01 is 0.33), so 0.2 exercises the full
+    * flag-and-rank path; production corpora run ~0.9+. */
+  private[graft] val SemDecontamMinSim = 0.2
+
+  /** Semantic decontamination (q174): the embedding-space third of the
+    * decontamination family — q101/q163 catch verbatim n-gram overlap,
+    * this catches PARAPHRASED eval leakage those can't see. Every
+    * corpus vector sharing an LSH bucket with an eval vector is scored
+    * by exact cosine; vectors with a match ≥ threshold are flagged with
+    * their best-matching eval id (ties → lowest id).
+    *
+    * Scale: eval benchmarks are thousands of vectors — the eval side
+    * (with buckets) BROADCASTS, so the corpus streams through a
+    * broadcast equi-join on the bucket key and never shuffles; the only
+    * exchanges are the flagged-matches window (|matches|, tiny) and the
+    * final ORDER BY. The same md5-derived hyperplanes as q28/q29 keep
+    * the oracle replaying the exact bucketing from SQL. */
+  val q174SemanticDecontam: Q = Q.sql(
+    "q174_semantic_decontam",
+    s"""WITH $oracleBuckets,
+       |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS en, bucket
+       |       FROM norms WHERE vec_id % 20 = 0),
+       |co AS (SELECT * FROM norms WHERE vec_id % 20 <> 0),
+       |scored AS (
+       |  SELECT co.vec_id, ev.eval_id,
+       |    round(${oracleDot.format("co.v", "ev.evv")} / (co.nrm * ev.en), 9) AS sim
+       |  FROM co JOIN ev USING (bucket)),
+       |ranked AS (
+       |  SELECT vec_id, eval_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+       |  FROM scored WHERE sim >= $SemDecontamMinSim)
+       |SELECT vec_id, eval_id, sim FROM ranked WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    val n = vecs(s, dir).withColumn("bucket", bucket(col("v")))
+    semanticDecontamOf(
+      n.filter(col("vec_id") % 20 =!= 0),
+      n.filter(col("vec_id") % 20 === 0), SemDecontamMinSim)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Factored form over pre-bucketed (vec_id, v, nrm, bucket) frames —
+    * the facade bucketizes arbitrary corpora/eval sets itself. */
+  private[graft] def semanticDecontamOf(corpus: DataFrame, evalSet: DataFrame,
+                                        minSim: Double): DataFrame = {
+    val ev = evalSet.select(col("vec_id").as("eval_id"), col("v").as("evv"),
+      col("nrm").as("en"), col("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("eval_id"))
+    corpus.join(broadcast(ev), Seq("bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        round(dot(col("v"), col("evv")) / (col("nrm") * col("en")), 9).as("sim"))
+      .filter(col("sim") >= minSim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("sim"))
+  }
+
+  /** Bucketize an arbitrary (vec_id, v: array<double>) frame for
+    * [[semanticDecontamOf]] — norms + the md5-derived hyperplane
+    * bucket. */
+  private[graft] def bucketized(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucket(col("v")))
+
   /** IVF-style ANN (the other classic scale path beside q28's LSH):
     * a KMeans(16, seed 30) coarse quantizer assigns every vector to an
     * inverted list; each query probes its 2 nearest centroids and ranks
@@ -520,5 +587,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
-    q131JlProjection, q153HardNegatives, q167SemDedup)
+    q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam)
 }

@@ -102,6 +102,32 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontam flags the planted paraphrase, spares orthogonal vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // eval vector e along axis 0; corpus vector 1 is a scaled near-copy
+    // (cosine 1.0 → same LSH bucket by construction), corpus vector 2 is
+    // orthogonal (cosine 0), corpus vector 3 is a mild rotation with
+    // cosine ~0.71 — below a 0.9 bar but in a nearby bucket either way
+    def vec(axis: Int, axis2: Int = -1): Seq[Double] =
+      Seq.tabulate(64)(d => (if (d == axis) 1.0 else 0.0) + (if (d == axis2) 1.0 else 0.0))
+    val evalSet = Seq((100L, vec(0))).toDF("vec_id", "v")
+    val corpus = Seq(
+      (1L, vec(0).map(_ * 3.0)),  // exact direction, different norm
+      (2L, vec(7)),               // orthogonal
+      (3L, vec(0, 7))             // cos = 1/√2 ≈ 0.707
+    ).toDF("vec_id", "v")
+    val got = Graft.semanticDecontam(corpus, evalSet, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 100L, 1.0)),
+      s"only the scaled copy may be flagged, got ${got.mkString(",")}")
+    // lowering the bar admits the rotation only if it shares a bucket —
+    // never the orthogonal vector
+    val loose = Graft.semanticDecontam(corpus, evalSet, minSim = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.contains(1L) && !loose.contains(2L))
+  }
+
   test("semDedup drops planted duplicates, keeps the lowest id, spares the rest") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
