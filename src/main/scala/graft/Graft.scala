@@ -370,6 +370,30 @@ object Graft {
   def triangles(edges: DataFrame): DataFrame =
     ops.Components.triangles(edges)
 
+  /** Winnowing fingerprints (MOSS; Schleimer et al. 2003) over
+    * (doc_id, text): (doc_id, nk, wmin) — per doc, the distinct
+    * window-min 5-word-k-gram hashes at window 4, `nk` = k-gram count.
+    * Any shared ≥8-word span shares a fingerprint; only ~2/(w+1) of
+    * k-grams survive, shrinking the cross-doc index before its shuffle. */
+  def winnow(docs: DataFrame): DataFrame =
+    ops.Dedup.winnowFingerprints(docs)
+
+  /** Longest duplicated word span per doc pair at 12-gram grain:
+    * (i, j, max_run, span_words) — the suffix-array passage-dedup
+    * report (Lee et al. 2022) via diagonal runs of shared windows; hot
+    * windows above `Dedup.MaxPassageDf` occurrences are excluded from
+    * pairing. */
+  def dupSpans(docs: DataFrame): DataFrame =
+    ops.Dedup.dupSpansOf(docs)
+
+  /** Fixed-point integer PageRank over a directed (src, dst) edge frame:
+    * (node, rank) in micro-units after `iters` damped rounds (d = 0.85,
+    * start 1,000,000 per node). All-int64 arithmetic — partition- and
+    * order-independent, so ranks are bit-stable across cluster layouts.
+    * Per iteration: one src-grain join, one dst-grain aggregation. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    ops.Components.pageRankInt(edges, iters)
+
   /** Market-basket lift: item pairs co-occurring in ≥ `minSupport`
     * baskets as (item_a, item_b, n_both, lift) — the pair join runs
     * within basket groups only, never all item pairs. Baskets with more

@@ -396,6 +396,112 @@ object Components {
       .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
 
+  /** Fixed-point PageRank (Page et al. 1999) on an arbitrary directed
+    * (src, dst) edge frame — authority scoring for graph-shaped corpus
+    * metadata (link graphs, citation graphs, the trade network below).
+    * No analog in the reference; standard web-corpus curation signal
+    * (link-authority quality weighting).
+    *
+    * Determinism contract: ranks are integer micro-units (node starts at
+    * 1,000,000), each edge contributes `rank div outdeg`, and the damped
+    * update is `150000 + (sum * 85) div 100` — all in exact int64, so
+    * the result is independent of partitioning and summation order and
+    * replays bit-identically in the DuckDB oracle (the float PageRank a
+    * naive port would write drifts across partition counts). Truncating
+    * div loses < 1 micro-unit per edge — invisible at rank grain,
+    * priceless for cross-engine equality.
+    *
+    * Scale (100 TB graph): per iteration, contributions are one
+    * edge-grain join on `src` (edges co-partitioned with ranks and
+    * out-degrees on the same key — one exchange each, reused across
+    * iterations) followed by one map-side-combinable aggregation at
+    * `dst` grain; rank state is one (node, rank) row per node. Hot
+    * sinks (a node with huge in-degree) skew only the dst aggregation,
+    * which partial aggregation absorbs. Iterations are a driver loop
+    * with scalar-only driver state; each round checkpoints through
+    * [[materialize]] (lineage stays linear; the [[ReliableConfKey]]
+    * session conf upgrades to executor-loss-safe checkpoints, same as
+    * the CC loop). Dangling nodes (outdeg 0) absorb rank without
+    * redistribution — the standard simplification; document-ranking
+    * use cases only compare relative authority. */
+  private[graft] def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRankInt needs iters >= 1, got $iters")
+    val rel = sessionReliable(edges)
+    if (rel) requireCheckpointDir(edges)
+    // evaluate the (possibly expensive) upstream edge pipeline ONCE —
+    // it is referenced in every iteration
+    val e = materialize(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .distinct(), rel)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+      val in = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
+      ranks = materialize(
+        nodes.join(in, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("coalesce(in_rank, 0L) * 85 div 100")).as("rank")),
+        rel)
+    }
+    ranks
+  }
+
+  /** The q175 trade network: nation-level directed edges "a customer in
+    * nation `src` bought from a supplier in nation `dst`", distinct,
+    * self-trade excluded. The edge derivation is the distributed-heavy
+    * part (lineitem ⋈ orders ⋈ customer ⋈ supplier), the rank loop then
+    * runs at nation grain. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  private def oraclePageRankIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |    CAST(150000 + COALESCE(SUM(c.c), 0) * 85 // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, rp.rank // od.odeg AS c
+       |    FROM e
+       |    JOIN $prev rp ON rp.node = e.src
+       |    JOIN outdeg od ON od.src = e.src) c ON c.node = n.node
+       |  GROUP BY n.node)""".stripMargin
+
+  val q175PageRank: Q = Q.sql(
+    "q175_pagerank",
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |                  CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  WHERE c.c_nationkey != s.s_nationkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${oraclePageRankIter("r0", "r1")},
+       |${oraclePageRankIter("r1", "r2")},
+       |${oraclePageRankIter("r2", "r3")}
+       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+  ) { (s, dir) =>
+    pageRankInt(tradeEdges(s, dir), iters = 3).orderBy(col("node"))
+  }
+
   val q145Triangles: Q = Q.sql(
     "q145_triangles",
     s"""WITH np AS (
@@ -411,5 +517,5 @@ object Components {
   }
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
-    q158BestSurvivors, q160LeakageSafeSplit)
+    q158BestSurvivors, q160LeakageSafeSplit, q175PageRank)
 }

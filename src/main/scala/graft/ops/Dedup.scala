@@ -780,8 +780,159 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm) at word grain: every 5-word k-gram gets its
+    * md5-derived 60-bit hash, and each window of `WinnowWindow` = 4
+    * consecutive k-gram hashes selects its MINIMUM as a fingerprint.
+    * Guarantee: any shared word run of ≥ k + w − 1 = 8 words shares at
+    * least one fingerprint, while only ~2/(w+1) of k-grams are kept —
+    * the density/recall trade the paper proves optimal for local
+    * fingerprinting. Complements the fixed-stride q128 (every dup
+    * caught at full grain) with a sub-sampled index 2.5× smaller that
+    * still catches every ≥8-word overlap.
+    *
+    * Scale: one corpus scan → per-doc window-min (a SORT within doc
+    * partitions — bounded by doc length, no cross-doc data movement) →
+    * one fingerprint-grain aggregate for cross-doc sharing. Fingerprint
+    * selection drops ~60% of k-gram rows BEFORE the only cross-doc
+    * shuffle, which is the point of winnowing at 100 TB: the shared
+    * index shrinks by the density factor with a proven recall floor. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), (size(col("w")) - 4).as("nk"),
+        posexplode(transform(expr("sequence(0, size(w) - 5)"), k =>
+          hexLong(concat_ws(" ",
+            (0 until 5).map(o => get(col("w"), k + o)): _*)))))
+      .withColumnRenamed("col", "h")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    kg.withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") <= col("nk") - 4)
+      .select(col("doc_id"), col("nk"), col("wmin")).distinct()
+  }
+
+  val q176Winnow: Q = Q.sql(
+    "q176_winnow",
+    """WITH kg AS (
+      |  SELECT doc_id, len(w) - 4 AS nk,
+      |    unnest(range(0, len(w) - 4)) AS pos,
+      |    unnest(list_transform(range(0, len(w) - 4),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[k+1:k+5], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, nk, wmin FROM (
+      |    SELECT doc_id, nk, pos, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |    FROM kg) WHERE pos <= nk - 4),
+      |occ AS (SELECT wmin, COUNT(*) AS nd FROM fp GROUP BY wmin)
+      |SELECT f.doc_id, f.nk AS n_kgrams, COUNT(*) AS n_fp,
+      |  CAST(SUM(CASE WHEN o.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+      |FROM fp f JOIN occ o USING (wmin)
+      |GROUP BY f.doc_id, f.nk
+      |ORDER BY f.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val fp = winnowFingerprints(Tables.documents(s, dir))
+    val occ = fp.groupBy(col("wmin")).agg(count(lit(1)).as("nd"))
+    fp.join(occ, "wmin")
+      .groupBy(col("doc_id"), col("nk"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .select(col("doc_id"), col("nk").as("n_kgrams"), col("n_fp"), col("n_shared_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hot-passage df cap for [[q177DupSpans]]: window hashes occurring
+    * more than this many times total are excluded from pairing (their
+    * recurrence is already reported at hash grain by q128) — the same
+    * guard class as MaxShingleDf/MaxBasketSize, bounding match rows at
+    * Σ n_occ² ≤ cap · Σ n_occ. */
+  val MaxPassageDf = 8L
+
+  /** Longest duplicated span per doc pair — what suffix-array passage
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes LMs
+    * Better") reports, computed at sliding 12-gram grain instead of a
+    * global suffix sort: matched (pos_i, pos_j) window pairs lie on
+    * diagonals d = pos_i − pos_j, and a run of R consecutive matches on
+    * one diagonal certifies a shared span of exactly R + 11 words. The
+    * run detection is the gaps-and-islands idiom (pos − ROW_NUMBER over
+    * the (i, j, d) diagonal), which both engines evaluate identically
+    * because pos is unique within a diagonal.
+    *
+    * Scale: window hashes above [[MaxPassageDf]] total occurrences are
+    * excluded before the self-join (hot boilerplate pairs every pair of
+    * carriers — the q25 hot-shingle class of blow-up), so match rows
+    * are df-bounded; the islands window sorts within (i, j, d) pair
+    * partitions — near-dup-bounded, never corpus-grain. */
+  val q177DupSpans: Q = Q.sql(
+    "q177_dup_spans",
+    s"""WITH seg AS (
+       |  SELECT doc_id, unnest(range(0, len(w) - 11)) AS pos,
+       |    unnest(list_transform(range(0, len(w) - 11),
+       |      k -> CAST(concat('0x', substr(md5(
+       |             array_to_string(w[k+1:k+12], ' ')), 1, 15)) AS BIGINT))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 12),
+       |elig AS (
+       |  SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS no
+       |    FROM seg GROUP BY h)
+       |  WHERE nd >= 2 AND no <= ${MaxPassageDf}),
+       |m AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.pos - b.pos AS d, a.pos AS apos
+       |  FROM seg a JOIN seg b USING (h) JOIN elig USING (h)
+       |  WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT i, j, d, apos,
+       |    apos - ROW_NUMBER() OVER (PARTITION BY i, j, d ORDER BY apos) AS grp
+       |  FROM m),
+       |runs AS (SELECT i, j, COUNT(*) AS rl FROM r GROUP BY i, j, d, grp)
+       |SELECT i, j, MAX(rl) AS max_run, CAST(MAX(rl) + 11 AS BIGINT) AS span_words
+       |FROM runs GROUP BY i, j ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    dupSpansOf(Tables.documents(s, dir)).orderBy(col("i"), col("j"))
+  }
+
+  /** (doc_id, text) → (i, j, max_run, span_words) per doc pair sharing
+    * at least one df-capped 12-gram window; span_words = longest shared
+    * word span (≥ 12) certified by a consecutive diagonal run. Exposed
+    * for the facade and [[q177DupSpans]]. */
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 12)
+      .select(col("doc_id"),
+        posexplode(transform(expr("sequence(0, size(w) - 12)"), k =>
+          hexLong(concat_ws(" ",
+            (0 until 12).map(o => get(col("w"), k + o)): _*)))))
+      .withColumnRenamed("col", "h")
+    val elig = seg.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"))
+      .filter(col("nd") >= 2 && col("no") <= MaxPassageDf)
+      .select(col("h"))
+    val m = seg.as("a")
+      .join(seg.as("b"), "h")
+      .join(elig, "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        (col("a.pos") - col("b.pos")).as("d"), col("a.pos").as("apos"))
+    val runs = m
+      .withColumn("grp", col("apos") - row_number().over(
+        Window.partitionBy(col("i"), col("j"), col("d")).orderBy(col("apos"))))
+      .groupBy(col("i"), col("j"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+    runs.groupBy(col("i"), col("j"))
+      .agg(max(col("rl")).as("max_run"))
+      .select(col("i"), col("j"), col("max_run"),
+        (col("max_run") + 11L).as("span_words"))
+  }
+
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
-    q154NeardupDiff, q168Novelty, q172Containment)
+    q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans)
 }

@@ -101,6 +101,51 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture corpus must contain near-dup pairs")
   }
 
+  /** Independent in-test PageRank: plain Scala maps, same integer
+    * contract (micro-unit start, per-edge `rank / outdeg` truncating,
+    * damped `150000 + sum * 85 / 100`). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => rank(p._1) / outdeg(p._1)).sum
+      }
+      rank = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L) * 85 / 100)).toMap
+    }
+    rank
+  }
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    Components.pageRankInt(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank matches an independent integer reference on a hand graph") {
+    // a cycle with a popular hub (4), a feeder (1→ everything), and a
+    // dangling sink (5: in-links, no out-links)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (3L, 4L),
+      (4L, 1L), (2L, 5L), (4L, 5L))
+    for (iters <- Seq(1, 3, 5))
+      assert(pr(edges, iters) == refPageRank(edges, iters), s"iters=$iters")
+    // authority sanity: the hub out-ranks the feeder's other targets
+    val got = pr(edges, 3)
+    assert(got(4L) > got(2L) && got(4L) > got(3L))
+  }
+
+  test("pageRank is partition-count-invariant (integer determinism)") {
+    import spark.implicits._
+    val edges = (1L to 60L).map(i => (i, i % 7 + 1)) ++ Seq((7L, 50L), (3L, 42L))
+    val base = pr(edges)
+    val shuffled = Components.pageRankInt(
+      scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(13), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == base)
+  }
+
   test("survivors = corpus minus non-min component members, exactly") {
     val comps = SparkEntry.queries("q72_dedup_components")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

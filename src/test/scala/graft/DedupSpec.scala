@@ -92,6 +92,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("winnowing: any shared 8-word span yields a shared fingerprint; density < 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 words
+    val docs = Seq(
+      (1L, s"one two three $span four five six seven"),
+      (2L, s"zz yy $span xx ww vv uu tt ss rr qq pp"),
+      (3L, "totally different words with no overlap at all here friend")
+    ).toDF("doc_id", "text")
+    val fp = graft.ops.Dedup.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: k + w - 1 = 8 shared words => >= 1 shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: winnowing SUBSAMPLES the k-gram stream (doc 1 has 15
+    // words -> 11 k-grams and 8 windows; ~2/(w+1) of k-grams selected)
+    assert(byDoc(1L).size < 8)
+  }
+
+  test("dup spans: a planted 20-word shared span reports exactly span_words=20") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val hot = (1 to 12).map(i => s"h$i").mkString(" ") // 12-word hot passage
+    val docs = (Seq(
+      (1L, s"pre amble words here $span post fix words"),
+      (2L, s"$span completely other tail content words"),
+      (3L, "unrelated text with twelve plus distinct words nothing shared at all ok")
+    ) ++ (10L to 20L).map(id => (id, s"filler$id opening $hot closing$id")))
+      .toDF("doc_id", "text")
+    // the registry entry reads $dir/documents.parquet — point it at a
+    // temp dir holding the planted fixture
+    val dir = java.nio.file.Files.createTempDirectory("q177fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q177_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 20-word span at 12-gram grain: run = 20 - 12 + 1 = 9, span = 20
+    assert(got.contains((1L, 2L, 9L, 20L)))
+    // the 11 docs sharing the hot 12-gram (df 11 > MaxPassageDf) are
+    // excluded from pairing entirely
+    assert(!got.exists { case (i, j, _, _) => i >= 10L || j >= 10L })
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
