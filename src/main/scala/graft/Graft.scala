@@ -527,4 +527,81 @@ object Graft {
                        minSim: Double = 0.9): DataFrame =
     ops.Similarity.semanticDecontamOf(
       ops.Similarity.bucketized(corpus), ops.Similarity.bucketized(evalSet), minSim)
+
+  /** k-NN graph over (vec_id, v: array<double>): for every vector its
+    * top-`k` same-LSH-bucket neighbors by exact cosine — (query_id,
+    * neighbor_id, sim, rk). Both sides are the full corpus (unlike the
+    * bounded-probe exact search), so candidates come from a bucket
+    * equi-join; vectors alone in their bucket have no neighbors
+    * (multi-probe or fewer hyperplane bits densifies). Zero-norm
+    * vectors are excluded. */
+  def knnGraph(vectors: DataFrame, k: Int = 10): DataFrame =
+    ops.Similarity.knnGraphOf(vectors, k)
+
+  /** Embedding near-dup clusters: same-LSH-bucket pairs at cosine ≥
+    * `minSim` → connected components — every vector gets (vec_id,
+    * cluster), cluster = min member id, singletons their own id. The
+    * transitive, ML-free twin of [[semDedup]]: A≈B≈C cluster together
+    * even when cos(A,C) misses the bar. */
+  def embedClusters(vectors: DataFrame, minSim: Double = 0.9): DataFrame =
+    ops.Similarity.embedClustersOf(vectors, minSim)
+
+  /** Exact distributed ROC-AUC of a (score, y ∈ {0,1}) frame with
+    * average-rank tie handling (the Mann–Whitney identity — the value
+    * sklearn's roc_auc_score reports): one row (n, n_pos, n_neg, auc);
+    * auc is null when either class is empty. Integer rank sums at
+    * distinct-score grain; the global cumulative uses the scalable
+    * range-partition prefix pattern, never a one-partition window. */
+  def auc(scored: DataFrame): DataFrame =
+    ops.Eval.aucOf(scored)
+
+  /** Precision/recall operating-point table of a (score, y ∈ {0,1})
+    * frame: one row per distinct score t — (score, tp, fp, fn,
+    * precision, recall) for the gate "predict positive iff score ≥ t".
+    * Same scalable prefix machinery as [[auc]]. */
+  def prCurve(scored: DataFrame): DataFrame =
+    ops.Eval.prCurveOf(scored)
+
+  /** Calibration (reliability) table of a (score ∈ [0,1], y ∈ {0,1})
+    * frame over `bins` equal-width buckets: (bin, n, pos, mean_score,
+    * frac_pos) — well-calibrated means mean_score ≈ frac_pos. One
+    * bin-grain aggregation; exact nano-unit integer score sums. */
+  def calibration(scored: DataFrame, bins: Int = 10): DataFrame =
+    ops.Eval.calibrationOf(scored, bins)
+
+  /** Poisson-bootstrap confidence interval for the mean of `money` (a
+    * 2-decimal value column) keyed by unique `id`: one row (n, mean,
+    * ci_lo, ci_hi), the brackets being the 2nd-smallest/2nd-largest of
+    * `replicates` md5-deterministic Poisson(1)-weighted replicate means
+    * (≈ the 94% interval at the default 32). Row-local weights — no
+    * per-replicate sampling pass; shuffle is `replicates` rows per
+    * partition regardless of data size. */
+  def bootstrapCi(df: DataFrame, id: Column, money: Column,
+                  replicates: Int = 32): DataFrame =
+    ops.Eval.bootstrapMeanOf(
+      df.select(id.as("id"), round(money * 100).cast("long").as("cents")),
+      replicates)
+
+  /** Approximate distinct `value` count per `group` via a 4 KB
+    * HyperLogLog sketch (~1.6% standard error): (group, est_distinct).
+    * COUNT(DISTINCT) without shuffling the key space — the profile pass
+    * for vocabularies/users/shingles whose domain is billions wide;
+    * partitioning-independent by register-max merge. */
+  def approxDistinct(df: DataFrame, group: Column, value: Column): DataFrame =
+    ops.HeavyHitters.approxDistinct(df, group, value)
+
+  /** Chi-square test of independence between categorical columns `a`
+    * and `b`: one row (n, dof, chi2_micro, chi2) — the association /
+    * crawl-mix-drift audit. Per-cell contributions are exact-integer
+    * micro-units summed as int64, so the statistic is partitioning-
+    * independent. */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame =
+    ops.Profile.chi2Of(df, a, b)
+
+  /** Local clustering coefficient per node of an (i, j) edge frame
+    * (i < j): (node, deg, tri, coeff = 2·tri/(deg·(deg−1))) — hub vs
+    * clique-member density audit over near-dup graphs; triangles via
+    * the degree-oriented [[triangles]] machinery. */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    ops.Components.clusteringCoeffOf(edges)
 }

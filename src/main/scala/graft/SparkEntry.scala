@@ -22,7 +22,8 @@ object SparkEntry {
       ops.AsOf.all ++ ops.Quantiles.all ++ ops.Components.all ++ ops.Packing.all ++
       ops.Curate.all ++ ops.Analytics.all ++ ops.Linkage.all ++ ops.Profile.all ++
       ops.HeavyHitters.all ++ ops.ZOrder.all ++ ops.Quality.all ++
-      ops.Decontam.all ++ ops.Quantize.all ++ ops.Merge.all ++ ops.Encoding.all
+      ops.Decontam.all ++ ops.Quantize.all ++ ops.Merge.all ++ ops.Encoding.all ++
+      ops.Eval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

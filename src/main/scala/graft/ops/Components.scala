@@ -516,6 +516,64 @@ object Components {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
+  /** Local clustering coefficient per node of an undirected (i, j)
+    * edge frame (i < j per row): (node, deg, tri, coeff) with coeff =
+    * 2·tri / (deg·(deg−1)) — how tightly a node's neighborhood closes,
+    * the cluster-density audit that tells a hub (many open wedges, low
+    * coeff) from a clique member (coeff → 1) in near-dup graphs.
+    *
+    * Scale: triangles come from [[triangles]] (degree-oriented, wedge
+    * volume O(m·√m)-bounded); everything after is node-grain — one
+    * explode of the triangle list and one degree aggregation, joined at
+    * node grain. The division is exact-int/exact-int rounded to 9 dp —
+    * deterministic cross-engine. */
+  private[graft] def clusteringCoeffOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("i").as("node"))
+      .unionAll(edges.select(col("j").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 9))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Clustering coefficients over the MinHash near-dup pair graph —
+    * q145's triangle machinery extended to the per-node density
+    * report. */
+  val q186ClusteringCoeff: Q = Q.sql(
+    "q186_clustering_coeff",
+    s"""WITH np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT i AS node FROM np UNION ALL SELECT j FROM np)
+       |  GROUP BY node),
+       |tris AS (
+       |  SELECT e1.i AS a, e1.j AS b, e2.j AS c
+       |  FROM np e1
+       |  JOIN np e2 ON e2.i = e1.j
+       |  JOIN np e3 ON e3.i = e1.i AND e3.j = e2.j),
+       |tcnt AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris)
+       |  GROUP BY node)
+       |SELECT d.node, d.deg, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+       |  CASE WHEN d.deg >= 2
+       |       THEN round(2e0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)), 9)
+       |       ELSE 0e0 END AS coeff
+       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+       |ORDER BY d.node""".stripMargin
+  ) { (s, dir) =>
+    clusteringCoeffOf(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
-    q158BestSurvivors, q160LeakageSafeSplit, q175PageRank)
+    q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff)
 }

@@ -54,5 +54,30 @@ object HeavyHitters {
       k = 10)
   }
 
-  val all: Seq[Q] = Seq(q90HeavyHitters)
+  /** Per-language approximate distinct token count via the
+    * [[graft.functions.HllDistinct]] sketch — COUNT(DISTINCT) at 4 KB of
+    * state per group instead of a shuffle of the full token domain. The
+    * vocabulary-size profile a tokenizer-prep pass runs per language /
+    * per source on a corpus whose distinct-term space is billions wide.
+    * Sketch (hash-seeded, no oracle-able SQL twin) → no-oracle; HllSpec
+    * pins accuracy vs exact, partitioning-independence, and merge
+    * semantics. */
+  val q182HllDistinct: Q = Q.noOracle("q182_hll_distinct") { (s, dir) =>
+    approxDistinct(
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term")),
+      col("lang"), col("term"))
+      .orderBy(col("lang"))
+  }
+
+  /** Generic form: (groupCol, est_distinct) — the HLL estimate of
+    * distinct `value` per group. Shuffle = one 4 KB sketch per group
+    * after map-side partial aggregation, independent of cardinality. */
+  def approxDistinct(df: DataFrame, group: org.apache.spark.sql.Column,
+                     value: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(group)
+      .agg(graft.functions.HllDistinct.udaf(
+        call_function("graft_md5long64", value.cast("string"))).as("est_distinct"))
+
+  val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct)
 }

@@ -189,5 +189,68 @@ object Profile {
       .orderBy(col("flag"))
   }
 
-  val all: Seq[Q] = Seq(q89Profile, q111Histogram, q119GroupedCorr)
+  /** Chi-square test of independence between two categorical columns —
+    * the association/drift audit for corpus metadata (is `source`
+    * independent of `lang`? did the crawl mix shift?). Per cell the
+    * contribution (O−E)²/E is computed as (n·O − r·c)²/(n·r·c) — all
+    * operands exact int64, one correctly-rounded IEEE division — then
+    * rounded to integer micro-units BEFORE summing, so the statistic is
+    * a sum of integers: partition- and order-independent, bit-identical
+    * cross-engine (the discipline that keeps a Σ-of-doubles from
+    * drifting on a 1000-executor shuffle).
+    *
+    * Scale: one scan to cell grain; rows/cols/total derive from the
+    * CELL frame (≤ |A|·|B| rows — categorical by assumption) and
+    * broadcast back; everything after the first aggregate is
+    * cell-grain. */
+  private[graft] def chi2Of(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.select(col(a).as("va"), col(b).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .groupBy(col("va"), col("vb")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("va")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("vb")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("va")).as("na"), countDistinct(col("vb")).as("nb"))
+    cells
+      .join(broadcast(rows), Seq("va"))
+      .join(broadcast(cols), Seq("vb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("na"), col("nb"),
+        round(pow(col("n") * col("o") - col("r") * col("c"), 2) * 1e6
+          / (col("n") * col("r") * col("c"))).cast("long").as("cm"))
+      .groupBy(col("n"), col("na"), col("nb"))
+      .agg(sum(col("cm")).as("chi2_micro"))
+      .select(col("n"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        col("chi2_micro"),
+        round(col("chi2_micro") / 1e6, 6).as("chi2"))
+  }
+
+  /** Is document `source` independent of `lang`? The categorical-
+    * association audit as one exact-integer statistic. */
+  val q185Chi2Assoc: Q = Q.sql(
+    "q185_chi2_assoc",
+    """WITH cells AS (
+      |  SELECT lang AS va, source AS vb, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |rws AS (SELECT va, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY va),
+      |cls AS (SELECT vb, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY vb),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT va) AS BIGINT) AS na,
+      |  CAST(count(DISTINCT vb) AS BIGINT) AS nb FROM cells),
+      |contrib AS (
+      |  SELECT n, na, nb,
+      |    CAST(round(pow(n * o - r * c, 2) * 1e6 / (n * r * c)) AS BIGINT) AS cm
+      |  FROM cells JOIN rws USING (va) JOIN cls USING (vb), tot)
+      |SELECT n, (na - 1) * (nb - 1) AS dof,
+      |  CAST(sum(cm) AS BIGINT) AS chi2_micro,
+      |  round(CAST(sum(cm) AS BIGINT) / 1e6, 6) AS chi2
+      |FROM contrib GROUP BY n, na, nb
+      |ORDER BY n""".stripMargin
+  ) { (s, dir) =>
+    chi2Of(Tables.documents(s, dir), "lang", "source").orderBy(col("n"))
+  }
+
+  val all: Seq[Q] = Seq(q89Profile, q111Histogram, q119GroupedCorr, q185Chi2Assoc)
 }

@@ -586,6 +586,121 @@ object Similarity {
       .unionByName(zeroNorm)
   }
 
+  /** k-NN graph over an arbitrary (vec_id, v: array<double>) frame:
+    * for EVERY vector, its top-`k` same-LSH-bucket neighbors by exact
+    * cosine — (query_id, neighbor_id, sim, rk). The all-vectors twin of
+    * [[annTopKOf]] (whose probe side must stay bounded/broadcastable):
+    * here BOTH sides are the full corpus, so the candidate generator is
+    * the q28 equi-join on the hyperplane bucket — one hash shuffle per
+    * side on the bucket key — and the per-query top-k is a window over
+    * same-bucket candidates only. Vectors whose bucket holds no other
+    * vector have no neighbors and are absent (an LSH recall property,
+    * not a bug — multi-probe or fewer bits densifies).
+    *
+    * Scale: bucket population ≈ N/2^bits must stay bounded — at 10⁹
+    * vectors, 8 sign bits leave ~4M per bucket, so bits (planes) must
+    * grow ∝ log₂N exactly like SemDeDup's k ∝ N (the [[semDedupBuckets]]
+    * scaladoc); the per-bucket join is then |bucket|², the price every
+    * LSH pair generator here pays (q29's contract). Zero-norm vectors
+    * carry no cosine and are excluded from both sides. */
+  private[graft] def knnGraphOf(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("bucket", bucket(col("v")))
+    val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** q178: the k-NN graph on the embeddings table (k = 3). Unlike
+    * q27/q28 (bounded probe set < 10), every vector is a query — the
+    * construction that feeds graph-based near-dup clustering (q179),
+    * kNN-graph visualization, and agglomerative semantic clustering. */
+  val q178KnnGraph: Q = Q.sql(
+    "q178_knn_graph",
+    s"""WITH $oracleBuckets,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${oracleDot.format("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS sim
+       |  FROM norms q JOIN norms c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    knnGraphOf(vecs(s, dir).select(col("vec_id"), col("v")), 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding near-dup clusters: same-LSH-bucket pairs at cosine ≥
+    * `minSim` (q29's pair generator) become an undirected graph whose
+    * connected components are the semantic clusters — every vector gets
+    * (vec_id, cluster) with cluster = min member id; unpaired vectors
+    * are their own singletons. The graph-transitive twin of [[semDedupOf]]:
+    * SemDeDup drops within-k-means-cluster neighbors greedily, this
+    * labels the full transitive closure (A≈B≈C cluster together even
+    * when cos(A,C) < τ) with no ML dependency — so it oracle-checks.
+    *
+    * Scale: pair volume is the q29 contract (bits ∝ log₂N); the CC loop
+    * is [[Components.connectedComponents]] — O(log diameter) rounds with
+    * path doubling, checkpointed; components exist only for paired
+    * vectors → the (id, label) map broadcasts and the corpus takes one
+    * broadcast left join, unshuffled. */
+  private[graft] def embedClustersOf(vectors: DataFrame, minSim: Double): DataFrame = {
+    val n = vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("bucket", bucket(col("v")))
+    val a = n.select(col("vec_id").as("i"), col("v").as("av"),
+      col("nrm").as("an"), col("bucket").as("ab"))
+    val pairs = a.join(n, col("ab") === col("bucket") && col("i") < col("vec_id"))
+      .filter(round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9) >= minSim)
+      .select(col("i"), col("vec_id").as("j"))
+    val comps = Components.connectedComponents(pairs)
+      .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
+    vectors.select(col("vec_id"))
+      .join(broadcast(comps), col("vec_id") === col("__graft_cc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__graft_cc_label"), col("vec_id")).as("cluster"))
+  }
+
+  /** q179: embedding clusters on the embeddings table at the q29
+    * near-dup bar (0.1 — the synthetic vectors are near-orthogonal).
+    * The oracle replays bucketing → pairs → transitive closure via the
+    * same recursive CTE as the lexical q72. */
+  val q179EmbedClusters: Q = Q.sql(
+    "q179_embed_clusters",
+    s"""WITH RECURSIVE $oracleBuckets,
+       |scored AS (
+       |  SELECT a.vec_id AS i, c.vec_id AS j,
+       |    round(${oracleDot.format("a.v", "c.v")} / (a.nrm * c.nrm), 9) AS sim
+       |  FROM norms a JOIN norms c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |np AS (SELECT i, j FROM scored WHERE sim >= 0.1),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e2.dst, reach.r FROM reach JOIN edges e2 ON e2.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS cluster
+       |FROM e LEFT JOIN comp c ON c.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  ) { (s, dir) =>
+    embedClustersOf(vecs(s, dir).select(col("vec_id"), col("v")), 0.1)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
-    q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam)
+    q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
+    q178KnnGraph, q179EmbedClusters)
 }

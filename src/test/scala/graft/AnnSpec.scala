@@ -153,6 +153,71 @@ class AnnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.semDedup(docs, 2, 0.9, 0))
   }
 
+  test("knnGraph ranks planted co-directional neighbors first, excludes self and zero-norm") {
+    import spark.implicits._
+    // 64-dim so the md5 hyperplane bucketing is exercised for real.
+    // x/y/z share a dominant direction (and, for the fixed planes, a
+    // bucket — positive scaling never flips a sign, and the ±e1 nudge is
+    // 10× below the dominant coordinate); id 7 is an orthogonal axis,
+    // id 99 zero-norm.
+    // dominant coordinate 1: every md5 hyperplane weighs it >= 0.337 in
+    // magnitude while no plane weighs coordinate 0 above 0.827, so a
+    // 10:1 mix can never flip a bucket sign -- co-bucketing is
+    // deterministic, not probabilistic
+    def axis(i: Int, s: Double): Seq[Double] = Seq.tabulate(64)(d => if (d == i) s else 0.0)
+    def mix(sDom: Double, sNudge: Double): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == 1) sDom else if (d == 0) sNudge else 0.0)
+    val docs = Seq(
+      (1L, axis(1, 5.0)), (2L, mix(10.0, 1.0)), (3L, mix(10.0, -1.0)),
+      (7L, axis(7, 1.0)), (99L, Seq.fill(64)(0.0))
+    ).toDF("vec_id", "v")
+    val rows = Graft.knnGraph(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    // zero-norm: absent as query AND as neighbor
+    assert(!byQ.contains(99L) && rows.forall(_._2 != 99L))
+    // no self-neighbors, ranks well-formed and dense from 1
+    rows.foreach { case (q, n, _, _) => assert(q != n) }
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 2 && rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+    // the co-directional trio retrieves each other with the right order:
+    // 1's neighbors are 2 and 3 (cos 0.995 each, tie -> lower id first)
+    assert(byQ(1L).sortBy(_._4).map(_._2).toSeq == Seq(2L, 3L))
+    // 2's best is 1 (0.995) before 3 (0.980); symmetric for 3
+    assert(byQ(2L).sortBy(_._4).map(_._2).toSeq == Seq(1L, 3L))
+    assert(byQ(3L).sortBy(_._4).map(_._2).toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException](Graft.knnGraph(docs, 0))
+  }
+
+  test("embedClusters labels the transitive chain, keeps sub-threshold and zero-norm singletons") {
+    import spark.implicits._
+    // y (10e0+e1) and z (10e0-e1) have cos 0.980 — BELOW the 0.99 bar —
+    // but both reach x (cos 0.995): the cluster {1,2,3} exists only
+    // through transitive closure, which is exactly what separates this
+    // from a pair-threshold dedup. Axis-7 (cos 0 to all) and the
+    // zero-norm vector stay singletons whatever bucket they land in.
+    // dominant coordinate 1: every md5 hyperplane weighs it >= 0.337 in
+    // magnitude while no plane weighs coordinate 0 above 0.827, so a
+    // 10:1 mix can never flip a bucket sign -- co-bucketing is
+    // deterministic, not probabilistic
+    def axis(i: Int, s: Double): Seq[Double] = Seq.tabulate(64)(d => if (d == i) s else 0.0)
+    def mix(sDom: Double, sNudge: Double): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == 1) sDom else if (d == 0) sNudge else 0.0)
+    val docs = Seq(
+      (1L, axis(1, 5.0)), (2L, mix(10.0, 1.0)), (3L, mix(10.0, -1.0)),
+      (7L, axis(7, 1.0)), (99L, Seq.fill(64)(0.0))
+    ).toDF("vec_id", "v")
+    val out = Graft.embedClusters(docs, minSim = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 99L -> 99L),
+      s"unexpected clustering: $out")
+    // sanity: at a bar above every planted similarity nothing clusters
+    val strict = Graft.embedClusters(docs, minSim = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict.forall { case (id, c) => id == c })
+  }
+
   test("semDedup bounds the pair join in a giant skewed cluster, keeps exact-dup recall") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -157,4 +157,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(survivors == all.diff(droppedIds))
     assert(droppedIds.nonEmpty, "dedup must actually drop something on the fixture")
   }
+
+  test("clusteringCoeff: triangle members close fully, the hub partially, pendants zero") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 hanging off 1:
+    // deg(1)=3 tri(1)=1 -> 2/(3*2) = 0.333…; 2 and 3 close fully; 4 has
+    // no wedge at all
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("i", "j")
+    val out = Graft.clusteringCoeff(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, 0.333333333)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
 }

@@ -891,4 +891,100 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(102L)._1 == 3L && out(102L)._2 == 1L, "partial item: 1 of 3 shingles in corpus")
     assert(out(102L)._3 == 1.0 / 3 && out(102L)._4, "ratio exact; above the 0.2 threshold")
   }
+
+  test("auc matches the hand-computed Mann-Whitney value with tied scores") {
+    import spark.implicits._
+    // ascending: 0.1(n) 0.2(n,p tie) 0.3(p) 0.4(n) 0.5(p) ->
+    // avg-rank sum over positives = 2.5+4+6 = 12.5, U = 6.5, AUC = 13/18
+    val scored = Seq(
+      (0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1), (0.4, 0), (0.5, 1)
+    ).toDF("score", "y")
+    val r = Graft.auc(scored).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 6L && r(0).getLong(1) == 3L && r(0).getLong(2) == 3L)
+    assert(r(0).getDouble(3) == 0.722222222, s"auc = ${r(0).getDouble(3)}")
+    // single-class input: AUC undefined -> null, not 0 or NaN
+    val oneClass = Seq((0.3, 1), (0.7, 1)).toDF("score", "y")
+    assert(Graft.auc(oneClass).collect()(0).isNullAt(3))
+    // perfect and inverted rankers bracket the range
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)).toDF("score", "y")
+    assert(Graft.auc(perfect).collect()(0).getDouble(3) == 1.0)
+    val inverted = Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)).toDF("score", "y")
+    assert(Graft.auc(inverted).collect()(0).getDouble(3) == 0.0)
+  }
+
+  test("prCurve emits the exact operating-point table, thresholds descending") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1), (0.4, 0), (0.5, 1)
+    ).toDF("score", "y")
+    val rows = Graft.prCurve(scored).orderBy(org.apache.spark.sql.functions.col("score").desc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (0.5, 1L, 0L, 2L, 1.0, 0.333333333),
+      (0.4, 1L, 1L, 2L, 0.5, 0.333333333),
+      (0.3, 2L, 1L, 1L, 0.666666667, 0.666666667),
+      (0.2, 3L, 2L, 0L, 0.6, 1.0),
+      (0.1, 3L, 3L, 0L, 0.5, 1.0)))
+  }
+
+  test("calibration bins counts and exact bin means; a perfect scorer calibrates") {
+    import spark.implicits._
+    // scores chosen mid-bin so binning is unambiguous; bin 0 gets 1 of 4
+    // positive, bin 9 is pure positive
+    val scored = Seq(
+      (0.05, 0), (0.05, 0), (0.05, 1), (0.05, 0),
+      (0.55, 1), (0.55, 0),
+      (0.95, 1), (0.95, 1)
+    ).toDF("score", "y")
+    val rows = Graft.calibration(scored, bins = 10)
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (0, 4L, 1L, 0.05, 0.25),
+      (5, 2L, 1L, 0.55, 0.5),
+      (9, 2L, 2L, 0.95, 1.0)))
+    // score exactly 1.0 clamps into the top bin, never bins
+    val top = Graft.calibration(Seq((1.0, 1)).toDF("score", "y"), 10).collect()
+    assert(top.length == 1 && top(0).getInt(0) == 9)
+    intercept[IllegalArgumentException](Graft.calibration(scored, 0))
+  }
+
+  test("bootstrapCi brackets the point mean deterministically") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i % 100) + 0.25)).toDF("id", "v")
+    val r1 = Graft.bootstrapCi(df, org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("v")).collect()(0)
+    val (n, mean, lo, hi) = (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(n == 500L)
+    assert(mean == 49.75, s"point mean = $mean") // exact: avg of (i%100)+0.25
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo > 0 && hi - lo < 20, s"CI width ${hi - lo} implausible")
+    // determinism: identical on a different partitioning
+    val r2 = Graft.bootstrapCi(df.repartition(13),
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("v")).collect()(0)
+    assert(r1.getDouble(2) == r2.getDouble(2) && r1.getDouble(3) == r2.getDouble(3))
+    intercept[IllegalArgumentException](Graft.bootstrapCi(df,
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("v"), replicates = 2))
+  }
+
+  test("chi2Independence matches the hand-computed 2x2 statistic") {
+    import spark.implicits._
+    // 30/10 vs 10/30 over balanced margins: E = 20 per cell,
+    // (O-E)^2/E = 5 per cell -> chi2 = 20, dof = 1
+    val rows =
+      Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+        Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val r = Graft.chi2Independence(rows.toDF("a", "b"), "a", "b").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 80L && r(0).getLong(1) == 1L)
+    assert(r(0).getLong(2) == 20000000L && r(0).getDouble(3) == 20.0)
+    // independent columns score ~0 (exactly 0 on a perfectly uniform table)
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    assert(Graft.chi2Independence(indep, "a", "b").collect()(0).getDouble(3) == 0.0)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HyperLogLog sketch contract: accuracy vs exact distinct, linear-
+  * counting exactness at tiny cardinalities, and — the scale property
+  * the aggregate exists for — partitioning-independence of the estimate
+  * (register-max merge is commutative/associative, so 1 thread and 1000
+  * executors must produce the identical sketch). */
+class HllSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q182 estimates per-lang distinct tokens within 5% of exact") {
+    val est = SparkEntry.queries("q182_hll_distinct")(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.documents(spark, Sf001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (lang, d) =>
+      val e = est(lang)
+      assert(math.abs(e - d) <= math.max(1L, (0.05 * d).toLong),
+        s"lang=$lang exact=$d est=$e")
+    }
+  }
+
+  test("estimate is a pure function of the input set — any partitioning, any order") {
+    import spark.implicits._
+    val vals = (0 until 5000).map(i => s"tok_$i")
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      Graft.approxDistinct(df, lit(1), col("v")).collect()(0).getLong(1)
+    val base = vals.toDF("v")
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(17, col("v")))
+    val c = run(vals.reverse.toDF("v").repartition(5))
+    val dup = run((vals ++ vals ++ vals.take(100)).toDF("v").repartition(3))
+    assert(a == b && b == c, s"partitioning changed the estimate: $a / $b / $c")
+    assert(a == dup, "duplicates must not move the estimate")
+    assert(math.abs(a - 5000L) <= 250, s"5000 distinct estimated as $a")
+  }
+
+  test("linear counting is exact at tiny cardinalities; disjoint sets merge additively") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => s"v$i").toDF("v")
+    val e10 = Graft.approxDistinct(small, lit(1), col("v")).collect()(0).getLong(1)
+    assert(e10 == 10L, s"10 distinct estimated as $e10")
+    // two disjoint 1000-value halves, counted per group and together
+    val half1 = (0 until 1000).map(i => ("a", s"x_$i"))
+    val half2 = (0 until 1000).map(i => ("b", s"y_$i"))
+    val both = (half1 ++ half2).toDF("g", "v")
+    val per = Graft.approxDistinct(both, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Graft.approxDistinct(both, lit(1), col("v")).collect()(0).getLong(1)
+    assert(math.abs(per("a") - 1000) <= 50 && math.abs(per("b") - 1000) <= 50)
+    assert(math.abs(merged - 2000) <= 100, s"union of disjoint halves: $merged")
+  }
+}

@@ -91,7 +91,10 @@ class RegistrySpec extends AnyFunSuite {
     "q149_ks_drift",           // 1-row totals cross join (ECDF denominators)
     "q152_bigram_rarity",      // 1-row corpus-count cross join (rarity weight)
     "q153_hard_negatives",     // bounded probe set × candidates, <> label condition
-    "q156_langid_kappa")       // 1-row × 1-row confusion-moment join
+    "q156_langid_kappa",       // 1-row × 1-row confusion-moment join
+    "q181_pr_curve",           // 1-row positives-total cross join (recall denominator)
+    "q184_bootstrap_ci",       // 1-row point-estimate × 1-row CI brackets cross joins
+    "q185_chi2_assoc")         // 1-row totals cross join onto the cell frame
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
