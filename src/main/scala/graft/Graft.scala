@@ -604,4 +604,12 @@ object Graft {
     * the degree-oriented [[triangles]] machinery. */
   def clusteringCoeff(edges: DataFrame): DataFrame =
     ops.Components.clusteringCoeffOf(edges)
+
+  /** 64-bit perceptual difference-hash of each (doc_id, text) payload's
+    * decoded content profile: (doc_id, h). Row-local, shuffle-free; h
+    * feeds exact-group dedup (group by h) or q70-style banded Hamming
+    * matching. With a real codec the profile is the downsampled image
+    * signal; here it reads the deterministic fake decode. */
+  def phash(docs: DataFrame): DataFrame =
+    ops.Multimodal.dhashOf(docs)
 }

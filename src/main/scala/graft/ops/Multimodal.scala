@@ -194,5 +194,60 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q55BinaryMeta, q56MediaFeatures, q77MediaResize, q78FrameSample)
+  /** 64-bit perceptual DIFFERENCE hash (dHash — the aHash/pHash family's
+    * robust member) of a media payload from its decoded signal profile:
+    * bit b = (count of code 59+b) > (count of code 60+b). On real media
+    * the decode is the codec's downsampled luma and the counts are pixel
+    * buckets; here the deterministic fake decode reads byte codes, which
+    * DuckDB replays exactly (pure-ASCII corpus: char code = byte value).
+    * Row-local — 65 counting passes over the decoded array, no shuffle,
+    * 8 bytes out per row. */
+  private[graft] def dhashOf(docs: DataFrame): DataFrame = {
+    val chars65 = (59 to 123).map(_.toChar.toString)
+    docs
+      .select(col("doc_id"), split(col("text"), "").as("cs"))
+      .withColumn("cn",
+        transform(typedLit(chars65), c => size(filter(col("cs"), ch => ch === c))))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+               |  acc + IF(element_at(cn, b+1) > element_at(cn, b+2),
+               |           shiftleft(1L, b), 0L))""".stripMargin).as("h"))
+  }
+
+  /** Perceptual-duplicate groups — the media twin of q24's byte-exact
+    * dedup: payloads whose DECODED content profile hashes identically
+    * are re-encodings/mutations of the same underlying media even when
+    * the bytes differ. Group-grain report (h, n_docs, first_doc), one
+    * map-side-combined aggregation at 64-bit hash grain; no doc-doc
+    * pairing anywhere (the q24/q128 discipline — pair joins over
+    * near-uniform perceptual hashes are the O(N²) trap). For banded
+    * Hamming-distance matching of DISCRIMINATIVE hashes, q70's
+    * pigeonhole machinery applies unchanged to this hash column. */
+  val q187PhashGroups: Q = Q.sql(
+    "q187_phash_groups",
+    """WITH codes AS (
+      |  SELECT doc_id, list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS cs
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT doc_id, list_transform(range(0, 65), i ->
+      |    len(list_filter(cs, c -> c = 59 + i))) AS cn
+      |  FROM codes),
+      |bits AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 64), b ->
+      |      CASE WHEN cn[b+1] > cn[b+2] THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS h
+      |  FROM cnts)
+      |SELECT h, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      |FROM bits GROUP BY h HAVING count(*) >= 2
+      |ORDER BY h""".stripMargin
+  ) { (s, dir) =>
+    dhashOf(Tables.documents(s, dir))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("h"))
+  }
+
+  val all: Seq[Q] = Seq(q55BinaryMeta, q56MediaFeatures, q77MediaResize, q78FrameSample,
+    q187PhashGroups)
 }

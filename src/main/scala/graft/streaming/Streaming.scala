@@ -297,6 +297,31 @@ object Streaming {
       .orderBy(col("a_id"), col("b_id").asc_nulls_first)
   }
 
+  /** Hourly approximate distinct users — the HLL sketch INSIDE a
+    * streaming aggregation: per tumbling hour, the
+    * [[graft.functions.HllDistinct]] estimate of distinct user_ids.
+    * The sketch's register-max merge is exactly what incremental
+    * micro-batch aggregation needs (state = one 4 KB sketch per open
+    * window, merged as batches arrive — never a distinct-user set), so
+    * streaming-vs-batch equality is structural, not approximate: the
+    * same input set always produces the same sketch. Works identically
+    * as a batch plan (the registry twin below). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HllDistinct.udaf(
+        call_function("graft_md5long64", col("user_id").cast("string"))).as("est_users"))
+      .select(unix_micros(col("window.start")).as("hour_start"), col("est_users"))
+
+  /** Batch registry twin of [[hourlyDistinctUsers]] (sketch → no-oracle;
+    * StreamingSpec proves micro-batched == batch and pins accuracy vs
+    * exact distinct). */
+  val q188StreamDistinct: Q = Q.noOracle("q188_stream_distinct") { (s, dir) =>
+    hourlyDistinctUsers(Tables.events(s, dir)).orderBy(col("hour_start"))
+  }
+
   val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
-    q146FunnelDropouts)
+    q146FunnelDropouts, q188StreamDistinct)
 }

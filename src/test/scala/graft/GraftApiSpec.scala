@@ -987,4 +987,24 @@ class GraftApiSpec extends AnyFunSuite {
       yield (a, b)).toDF("a", "b")
     assert(Graft.chi2Independence(indep, "a", "b").collect()(0).getDouble(3) == 0.0)
   }
+
+  test("phash is byte-order sensitive but re-encoding invariant; groups form on equal profiles") {
+    import spark.implicits._
+    // same multiset of characters in different order -> same profile ->
+    // same hash (the "re-encoding" the perceptual hash must survive);
+    // a different character mix flips bits
+    val docs = Seq(
+      (1L, "abc abc xyz"),
+      (2L, "xyz abc abc"),          // permutation: identical counts
+      (3L, "zzz zzz zzz qqq")       // different profile
+    ).toDF("doc_id", "text")
+    val h = Graft.phash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "order-permuted payloads must share the perceptual hash")
+    assert(h(1L) != h(3L), "different content profiles must differ")
+    // the registry grouping keeps only groups of >= 2
+    val grouped = SparkEntry.queries("q187_phash_groups")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(grouped.nonEmpty)
+    assert(grouped.forall(_.getLong(1) >= 2L))
+  }
 }

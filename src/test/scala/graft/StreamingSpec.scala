@@ -430,4 +430,36 @@ class StreamingSpec extends AnyFunSuite {
       a.exists(_.user_id == u) && b.exists(_.user_id == u)),
       "fixture must actually split some user's events across the restart")
   }
+
+  test("hourly HLL distinct users: micro-batched sketch == batch sketch == exact (small hours)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.hourlyDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("hll_hours").outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_hours")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Streaming.hourlyDistinctUsers(
+      Tables.events(spark, Sf0001)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // register-max merge makes the sketch a pure function of the input
+    // set: incremental arrival must not move a single estimate
+    assert(streamed == batch)
+    // at per-hour cardinalities linear counting is numerically exact
+    val exact = Tables.events(spark, Sf0001)
+      .filter($"user_id".isNotNull)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("d"))
+      .select(org.apache.spark.sql.functions.unix_micros($"window.start"), $"d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.keySet == exact.keySet)
+    exact.foreach { case (h, d) =>
+      assert(math.abs(batch(h) - d) <= math.max(1L, (0.05 * d).toLong),
+        s"hour $h exact=$d est=${batch(h)}")
+    }
+  }
 }
