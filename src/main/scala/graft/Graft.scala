@@ -612,4 +612,30 @@ object Graft {
     * signal; here it reads the deterministic fake decode. */
   def phash(docs: DataFrame): DataFrame =
     ops.Multimodal.dhashOf(docs)
+
+  /** Sliced ROC-AUC of a (g, score, y ∈ {0,1}) frame: one exact
+    * Mann–Whitney AUC row per distinct `g` — the per-language /
+    * per-source fairness and QA eval. Giant slices still distribute
+    * (the cumulative range-partitions on (g, score), never one
+    * partition per group). */
+  def aucBy(scored: DataFrame): DataFrame =
+    ops.Eval.aucByOf(scored)
+
+  /** MRR and NDCG@`k` per query of a (qid, doc_id, rk) ranking against
+    * a (qid, doc_id) relevance set — (qid, n_rel, first_rel, mrr,
+    * dcg_micro, idcg_micro, ndcg). Discounts are hardcoded integer
+    * micro-units (no log in the plan); ndcg is null for queries with
+    * no relevant docs, mrr 0 when none rank in the top k. k ≤ 10. */
+  def rankingMetrics(ranked: DataFrame, rel: DataFrame, k: Int = 10): DataFrame =
+    ops.Eval.rankingMetricsOf(ranked, rel, k)
+
+  /** Learn `n` byte-pair-encoding merges from a (doc_id, text) corpus
+    * (Sennrich et al. 2016): the merge table (step, left, right,
+    * pair_count) a subword tokenizer ships. Statistics run at word-TYPE
+    * grain (one corpus pass builds the word-count table; every round
+    * then touches |vocabulary| rows); argmax tie-breaks totally, so the
+    * learned table is a pure function of the corpus. May return fewer
+    * than `n` rows if no pair occurs twice. */
+  def bpeMerges(docs: DataFrame, n: Int = 10): DataFrame =
+    ops.Bpe.trainMerges(docs, n)
 }

@@ -41,16 +41,16 @@ object Components {
     * on a real cluster. Requires `SparkContext.setCheckpointDir`. */
   val ReliableConfKey = "spark.graft.reliableCheckpoint"
 
-  private def sessionReliable(df: DataFrame): Boolean =
+  private[graft] def sessionReliable(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(ReliableConfKey).exists(_.trim.equalsIgnoreCase("true"))
 
-  private def requireCheckpointDir(df: DataFrame): Unit = require(
+  private[graft] def requireCheckpointDir(df: DataFrame): Unit = require(
     df.sparkSession.sparkContext.getCheckpointDir.isDefined,
     "reliable=true needs SparkContext.setCheckpointDir (reliable checkpoints write to it)")
 
   /** Materialize + truncate lineage: reliable (HDFS-grade, survives
     * executor loss) when `reliable`, else executor-local blocks. */
-  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+  private[graft] def materialize(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint() else df.localCheckpoint()
 
   /** Rounds of plain min-propagation before path-doubling kicks in:

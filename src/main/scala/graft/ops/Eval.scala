@@ -75,6 +75,44 @@ object Eval {
     }: _*)
   }
 
+  /** Per-GROUP exclusive running sums: like [[withExclusivePrefix]] but
+    * the cumulative restarts per distinct value of the `g` column (the
+    * input frame's contract: a group column literally named "g") — the
+    * sliced-eval building block. Range partitioning on (g, order) may
+    * split a group across partitions (that IS the scalability: one
+    * giant group still distributes); the per-(pid, g) offsets are
+    * prefixed within each group by a window over ≤|partitions| rows per
+    * group, never over data. */
+  private[graft] def withGroupedExclusivePrefix(df: DataFrame, order: Seq[Column],
+                                                values: Seq[(Column, String)]): DataFrame = {
+    val ranged = df.repartitionByRange(col("g") +: order: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+    val local = Window.partitionBy(col("__graft_pid"), col("g")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = values.foldLeft(ranged) { case (acc, (value, out)) =>
+      acc.withColumn(s"__graft_lpre_$out",
+        coalesce(sum(value).over(local), lit(0L)))
+    }
+    val offsets = ranged.groupBy(col("__graft_pid"), col("g"))
+      .agg(sum(values.head._1).as(s"__graft_pn_${values.head._2}"),
+        values.tail.map { case (value, out) => sum(value).as(s"__graft_pn_$out") }: _*)
+    // per group, ≤|partitions| rows: exclusive prefix of partition sums
+    val offW = Window.partitionBy(col("g")).orderBy(col("__graft_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = values.foldLeft(offsets) { case (acc, (_, out)) =>
+      acc.withColumn(s"__graft_off_$out",
+        coalesce(sum(col(s"__graft_pn_$out")).over(offW), lit(0L)))
+    }.select(col("__graft_pid") +: col("g") +: values.map { case (_, out) =>
+      col(s"__graft_off_$out")
+    }: _*)
+    val joined = withLocal.join(withOff, Seq("__graft_pid", "g"))
+    values.foldLeft(joined) { case (acc, (_, out)) =>
+      acc.withColumn(out, col(s"__graft_off_$out") + col(s"__graft_lpre_$out"))
+    }.drop("__graft_pid" +: values.flatMap { case (_, out) =>
+      Seq(s"__graft_lpre_$out", s"__graft_off_$out")
+    }: _*)
+  }
+
   /** (score, cnt, pos, neg) at distinct-score grain from a (score, y)
     * frame — y ∈ {0, 1}; null scores/labels are out of the metric's
     * domain and dropped. */
@@ -99,6 +137,69 @@ object Eval {
         when(col("np") > 0 && col("nn") > 0,
           round(col("num2").cast("double") / (lit(2L) * col("np") * col("nn")), 9))
           .as("auc"))
+  }
+
+  /** Sliced (per-group) exact ROC-AUC of a (g, score, y) frame — the
+    * fairness/QA eval staple: one AUC row per distinct `g` (n, n_pos,
+    * n_neg, auc), same Mann–Whitney machinery as [[aucOf]] with every
+    * stage group-aware. A giant group still distributes: the grouped
+    * prefix range-partitions on (g, score), so no group ever funnels
+    * through one partition. */
+  private[graft] def aucByOf(scored: DataFrame): DataFrame = {
+    val g = scored.filter(col("score").isNotNull && col("y").isNotNull)
+      .groupBy(col("g"), col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("pos"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    val pre = withGroupedExclusivePrefix(g, Seq(col("score").asc),
+      Seq(col("neg") -> "neg_lt"))
+    pre.groupBy(col("g"))
+      .agg(
+        sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum(lit(2L) * col("pos") * col("neg_lt") + col("pos") * col("neg")).as("num2"))
+      .select(col("g"),
+        (col("np") + col("nn")).as("n"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          round(col("num2").cast("double") / (lit(2L) * col("np") * col("nn")), 9))
+          .as("auc"))
+  }
+
+  /** Per-language AUC of the quality score predicting whether a doc
+    * contains the token "data" — a label that varies WITHIN every
+    * language slice (lang-vs-quality itself is the q180 task; a sliced
+    * eval needs intra-slice label variance to be non-degenerate). */
+  val q189AucByLang: Q = Q.sql(
+    "q189_auc_by_lang",
+    s"""WITH sc AS (
+       |  SELECT d.lang AS g, s.quality AS score,
+       |    CASE WHEN d.text LIKE '%data%' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT doc_id, lang, text FROM documents) d
+       |  JOIN (${TextAnalysis.oracleTextStats.replace("\n", "\n  ")}) s
+       |    ON s.doc_id = d.doc_id),
+       |grp AS (
+       |  SELECT g, score, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+       |  FROM sc GROUP BY g, score),
+       |p AS (
+       |  SELECT g, pos, neg,
+       |    CAST(coalesce(sum(neg) OVER (PARTITION BY g ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_lt
+       |  FROM grp),
+       |t AS (
+       |  SELECT g, CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
+       |    CAST(sum(2 * pos * neg_lt + pos * neg) AS BIGINT) AS num2
+       |  FROM p GROUP BY g)
+       |SELECT g, np + nn AS n, np AS n_pos, nn AS n_neg,
+       |  CASE WHEN np > 0 AND nn > 0
+       |       THEN round(CAST(num2 AS DOUBLE) / (2 * np * nn), 9) END AS auc
+       |FROM t ORDER BY g""".stripMargin
+  ) { (s, dir) =>
+    val docs = graft.Tables.documents(s, dir)
+    val scored = TextAnalysis.statsOf(docs)
+      .select(col("doc_id"), col("lang").as("g"), col("quality").as("score"))
+      .join(docs.select(col("doc_id"),
+        col("text").contains("data").cast("int").as("y")), Seq("doc_id"))
+      .select(col("g"), col("score"), col("y"))
+    aucByOf(scored).orderBy(col("g"))
   }
 
   /** Precision/recall curve of `scored` at every distinct-score
@@ -319,5 +420,130 @@ object Eval {
       .orderBy(col("n"))
   }
 
-  val all: Seq[Q] = Seq(q180Auc, q181PrCurve, q183Calibration, q184BootstrapCi)
+  /** NDCG@10 position discounts in micro-units — round(10⁶/log₂(r+1))
+    * for ranks 1..10, hardcoded (with their running sums for IDCG) so
+    * both engines index the same integer table and no log appears in
+    * either plan: the Poisson-threshold trick applied to IR eval. */
+  private[graft] val NdcgDiscMicro: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private[graft] val NdcgDiscCumMicro: Seq[Long] = Seq(
+    1000000L, 1630930L, 2130930L, 2561607L, 2948460L,
+    3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+
+  /** Retrieval-ranking metrics per query: MRR and NDCG@`k` of a
+    * (qid, doc_id, rk) ranking against a (qid, doc_id) relevance set —
+    * (qid, n_rel, first_rel, mrr, dcg_micro, idcg_micro, ndcg). DCG
+    * sums the hardcoded integer discounts of relevant hits; IDCG
+    * indexes their running sum at min(n_rel, k); both divisions are
+    * exact-int in IEEE double. NDCG is null when a query has no
+    * relevant docs at all (undefined, not 0); MRR is 0 when none of
+    * the top-k are relevant.
+    *
+    * Scale: the ranking side is top-k per query (≤ k·|queries| rows)
+    * and the relevance side aggregates to |queries| rows — everything
+    * here is query-grain after the inputs; the heavy lifting lives in
+    * whatever ranker produced `ranked`. */
+  private[graft] def rankingMetricsOf(ranked: DataFrame, rel: DataFrame,
+                                      k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscMicro.length,
+      s"k must be in [1, ${NdcgDiscMicro.length}], got $k")
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rk") <= k)
+      .join(rel.withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
+    val perQ = hits.groupBy(col("qid")).agg(
+      min(when(col("rel") === 1, col("rk"))).as("first_rel"),
+      coalesce(sum(when(col("rel") === 1,
+        element_at(typedLit(NdcgDiscMicro), col("rk").cast("int")))), lit(0L))
+        .as("dcg_micro"))
+    perQ.join(broadcast(nrel), Seq("qid"), "full")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rel"),
+        coalesce(round(lit(1.0) / col("first_rel"), 9), lit(0.0)).as("mrr"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        // least() skips NULLs (least(NULL, 10) = 10 in BOTH engines), so
+        // a no-relevance query must be gated explicitly, not coalesced after
+        when(coalesce(col("n_rel"), lit(0L)) >= 1,
+          element_at(typedLit(NdcgDiscCumMicro),
+            least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .otherwise(lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg",
+        when(col("idcg_micro") > 0,
+          round(col("dcg_micro").cast("double") / col("idcg_micro"), 9)))
+  }
+
+  /** The probe queries for the registry instance: tiny fixed term sets
+    * over the corpus vocabulary. */
+  private val ProbeQueries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join", 2L -> "scan", 2L -> "batch",
+    3L -> "merge", 3L -> "data")
+
+  /** MRR/NDCG@10 of a match-count ranker (score = how many of the
+    * query's terms the doc contains, ties by doc_id) against all-terms
+    * containment as relevance — the eval harness every retrieval stack
+    * (q120/q121/q129) is tuned with. The per-query top-10 window runs
+    * over term-matched candidates only (the bounded-probe contract:
+    * queries are a fixed benchmark set). */
+  val q190RankEval: Q = Q.sql(
+    "q190_rank_eval",
+    s"""WITH qt AS (
+       |  SELECT * FROM (VALUES ${ProbeQueries.map { case (q, t) => s"($q, '$t')" }
+            .mkString(", ")}) AS v(qid, t)),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS score
+       |  FROM toks JOIN qt USING (t) GROUP BY qid, doc_id),
+       |nt AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY qid),
+       |ranked AS (
+       |  SELECT qid, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+       |  FROM m),
+       |rel AS (
+       |  SELECT m.qid, m.doc_id FROM m JOIN nt ON nt.qid = m.qid
+       |  WHERE m.score = nt.n_terms),
+       |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+       |hits AS (
+       |  SELECT r.qid, r.rk, CASE WHEN rel.doc_id IS NOT NULL THEN 1 END AS rel
+       |  FROM ranked r LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+       |  WHERE r.rk <= 10),
+       |perq AS (
+       |  SELECT qid,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+       |    CAST(coalesce(sum(CASE WHEN rel = 1 THEN
+       |      (${NdcgDiscMicro.mkString("[", ", ", "]")})[rk] END), 0) AS BIGINT)
+       |      AS dcg_micro
+       |  FROM hits GROUP BY qid)
+       |SELECT p.qid, coalesce(n.n_rel, 0) AS n_rel, p.first_rel,
+       |  coalesce(round(1e0 / p.first_rel, 9), 0e0) AS mrr,
+       |  p.dcg_micro,
+       |  CAST(CASE WHEN coalesce(n.n_rel, 0) >= 1
+       |       THEN (${NdcgDiscCumMicro.mkString("[", ", ", "]")})[least(n.n_rel, 10)]
+       |       ELSE 0 END AS BIGINT) AS idcg_micro,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0
+       |       THEN round(CAST(p.dcg_micro AS DOUBLE) /
+       |            (${NdcgDiscCumMicro.mkString("[", ", ", "]")})[least(n.n_rel, 10)], 9)
+       |  END AS ndcg
+       |FROM perq p LEFT JOIN nrel n ON n.qid = p.qid
+       |ORDER BY p.qid""".stripMargin
+  ) { (s, dir) =>
+    val qt = s.createDataFrame(ProbeQueries).toDF("qid", "t")
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val m = toks.join(broadcast(qt), Seq("t"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("score"))
+    val nt = qt.groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val ranked = m.withColumn("rk", row_number().over(w))
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val rel = m.join(broadcast(nt), Seq("qid"))
+      .filter(col("score") === col("n_terms"))
+      .select(col("qid"), col("doc_id"))
+    rankingMetricsOf(ranked, rel, 10).orderBy(col("qid"))
+  }
+
+  val all: Seq[Q] = Seq(q180Auc, q181PrCurve, q183Calibration, q184BootstrapCi,
+    q189AucByLang, q190RankEval)
 }

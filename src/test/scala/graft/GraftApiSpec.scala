@@ -1007,4 +1007,46 @@ class GraftApiSpec extends AnyFunSuite {
     assert(grouped.nonEmpty)
     assert(grouped.forall(_.getLong(1) >= 2L))
   }
+
+  test("aucBy computes each slice exactly as the global auc on that slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val scored = Seq(
+      ("a", 0.1, 0), ("a", 0.2, 0), ("a", 0.2, 1), ("a", 0.3, 1), ("a", 0.4, 0), ("a", 0.5, 1),
+      ("b", 0.1, 0), ("b", 0.9, 1),          // perfectly separated slice
+      ("c", 0.7, 1), ("c", 0.8, 1)           // single-class slice -> null
+    ).toDF("g", "score", "y")
+    val by = Graft.aucBy(scored).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(by("a") == Some(0.722222222)) // the hand-computed q180 fixture
+    assert(by("b") == Some(1.0))
+    assert(by("c") == None)
+    // each slice must equal the global auc restricted to it
+    val globalA = Graft.auc(scored.filter(col("g") === "a").select(col("score"), col("y")))
+      .collect()(0).getDouble(3)
+    assert(by("a") == Some(globalA))
+  }
+
+  test("rankingMetrics: MRR from the first hit, NDCG from integer discounts, null when no rel") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // rel doc 11 at rank 2
+      (2L, 20L, 1), (2L, 21L, 2),                 // no relevant docs at all
+      (3L, 30L, 1), (3L, 31L, 2)                  // both relevant, ideal order
+    ).toDF("qid", "doc_id", "rk")
+    val rel = Seq((1L, 11L), (3L, 30L), (3L, 31L)).toDF("qid", "doc_id")
+    val out = Graft.rankingMetrics(ranked, rel).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // q1: first at 2 -> mrr 0.5; dcg = disc(2) = 630930; idcg(nrel=1) = 1000000
+    assert(out(1L).getLong(1) == 1L && out(1L).getInt(2) == 2)
+    assert(out(1L).getDouble(3) == 0.5)
+    assert(out(1L).getLong(4) == 630930L && out(1L).getLong(5) == 1000000L)
+    assert(out(1L).getDouble(6) == 0.63093)
+    // q2: nothing relevant -> mrr 0, ndcg null
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(2))
+    assert(out(2L).getDouble(3) == 0.0 && out(2L).isNullAt(6))
+    // q3: perfect ranking -> ndcg exactly 1
+    assert(out(3L).getDouble(3) == 1.0 && out(3L).getDouble(6) == 1.0)
+    intercept[IllegalArgumentException](Graft.rankingMetrics(ranked, rel, 11))
+  }
 }
