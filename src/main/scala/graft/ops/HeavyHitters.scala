@@ -71,11 +71,14 @@ object HeavyHitters {
   }
 
   /** Generic form: (groupCol, est_distinct) — the HLL estimate of
-    * distinct `value` per group. Shuffle = one 4 KB sketch per group
-    * after map-side partial aggregation, independent of cardinality. */
+    * distinct `value` per group. Null values are excluded (the
+    * COUNT(DISTINCT) convention — and a null hash must never reach the
+    * Long-typed aggregator). Shuffle = one 4 KB sketch per group after
+    * map-side partial aggregation, independent of cardinality. */
   def approxDistinct(df: DataFrame, group: org.apache.spark.sql.Column,
                      value: org.apache.spark.sql.Column): DataFrame =
-    df.groupBy(group)
+    df.filter(value.isNotNull)
+      .groupBy(group)
       .agg(graft.functions.HllDistinct.udaf(
         call_function("graft_md5long64", value.cast("string"))).as("est_distinct"))
 

@@ -39,6 +39,9 @@ class HllSpec extends AnyFunSuite {
     assert(a == b && b == c, s"partitioning changed the estimate: $a / $b / $c")
     assert(a == dup, "duplicates must not move the estimate")
     assert(math.abs(a - 5000L) <= 250, s"5000 distinct estimated as $a")
+    // null values are excluded, the COUNT(DISTINCT) convention
+    val withNulls = (vals.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    assert(run(withNulls) == a, "nulls must not contribute to the estimate")
   }
 
   test("linear counting is exact at tiny cardinalities; disjoint sets merge additively") {
