@@ -638,4 +638,12 @@ object Graft {
     * than `n` rows if no pair occurs twice. */
   def bpeMerges(docs: DataFrame, n: Int = 10): DataFrame =
     ops.Bpe.trainMerges(docs, n)
+
+  /** Leakage-safe k-fold CV assignment: [[leakageSafeSplit]] generalized
+    * to folds — fold = md5(near-dup component) % k, so transitive
+    * near-copies always share a fold and no CV round trains on a
+    * near-copy of its held-out docs. Appends (grp, fold ∈ [0, k)). */
+  def cvFolds(docs: DataFrame, k: Int = 5): DataFrame =
+    ops.Components.cvFoldsOf(docs,
+      nearDupPairs(docs).select(col("i"), col("j")), k)
 }

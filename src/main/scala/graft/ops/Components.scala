@@ -308,6 +308,52 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe K-FOLD assignment — [[q160LeakageSafeSplit]]'s
+    * mechanism generalized from a binary split to cross-validation
+    * folds: fold = md5(component) % k, so every member of a near-dup
+    * component lands in ONE fold and no CV round ever trains on a
+    * near-copy of its held-out docs. Same scale shape as q160 (the
+    * (id, label) component map broadcasts; the corpus takes one
+    * broadcast left join, unshuffled). */
+  val q192CvFolds: Q = Q.sql(
+    "q192_cv_folds",
+    s"""WITH RECURSIVE
+       |np AS (
+       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(
+       |         coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT)
+       |       % 5 AS BIGINT) AS fold
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    cvFoldsOf(graft.Tables.documents(s, dir),
+      Dedup.minhashPairs(s, dir).select(col("i"), col("j")), 5)
+      .select(col("doc_id"), col("grp"), col("fold"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generic form: all doc columns pass through plus (grp, fold ∈
+    * [0, k)). Fold sizes are ≈ |groups|/k each (md5-uniform over
+    * GROUPS, so a big near-dup component weights its whole size into
+    * one fold — the price of leakage coherence). */
+  private[graft] def cvFoldsOf(docs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
+    docs.join(broadcast(comps), docs("doc_id") === col("__graft_cc_id"), "left")
+      .withColumn("grp", coalesce(col("__graft_cc_label"), docs("doc_id")))
+      .withColumn("fold",
+        call_function("graft_md5long64", col("grp").cast("string")) % k)
+      .drop("__graft_cc_id", "__graft_cc_label")
+  }
+
   /** Generic form over (doc_id, …) docs and an (i, j) near-dup pair
     * frame: all doc columns pass through plus (grp, split), train share
     * ≈ `trainPermille`/1000 of GROUPS. */
@@ -575,5 +621,6 @@ object Components {
   }
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
-    q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff)
+    q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff,
+    q192CvFolds)
 }

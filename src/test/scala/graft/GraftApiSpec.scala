@@ -1049,4 +1049,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(3L).getDouble(3) == 1.0 && out(3L).getDouble(6) == 1.0)
     intercept[IllegalArgumentException](Graft.rankingMetrics(ranked, rel, 11))
   }
+
+  test("cvFolds keeps near-dup components in one fold; folds partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val out = Graft.cvFolds(corpus, k = 3).select("doc_id", "grp", "fold")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // docs 1/2/3 are the planted near-dup cluster: same group, same fold
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    // singletons group by their own id
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    assert(out.values.forall { case (_, f) => f >= 0 && f < 3 })
+    // deterministic: fold assignment is a pure function of content
+    val again = Graft.cvFolds(corpus, k = 3).select("doc_id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out.map { case (d, (_, f)) => d -> f })
+    intercept[IllegalArgumentException](Graft.cvFolds(corpus, 1))
+  }
 }
