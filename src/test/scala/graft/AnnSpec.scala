@@ -259,4 +259,5 @@ class AnnSpec extends AnyFunSuite {
     // zero-norm vector has no cosine: kept as its own singleton
     assert(out(2000L))
   }
+
 }

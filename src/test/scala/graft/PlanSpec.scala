@@ -248,6 +248,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 sliced AUC windows partition by (pid, g) and g - never one global window") {
+    val plan = formatted(q("q189_auc_by_lang"))
+    // corpus-side prefix: partitioned by (partition id, group)
+    assert(plan.contains("windowspecdefinition(__graft_pid"), plan)
+    // every other window must carry a partition spec too (the per-group
+    // offset table is partitioned by g over <=|partitions| rows/group)
+    val globalWindows = plan.linesIterator.count(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(__graft_pid") &&
+        !l.contains("windowspecdefinition(g#"))
+    assert(globalWindows == 0, plan)
+  }
+
   test("q166 curriculum ranks inside pid partitions, never one global window") {
     val plan = formatted(q("q166_curriculum"))
     // the corpus-side row_number must be partitioned by spark_partition_id
