@@ -646,4 +646,19 @@ object Graft {
   def cvFolds(docs: DataFrame, k: Int = 5): DataFrame =
     ops.Components.cvFoldsOf(docs,
       nearDupPairs(docs).select(col("i"), col("j")), k)
+
+  /** Persistable HLL sketch state per `group`: (group, sketch: binary).
+    * Store it (per day/partition); later [[mergeDistinctSketches]]
+    * unions states into estimates without rescanning base data —
+    * register-max union is associative/commutative/idempotent, so the
+    * merged estimate equals a direct pass over the unioned inputs
+    * exactly. Null values excluded. */
+  def distinctSketch(df: DataFrame, group: Column, value: Column): DataFrame =
+    ops.HeavyHitters.distinctSketch(df, group, value)
+
+  /** Union stored [[distinctSketch]] states: (group, est_distinct) —
+    * the refresh side of sketch-state distinct counting. */
+  def mergeDistinctSketches(state: DataFrame, group: Column,
+                            sketch: Column): DataFrame =
+    ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
 }

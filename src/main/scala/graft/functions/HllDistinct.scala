@@ -28,11 +28,58 @@ final class HllDistinct
     extends Aggregator[Long, Array[Byte], Long]
     with Serializable {
 
-  import HllDistinct.{M, P}
+  import HllDistinct.{M, estimate, mergeInto, observe}
 
   override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(b: Array[Byte], hash: Long): Array[Byte] = observe(b, hash)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+  override def finish(b: Array[Byte]): Long = estimate(b)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
 
-  override def reduce(b: Array[Byte], hash: Long): Array[Byte] = {
+/** The sketch itself as the aggregate value: (group → 4 KB register
+  * array). The STORED form of [[HllDistinct]] — persist per-partition
+  * sketches (a materialized-view/state table), then union them later
+  * with [[HllUnion]] without rescanning base data; any union of
+  * sketches estimates IDENTICALLY to a direct pass over the union of
+  * the raw inputs (register-max is associative/commutative/idempotent). */
+final class HllSketch
+    extends Aggregator[Long, Array[Byte], Array[Byte]]
+    with Serializable {
+  import HllDistinct.{M, mergeInto, observe}
+  override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(b: Array[Byte], hash: Long): Array[Byte] = observe(b, hash)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Union stored sketches back into one estimate: the refresh side of
+  * the sketch-state pattern. Rejects wrong-sized blobs loudly. */
+final class HllUnion
+    extends Aggregator[Array[Byte], Array[Byte], Long]
+    with Serializable {
+  import HllDistinct.{M, estimate, mergeInto}
+  override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+    require(sk.length == M, s"not a graft HLL sketch: ${sk.length} registers, want $M")
+    mergeInto(b, sk)
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+  override def finish(b: Array[Byte]): Long = estimate(b)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object HllDistinct {
+  /** Register-count exponent / register count: 4096 registers ⇒ ~1.6%
+    * standard error at 4 KB per group. */
+  val P = 12
+  val M: Int = 1 << P
+
+  private[functions] def observe(b: Array[Byte], hash: Long): Array[Byte] = {
     val idx = (hash & (M - 1)).toInt
     val rest = hash >>> P // 48 significant bits remain of the 60-bit hash
     // rank = 1-based position of the lowest set bit, 49 if none
@@ -41,13 +88,13 @@ final class HllDistinct
     b
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  private[functions] def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  override def finish(b: Array[Byte]): Long = {
+  private[functions] def estimate(b: Array[Byte]): Long = {
     var sum = 0.0
     var zeros = 0
     var i = 0
@@ -64,18 +111,16 @@ final class HllDistinct
     math.rint(est).toLong
   }
 
-  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
-}
-
-object HllDistinct {
-  /** Register-count exponent / register count: 4096 registers ⇒ ~1.6%
-    * standard error at 4 KB per group. */
-  val P = 12
-  val M: Int = 1 << P
-
   /** Untyped-column form: `udaf(hashCol)` where hashCol is a
     * `graft_md5long64` 60-bit hash of the counted value. */
   val udaf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new HllDistinct, Encoders.scalaLong)
+
+  /** Sketch-producing form (group → binary registers). */
+  val sketchUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllSketch, Encoders.scalaLong)
+
+  /** Sketch-union form (binary registers → estimate). */
+  val unionUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllUnion, Encoders.BINARY)
 }

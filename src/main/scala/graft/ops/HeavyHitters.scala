@@ -82,5 +82,38 @@ object HeavyHitters {
       .agg(graft.functions.HllDistinct.udaf(
         call_function("graft_md5long64", value.cast("string"))).as("est_distinct"))
 
-  val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct)
+  /** Sketch-STATE distinct counting — the materialized-view form of
+    * q182: per-(lang, source) 4 KB register sketches are built once
+    * (the stored state a daily pipeline persists per partition), then
+    * UNIONED per lang into estimates without ever rescanning base
+    * data. Register-max union is associative/commutative/idempotent,
+    * so the merged estimate is IDENTICAL to q182's direct pass — not
+    * approximately: the same sketch, byte for byte (HllSpec asserts
+    * equality). The mergeAggState (q112) discipline extended from
+    * algebraic COUNT/SUM to sketches. */
+  val q193HllStateMerge: Q = Q.noOracle("q193_hll_state_merge") { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("term"))
+    val state = toks.groupBy(col("lang"), col("source"))
+      .agg(graft.functions.HllDistinct.sketchUdaf(
+        call_function("graft_md5long64", col("term").cast("string"))).as("sk"))
+    mergeDistinctSketches(state, col("lang"), col("sk"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stored-sketch builder: (group…, sketch) — persist this as state. */
+  def distinctSketch(df: DataFrame, group: org.apache.spark.sql.Column,
+                     value: org.apache.spark.sql.Column): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(group)
+      .agg(graft.functions.HllDistinct.sketchUdaf(
+        call_function("graft_md5long64", value.cast("string"))).as("sketch"))
+
+  /** Union stored sketches to estimates: (group, est_distinct). */
+  def mergeDistinctSketches(state: DataFrame, group: org.apache.spark.sql.Column,
+                            sketch: org.apache.spark.sql.Column): DataFrame =
+    state.groupBy(group)
+      .agg(graft.functions.HllDistinct.unionUdaf(sketch).as("est_distinct"))
+
+  val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct, q193HllStateMerge)
 }

@@ -59,4 +59,37 @@ class HllSpec extends AnyFunSuite {
     assert(math.abs(per("a") - 1000) <= 50 && math.abs(per("b") - 1000) <= 50)
     assert(math.abs(merged - 2000) <= 100, s"union of disjoint halves: $merged")
   }
+
+  test("sketch-state merge estimates IDENTICALLY to the direct pass") {
+    import spark.implicits._
+    // q193 (per-(lang, source) stored sketches, unioned per lang) must
+    // equal q182 (one direct pass) value-for-value: register-max union
+    // is associative/commutative/idempotent, so the merged sketch is
+    // the same bytes
+    val direct = SparkEntry.queries("q182_hll_distinct")(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = SparkEntry.queries("q193_hll_state_merge")(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // facade round-trip on a user frame, overlapping partitions included
+    // (idempotence: the same value observed in two stored states must
+    // not double-count)
+    val part1 = (0 until 800).map(i => ("p1", s"u_$i")).toDF("part", "v")
+    val part2 = (400 until 1200).map(i => ("p2", s"u_$i")).toDF("part", "v")
+    val state = Graft.distinctSketch(part1.union(part2), col("part"), col("v"))
+    assert(state.collect().forall(_.getAs[Array[Byte]]("sketch").length == 4096))
+    val est = Graft.mergeDistinctSketches(state, lit(1), col("sketch"))
+      .collect()(0).getLong(1)
+    val directAll = Graft.approxDistinct(part1.union(part2), lit(1), col("v"))
+      .collect()(0).getLong(1)
+    assert(est == directAll, s"state merge $est != direct $directAll")
+    assert(math.abs(est - 1200L) <= 60, s"1200 distinct estimated as $est")
+    // wrong-size blobs are rejected loudly, not mis-indexed
+    val bad = Seq((1, Array[Byte](1, 2, 3))).toDF("g", "sketch")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Graft.mergeDistinctSketches(bad, col("g"), col("sketch")).collect()
+    }
+    assert(ex.getMessage.contains("not a graft HLL sketch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a graft HLL sketch")))
+  }
 }
