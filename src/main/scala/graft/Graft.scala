@@ -661,4 +661,36 @@ object Graft {
   def mergeDistinctSketches(state: DataFrame, group: Column,
                             sketch: Column): DataFrame =
     ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
+
+  /** Encode a (doc_id, text) corpus with a shipped BPE merge table (the
+    * apply side of [[bpeMerges]]: collect its (left, right) pairs in
+    * step order): per doc (doc_id, n_words, n_tokens, n_chars,
+    * micro_chars_per_token) where the ratio is n_chars·10⁶ DIV n_tokens
+    * (exact integer) — the token-accounting input packing and budget
+    * math consume. Row-local (zero shuffle): merges fold per word via
+    * chained native `aggregate` HOFs. Merge symbols must not contain
+    * space or tab. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    ops.Bpe.bpeEncodeOf(docs, merges)
+
+  /** Per-conversation SFT shape validation of a turn frame: one row per
+    * conversation with turn counts per role, boundary roles,
+    * alternation-break and empty-content counts, and the aggregate
+    * `valid` flag (opens with `user`, closes with `assistant`, strictly
+    * alternating, no empty turns). `order` must be a total order within
+    * each conversation. One shuffle on the conversation key;
+    * conversation-bounded windows. */
+  def chatStats(turns: DataFrame, convId: Column, order: Seq[Column],
+                role: Column, content: Column): DataFrame =
+    ops.Chat.chatStatsOf(turns, convId, order, role, content)
+
+  /** Chat-template loss-mask spans: per turn, the half-open character
+    * span [span_start, span_end) the rendered `<|role|>content` turn
+    * occupies in the concatenated conversation string, plus the `loss`
+    * flag (true for assistant turns). The conversation string is never
+    * materialized — spans at turn grain are what a tokenizer-side
+    * masker consumes. */
+  def chatSpans(turns: DataFrame, convId: Column, order: Seq[Column],
+                role: Column, content: Column): DataFrame =
+    ops.Chat.chatSpansOf(turns, convId, order, role, content)
 }

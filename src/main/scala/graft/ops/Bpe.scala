@@ -110,5 +110,135 @@ object Bpe {
     trainMerges(Tables.documents(s, dir), 10)
   }
 
-  val all: Seq[Q] = Seq(q191BpeMerges)
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** One merge application as a SQL-expression string over an
+    * ARRAY<STRING> symbol expression: the same (out, pend) left-to-right
+    * non-overlapping fold [[trainMerges]] trains with, here with the
+    * 4-arg `aggregate` finish lambda so chained merges nest LINEARLY
+    * (each step references the previous once — no expression blow-up). */
+  private def foldOnceExpr(inner: String, l: String, r: String): String = {
+    val (lq, rq) = (esc(l), esc(r))
+    s"""aggregate($inner,
+       |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'pend', ''),
+       |  (st, s) -> CASE
+       |    WHEN st.pend = '$lq' AND s = '$rq'
+       |      THEN named_struct('out', concat(st.out, array('$lq$rq')), 'pend', '')
+       |    WHEN st.pend = '' THEN named_struct('out', st.out, 'pend', s)
+       |    ELSE named_struct('out', concat(st.out, array(st.pend)), 'pend', s)
+       |  END,
+       |  st -> CASE WHEN st.pend = '' THEN st.out
+       |        ELSE concat(st.out, array(st.pend)) END)""".stripMargin
+  }
+
+  /** Tokenize (doc_id, text) with a SHIPPED merge table — the apply
+    * side of [[trainMerges]] (train once → freeze the artifact → encode
+    * every corpus with it, the tokenizer lifecycle). Emits per doc:
+    * (doc_id, n_words, n_tokens, n_chars, micro_chars_per_token) where
+    * micro_chars_per_token = n_chars·10⁶ DIV n_tokens (exact integer
+    * floor — no float division) and n_tokens counts post-merge symbols
+    * including each word's [[Eow]].
+    *
+    * Scale: ROW-LOCAL — zero shuffle, scan-speed at 100 TB. The merges
+    * fold per word via chained native `aggregate` HOFs (codegen'd, one
+    * nesting level per merge; merge tables are bounded artifacts). The
+    * word-TYPE-grain alternative (explode → dedup words → join counts
+    * back) would shuffle the corpus twice to save bounded per-row CPU —
+    * the wrong trade at scale. Merge symbols must not contain space or
+    * tab (true of any space-split training corpus; require()d). */
+  private[graft] def bpeEncodeOf(docs: DataFrame,
+                                 merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(merges.forall { case (l, r) =>
+      !(l + r).exists(c => c == ' ' || c == '\t') },
+      "merge symbols must not contain space or tab")
+    val syms0 = s"concat(split(w, ''), array('${esc(Eow)}'))"
+    val folded = merges.foldLeft(syms0) { case (acc, (l, r)) => foldOnceExpr(acc, l, r) }
+    docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> length(w) >= 1)").as("__graft_ws"))
+      .select(col("doc_id"),
+        size(col("__graft_ws")).cast("long").as("n_words"),
+        expr(s"aggregate(__graft_ws, 0L, (acc, w) -> acc + size($folded))")
+          .as("n_tokens"),
+        expr("aggregate(__graft_ws, 0L, (acc, w) -> acc + length(w))")
+          .as("n_chars"))
+      .withColumn("micro_chars_per_token",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_chars * 1000000L) DIV n_tokens")))
+  }
+
+  /** The frozen artifact the registry encodes with: exactly the merge
+    * table [[q191BpeMerges]] learns on the sf0.01 corpus (BpeSpec keeps
+    * them in sync) — shipped tokenizers are trained once and applied to
+    * every later corpus, so sf0.1 also encodes with this table. */
+  private[graft] val ShippedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> Eow, "n" -> Eow, "er" -> Eow, "o" -> "w",
+    "ow" -> Eow, "o" -> "r", "s" -> "t", "h" -> Eow, "a" -> "t")
+
+  /** The identical fold in DuckDB: list_reduce has no initial-state arg
+    * in 1.0, so the (out, pend) state rides ONE VARCHAR ("out\tpend",
+    * tab-separated) seeded by prepending the empty-state element; each
+    * merge is two chained CTE steps at (doc, word) grain (state fold,
+    * then finalize + resplit) so the generated SQL grows linearly in
+    * merges exactly like the Spark side. */
+  private def oracleFoldCtes(merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.map { case ((l, r), i) =>
+      val (lq, rq) = (esc(l), esc(r))
+      s"""s${i + 1} AS (
+         |  SELECT doc_id, widx, list_reduce(list_prepend(chr(9), syms),
+         |    (acc, s) -> CASE
+         |      WHEN split_part(acc, chr(9), 2) = '$lq' AND s = '$rq'
+         |        THEN concat(split_part(acc, chr(9), 1), ' ', '$lq$rq', chr(9))
+         |      WHEN split_part(acc, chr(9), 2) = ''
+         |        THEN concat(split_part(acc, chr(9), 1), chr(9), s)
+         |      ELSE concat(split_part(acc, chr(9), 1), ' ',
+         |        split_part(acc, chr(9), 2), chr(9), s)
+         |    END) AS st FROM w$i),
+         |w${i + 1} AS (
+         |  SELECT doc_id, widx, string_split(trim(
+         |    CASE WHEN split_part(st, chr(9), 2) = '' THEN split_part(st, chr(9), 1)
+         |         ELSE concat(split_part(st, chr(9), 1), ' ', split_part(st, chr(9), 2))
+         |    END), ' ') AS syms FROM s${i + 1})""".stripMargin
+    }.mkString(",\n")
+
+  /** q196: encode the documents corpus with [[ShippedMerges]] — the
+    * token-count / compression-ratio analytics (bytes-per-token is the
+    * tokenizer-quality metric) that budget packing (q74) and token
+    * accounting (q65) consume. */
+  val q196BpeEncode: Q = Q.sql(
+    "q196_bpe_encode",
+    s"""WITH words AS (
+       |  SELECT doc_id, widx, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS widx
+       |        FROM documents)
+       |  WHERE length(word) >= 1),
+       |w0 AS (
+       |  SELECT doc_id, widx, string_split(word, '') || ['${esc(Eow)}'] AS syms,
+       |    length(word) AS wlen
+       |  FROM words),
+       |${oracleFoldCtes(ShippedMerges)},
+       |per_word AS (
+       |  SELECT w0.doc_id, len(wN.syms) AS n_toks, w0.wlen
+       |  FROM w0 JOIN w${ShippedMerges.size} wN
+       |    ON w0.doc_id = wN.doc_id AND w0.widx = wN.widx),
+       |per_doc AS (
+       |  -- LEFT JOIN from documents: a doc with no length>=1 words still
+       |  -- emits a zero row, matching the Spark side's row-local counts
+       |  SELECT d.doc_id, CAST(COUNT(p.wlen) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(SUM(p.n_toks), 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(p.wlen), 0) AS BIGINT) AS n_chars
+       |  FROM documents d LEFT JOIN per_word p ON d.doc_id = p.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, n_words, n_tokens, n_chars,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE (n_chars * 1000000) // n_tokens END AS micro_chars_per_token
+       |FROM per_doc
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    bpeEncodeOf(Tables.documents(s, dir), ShippedMerges).orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode)
 }

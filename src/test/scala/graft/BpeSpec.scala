@@ -42,6 +42,43 @@ class BpeSpec extends AnyFunSuite {
     assert(merges(1) == ((2, "aa", "</w>", 2L)))
   }
 
+  test("bpeEncode applies merges exactly: hand-derived token counts") {
+    import spark.implicits._
+    // tower: t o w e r </w> --(e,r)-> t o w er </w> --(er,</w>)->
+    //   t o w er</w> --(o,w)-> t ow er</w> = 3 tokens
+    // ten:   t e n </w> --(n,</w>)-> t e n</w> = 3 tokens
+    // hash:  h a s h </w> --(h,</w>)-> h a s h</w> = 4 tokens
+    val docs = Seq((1L, "tower ten hash")).toDF("doc_id", "text")
+    val out = Graft.bpeEncode(docs, ops.Bpe.ShippedMerges).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 3L)                  // n_words
+    assert(r.getLong(3) == 12L)                 // n_chars: 5 + 3 + 4
+    // tower: t|ow|er</w> = 3, ten: t|e|n</w> = 3, hash: h|a|s|h</w> = 4
+    assert(r.getLong(2) == 10L)                 // n_tokens
+    assert(r.getLong(4) == 12L * 1000000L / 10L) // exact integer ratio
+  }
+
+  test("bpeEncode: overlapping runs merge left-to-right; zero-word docs emit zeros") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, " ")).toDF("doc_id", "text")
+    // merge (a,a): aaaa -> aa aa </w> = 3 tokens (never aa a a or a aa a)
+    val out = Graft.bpeEncode(docs, Seq("a" -> "a"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(2) == 3L)
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
+    assert(out(1).isNullAt(4)) // no tokens -> ratio null, not a crash
+    intercept[IllegalArgumentException](Graft.bpeEncode(docs, Seq.empty))
+    intercept[IllegalArgumentException](Graft.bpeEncode(docs, Seq("a b" -> "c")))
+  }
+
+  test("ShippedMerges IS the q191 artifact: training on sf0.01 reproduces it") {
+    val trained = ops.Bpe.trainMerges(Tables.documents(spark, Sf001), 10)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(trained.toSeq == ops.Bpe.ShippedMerges,
+      "ShippedMerges drifted from the sf0.01 training output — re-freeze")
+  }
+
   test("q191 on the corpus: counts non-increasing, rerun identical") {
     val m1 = SparkEntry.queries("q191_bpe_merges")(spark, Sf0001)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -1067,4 +1067,46 @@ class GraftApiSpec extends AnyFunSuite {
     assert(again == out.map { case (d, (_, f)) => d -> f })
     intercept[IllegalArgumentException](Graft.cvFolds(corpus, 1))
   }
+
+  private lazy val chatTurns = {
+    import spark.implicits._
+    Seq(
+      // conv 1: the valid shape — user/assistant strictly alternating
+      (1L, 1, "user", "hi"), (1L, 2, "assistant", "hello"),
+      (1L, 3, "user", "thanks"), (1L, 4, "assistant", "yw"),
+      // conv 2: double-user break + empty assistant turn + user close
+      (2L, 1, "user", "a"), (2L, 2, "user", "b"),
+      (2L, 3, "assistant", ""), (2L, 4, "user", "c"),
+      // conv 3: assistant-opening
+      (3L, 1, "assistant", "unprompted"), (3L, 2, "user", "ok")
+    ).toDF("conv_id", "turn", "role", "content")
+  }
+
+  test("chatStats validates shape: alternation breaks, empties, boundary roles") {
+    import org.apache.spark.sql.functions.col
+    val out = Graft.chatStats(chatTurns, col("conv_id"), Seq(col("turn")),
+      col("role"), col("content"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    assert(out(1L) == ((4L, 2L, 2L, "user", "assistant", 0L, 0L, true)))
+    assert(out(2L) == ((4L, 3L, 1L, "user", "user", 1L, 1L, false)))
+    assert(out(3L) == ((2L, 1L, 1L, "assistant", "user", 0L, 0L, false)))
+  }
+
+  test("chatSpans emits contiguous half-open spans; loss marks assistant turns") {
+    import org.apache.spark.sql.functions.col
+    val out = Graft.chatSpans(chatTurns, col("conv_id"), Seq(col("turn")),
+      col("role"), col("content"))
+      .filter(col("conv_id") === 1L).orderBy(col("turn_idx"))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // "<|user|>hi" = 10 chars, "<|assistant|>hello" = 18, "<|user|>thanks" = 14,
+    // "<|assistant|>yw" = 15 — spans tile [0, 57) with no gaps
+    assert(out.toSeq == Seq(
+      (1, "user", 0L, 10L, false), (2, "assistant", 10L, 28L, true),
+      (3, "user", 28L, 42L, false), (4, "assistant", 42L, 57L, true)))
+    // spans are contiguous: each start equals the previous end
+    assert(out.sliding(2).forall { case Array(a, b) => b._3 == a._4; case _ => true })
+  }
 }
