@@ -32,6 +32,17 @@ object Graft {
                           minJaccard: Double = 0.8): DataFrame =
     ops.Dedup.neardupJaccard(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
 
+  /** LSH candidate-generation quality funnel on a (doc_id, text)
+    * corpus: ONE row — exact-Jaccard truth-pair count, LSH band
+    * candidate count, their intersection, recall and precision. The
+    * eval to run on an affordable sample before trusting banded MinHash
+    * where exact pairing is unaffordable (recall measures the
+    * 1−(1−s⁴)⁴ banding curve on real data). */
+  def lshRecall(docs: DataFrame,
+                maxShingleDf: Long = ops.Dedup.MaxShingleDf,
+                minJaccard: Double = 0.8): DataFrame =
+    ops.Dedup.lshRecallOf(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
+
   /** PQ-compressed approximate nearest neighbors over any (vec_id,
     * v: array<double>) frame: trains 8×16 per-subspace codebooks
     * (seeded), encodes every vector to 8 codes (32× compression), and

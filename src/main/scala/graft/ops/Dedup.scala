@@ -169,7 +169,10 @@ object Dedup {
       .distinct()
   }
 
-  private[graft] def neardupJaccard(docs: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
+  /** Unsorted (i, j, jaccard) verified pairs — the engine stage; q25
+    * sorts, [[q197LshRecall]] counts. */
+  private[graft] def neardupJaccardPairs(docs: DataFrame, maxDf: Long,
+                                         minJaccard: Double): DataFrame =
     jaccardCandidates(docs, maxDf)
       .join(docs.select(col("doc_id").as("i"), col("hs").as("hi")), "i")
       .join(docs.select(col("doc_id").as("j"), col("hs").as("hj")), "j")
@@ -178,8 +181,10 @@ object Dedup {
         col("inter").cast("double") / (size(col("hi")) + size(col("hj")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("i"), col("j"), col("jaccard"))
+
+  private[graft] def neardupJaccard(docs: DataFrame, maxDf: Long, minJaccard: Double): DataFrame =
+    neardupJaccardPairs(docs, maxDf, minJaccard)
       .orderBy(col("i"), col("j"))
-  }
 
   /** Exact n-gram Jaccard near-dup via inverted-index candidate
     * generation: explode hashed 5-gram shingles, equi-join on the hash
@@ -272,12 +277,12 @@ object Dedup {
   /** Oracle body for the full MinHash-LSH pair pipeline, WITHOUT the
     * trailing ORDER BY — shared by q26 and (as a nested-WITH subquery) by
     * the connected-components oracle in [[Components]]. */
-  private[graft] val oracleMinhashPairsBody: String = {
+  /** Shared sigs → bands → candidate-pairs CTE text (reused by the q26
+    * body and the q197 recall funnel). */
+  private[graft] val oracleSigsBandsPairs: String = {
     val aList = MinhashAB.map(_._1).mkString("[", ", ", "]")
     val bList = MinhashAB.map(_._2).mkString("[", ", ", "]")
-    s"""WITH $oracleDocs,
-       |$oracleHashed,
-       |sigs AS (
+    s"""sigs AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 16), j ->
        |      list_min(list_transform(hs, h ->
@@ -288,7 +293,13 @@ object Dedup {
        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
-       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)""".stripMargin
+  }
+
+  private[graft] val oracleMinhashPairsBody: String = {
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |$oracleSigsBandsPairs
        |SELECT p.i, p.j,
        |  CAST(len(list_intersect(da.hs, dc.hs)) AS DOUBLE)
        |    / (len(da.hs) + len(dc.hs) - len(list_intersect(da.hs, dc.hs))) AS jaccard
@@ -303,8 +314,10 @@ object Dedup {
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(docHashedShingles(s, dir))
 
-  /** Generic form over any (doc_id, hs) hashed-shingle set. */
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+  /** Distinct LSH candidate pairs (i < j) of a (doc_id, hs) set — the
+    * pre-verification band-bucket join shared by [[minhashPairsOf]] and
+    * the recall funnel [[q197LshRecall]]. */
+  private[graft] def lshCandidatePairs(docs: DataFrame): DataFrame = {
     val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
     val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
     // One native pass per document ([[graft.expressions.MinHashSig]]):
@@ -321,12 +334,17 @@ object Dedup {
         concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)).cast("array<string>")).as("bkey")
       ))).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
-    val pairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.bkey") === col("c.bkey") &&
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("i"), col("c.doc_id").as("j"))
       .distinct()
+  }
+
+  /** Generic form over any (doc_id, hs) hashed-shingle set. */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val pairs = lshCandidatePairs(docs)
     val inter = size(array_intersect(col("da.hs"), col("dc.hs")))
     val jac = inter.cast("double") / (size(col("da.hs")) + size(col("dc.hs")) - inter)
     pairs
@@ -344,6 +362,71 @@ object Dedup {
     "q26_neardup_minhash",
     oracleMinhashPairsBody + "\nORDER BY i, j"
   ) { (s, dir) => minhashPairs(s, dir).orderBy(col("i"), col("j")) }
+
+  /** LSH candidate-generation quality funnel, factored for the facade:
+    * truth = the inverted-index exact-Jaccard pairs ≥ `minJaccard`
+    * (q25's path), cand = the pre-verification LSH band pairs (q26's
+    * candidate stage). One full outer join at pair grain, then ONE
+    * grouping-free aggregate emits the funnel row: truth/candidate/hit
+    * counts and recall / precision (each a division of two exact int64
+    * counts in IEEE double — bit-identical cross-engine). */
+  private[graft] def lshRecallOf(docs: DataFrame, maxDf: Long,
+                                 minJaccard: Double): DataFrame = {
+    val truth = neardupJaccardPairs(docs, maxDf, minJaccard)
+      .select(col("i"), col("j"), lit(1L).as("t"))
+    val cand = lshCandidatePairs(docs)
+      .select(col("i"), col("j"), lit(1L).as("c"))
+    truth.join(cand, Seq("i", "j"), "full")
+      .agg(
+        sum(col("t")).as("n_truth"),
+        sum(col("c")).as("n_cand"),
+        sum(col("t") * col("c")).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double")).as("recall"),
+        (col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"))
+  }
+
+  /** q197: how good is the 4×4-band MinHash candidate generator against
+    * exact-Jaccard ground truth on this corpus? The eval a pipeline
+    * runs before trusting LSH at a scale where exact pairing is
+    * unaffordable: recall = P(true near-dup survives banding) — the
+    * theoretical 1−(1−s⁴)⁴ curve measured for real — and precision =
+    * the verification workload that candidate volume implies. Both pair
+    * generators are the df-capped / banded scale paths; the funnel adds
+    * one pair-grain join and a single-row aggregate on top. */
+  val q197LshRecall: Q = Q.sql(
+    "q197_lsh_recall",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |$oracleSigsBandsPairs,
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+       |stop AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |         WHERE df > $MaxShingleDf),
+       |cold AS (SELECT doc_id, h FROM sh ANTI JOIN stop USING (h)),
+       |jcand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truth AS (
+       |  SELECT i, j, 1 AS t
+       |  FROM (SELECT i, j,
+       |          len(list_intersect(hi.hs, hj.hs)) AS inter,
+       |          len(hi.hs) AS na, len(hj.hs) AS nb
+       |        FROM jcand JOIN hashed hi ON hi.doc_id = i
+       |          JOIN hashed hj ON hj.doc_id = j)
+       |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8),
+       |cand AS (SELECT i, j, 1 AS c FROM pairs),
+       |funnel AS (
+       |  SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       |    CAST(SUM(c) AS BIGINT) AS n_cand,
+       |    CAST(SUM(t * c) AS BIGINT) AS n_hit
+       |  FROM truth FULL JOIN cand USING (i, j))
+       |SELECT n_truth, n_cand, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision
+       |FROM funnel""".stripMargin
+  ) { (s, dir) =>
+    lshRecallOf(docHashedShingles(s, dir), MaxShingleDf, 0.8)
+  }
 
   /** (doc_id, b, bkey) LSH band rows for a hashed-shingle doc set. */
   private def bandsOf(docs: DataFrame): DataFrame = {
@@ -934,5 +1017,6 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
-    q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans)
+    q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
+    q197LshRecall)
 }

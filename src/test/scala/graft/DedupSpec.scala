@@ -135,6 +135,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (i, j, _, _) => i >= 10L || j >= 10L })
   }
 
+  test("lshRecall funnel: counts are consistent and the planted near-dups are hit") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base + "one"),
+      (2L, base + "one"),                 // exact dup of 1 — must be truth AND hit
+      (3L, base + "two"),                 // near-dup of 1/2
+      (4L, "entirely different words forming a singleton document here okay right")
+    ).toDF("doc_id", "text")
+    val r = Graft.lshRecall(docs).collect()(0)
+    val (truth, cand, hit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // 1-2, 1-3, 2-3 are exact-Jaccard truth; the exact dup can never be
+    // missed by banding (identical signatures)
+    assert(truth == 3L)
+    assert(hit >= 1L && hit <= truth && hit <= cand)
+    assert(r.getDouble(3) == hit.toDouble / truth.toDouble)
+    assert(r.getDouble(4) == hit.toDouble / cand.toDouble)
+    // funnel on the registry corpus: defined, recall in [0, 1]
+    val reg = SparkEntry.queries("q197_lsh_recall")(spark, Sf0001).collect()(0)
+    assert(reg.getDouble(3) >= 0.0 && reg.getDouble(3) <= 1.0)
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
