@@ -673,6 +673,16 @@ object Graft {
                             sketch: Column): DataFrame =
     ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
 
+  /** Windowed heavy hitters over a (ts, user_id) event frame: per
+    * tumbling hour, the users with frequency strictly above
+    * N_hour/(width+1) and their EXACT counts — two-pass (Misra-Gries
+    * candidate sketch, O(width) state per window even in streaming;
+    * exact recount of candidates only), deterministic for any
+    * partitioning by the MG set contract. Threshold compares by integer
+    * cross-multiplication. */
+  def windowedHeavyHitters(events: DataFrame, width: Int = 8): DataFrame =
+    streaming.Streaming.hourlyTopUsers(events, width)
+
   /** Encode a (doc_id, text) corpus with a shipped BPE merge table (the
     * apply side of [[bpeMerges]]: collect its (left, right) pairs in
     * step order): per doc (doc_id, n_words, n_tokens, n_chars,
@@ -683,6 +693,14 @@ object Graft {
     * space or tab. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
+
+  /** Power-of-two length-bucket report over a tokenized frame carrying
+    * `n_tokens` (e.g. [[bpeEncode]] output): per bucket (16…2048; 0 =
+    * oversize) — doc count, token sum, padding waste (pad-token FLOPs a
+    * padded batch burns), exact-integer micro utilization. The report
+    * that decides whether length-grouped batching pays. */
+  def lengthBuckets(encoded: DataFrame): DataFrame =
+    ops.Bpe.lengthBucketsOf(encoded)
 
   /** Per-conversation SFT shape validation of a turn frame: one row per
     * conversation with turn counts per role, boundary roles,

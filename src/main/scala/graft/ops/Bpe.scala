@@ -202,13 +202,10 @@ object Bpe {
          |    END), ' ') AS syms FROM s${i + 1})""".stripMargin
     }.mkString(",\n")
 
-  /** q196: encode the documents corpus with [[ShippedMerges]] — the
-    * token-count / compression-ratio analytics (bytes-per-token is the
-    * tokenizer-quality metric) that budget packing (q74) and token
-    * accounting (q65) consume. */
-  val q196BpeEncode: Q = Q.sql(
-    "q196_bpe_encode",
-    s"""WITH words AS (
+  /** Shared oracle CTE chain ending in per_doc(doc_id, n_words,
+    * n_tokens, n_chars) — reused by q196 and the length-bucket q199. */
+  private lazy val oracleEncodePerDoc: String =
+    s"""words AS (
        |  SELECT doc_id, widx, word
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
        |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS widx
@@ -230,7 +227,15 @@ object Bpe {
        |    CAST(COALESCE(SUM(p.n_toks), 0) AS BIGINT) AS n_tokens,
        |    CAST(COALESCE(SUM(p.wlen), 0) AS BIGINT) AS n_chars
        |  FROM documents d LEFT JOIN per_word p ON d.doc_id = p.doc_id
-       |  GROUP BY d.doc_id)
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** q196: encode the documents corpus with [[ShippedMerges]] — the
+    * token-count / compression-ratio analytics (bytes-per-token is the
+    * tokenizer-quality metric) that budget packing (q74) and token
+    * accounting (q65) consume. */
+  val q196BpeEncode: Q = Q.sql(
+    "q196_bpe_encode",
+    s"""WITH $oracleEncodePerDoc
        |SELECT doc_id, n_words, n_tokens, n_chars,
        |  CASE WHEN n_tokens = 0 THEN NULL
        |       ELSE (n_chars * 1000000) // n_tokens END AS micro_chars_per_token
@@ -240,5 +245,58 @@ object Bpe {
     bpeEncodeOf(Tables.documents(s, dir), ShippedMerges).orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode)
+  /** Power-of-two sequence-length buckets the batch scheduler pads to:
+    * 16, 32, …, `MaxBucket`; longer docs land in the 0 "oversize"
+    * bucket (they must be split or truncated upstream). */
+  private[graft] val MaxBucket = 2048L
+
+  /** Length-bucketing report over a tokenized (n_tokens) frame: per
+    * power-of-two bucket — doc count, token sum, padding waste
+    * (Σ bucket−len: the FLOPs a padded batch burns on pad tokens), and
+    * exact-integer micro utilization sum_tokens·10⁶ DIV (n_docs·bucket).
+    * The report that decides whether length-grouped batching is worth
+    * wiring into a trainer. Row-local CASE bucketing + one tiny
+    * aggregate — scan-speed at any corpus size. */
+  private[graft] def lengthBucketsOf(encoded: DataFrame): DataFrame = {
+    val caps = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= MaxBucket).toSeq
+    val bucket = caps.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      (cap, rest) => when(col("n_tokens") <= cap, lit(cap)).otherwise(rest)
+    }
+    encoded
+      .select(col("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("bucket") === 0L, lit(0L))
+          .otherwise(col("bucket") - col("n_tokens"))).as("padding"))
+      .withColumn("micro_util",
+        when(col("bucket") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(sum_tokens * 1000000L) DIV (n_docs * bucket)")))
+  }
+
+  /** q199: length buckets of the [[ShippedMerges]]-encoded corpus. */
+  val q199LengthBuckets: Q = Q.sql(
+    "q199_length_buckets",
+    s"""WITH $oracleEncodePerDoc,
+       |b AS (
+       |  SELECT n_tokens,
+       |    CASE ${(Iterator.iterate(16L)(_ * 2).takeWhile(_ <= MaxBucket))
+                  .map(c => s"WHEN n_tokens <= $c THEN $c")
+                  .mkString(" ")} ELSE 0 END AS bucket
+       |  FROM per_doc)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN bucket = 0 THEN 0 ELSE bucket - n_tokens END) AS BIGINT)
+       |    AS padding,
+       |  CAST(CASE WHEN bucket = 0 THEN NULL
+       |       ELSE (SUM(n_tokens) * 1000000) // (COUNT(*) * bucket) END AS BIGINT)
+       |    AS micro_util
+       |FROM b GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    lengthBucketsOf(bpeEncodeOf(Tables.documents(s, dir), ShippedMerges))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode, q199LengthBuckets)
 }

@@ -322,6 +322,86 @@ object Streaming {
     hourlyDistinctUsers(Tables.events(s, dir)).orderBy(col("hour_start"))
   }
 
+  /** Per-hour Misra-Gries candidate sketch over user ids — the
+    * STREAMING pass of windowed heavy hitters: state per open window is
+    * O(width) counters however many distinct users the hour holds
+    * (an exact per-(window, user) streaming count would carry the full
+    * per-hour user domain as state). Candidate weights are partition-
+    * dependent; only the candidate SET is contracted (every user with
+    * true in-window frequency > N/(width+1) survives — MisraGries
+    * scaladoc), which is why [[hourlyTopUsers]] recounts. */
+  def hourlyUserSketch(events: DataFrame, width: Int): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGries.udaf(width)(col("user_id").cast("string"))
+        .as("cand"))
+      .select(unix_micros(col("window.start")).as("hour_start"),
+        map_keys(col("cand")).as("cand_users"))
+
+  /** Windowed heavy hitters, two-pass and DETERMINISTIC: per hour, the
+    * users with frequency strictly above N_hour/(width+1) and their
+    * EXACT counts. Pass 1 is [[hourlyUserSketch]]; pass 2 recounts the
+    * candidates exactly and keeps those above the threshold — the MG
+    * set guarantee makes the final output exactly the true
+    * above-threshold set for ANY partitioning/merge order, so the
+    * result is oracle-able even though intermediate sketch weights are
+    * not. The threshold compare is integer cross-multiplication
+    * (n·(width+1) > N — no division anywhere).
+    *
+    * Scale: the streaming pass bounds state at O(width)/window; the
+    * recount is a (window, user) aggregate semi-joined to ≤ width
+    * candidates per window (broadcast), so the heavy recount grain is
+    * |windows|·width, not |windows|·|users|. In production the sketch
+    * runs in the streaming job and the recount in the batch refresh —
+    * the q193 sketch-state division of labor. */
+  def hourlyTopUsers(events: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val e = events.filter(col("user_id").isNotNull)
+    val cands = hourlyUserSketch(e, width)
+      .select(col("hour_start"), explode(col("cand_users")).as("uid_str"))
+    val exact = e
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("hour_start"), col("user_id"), col("n"))
+    // totals re-aggregate the (hour, user) counts — already shuffled and
+    // orders of magnitude smaller than the event scan they'd otherwise
+    // repeat (and ReuseExchange can serve both from one exchange)
+    val totals = exact
+      .groupBy(col("hour_start"))
+      .agg(sum(col("n")).as("n_hour"))
+    exact
+      .join(broadcast(cands),
+        exact("hour_start") === cands("hour_start") &&
+          col("user_id").cast("string") === col("uid_str"), "left_semi")
+      .join(broadcast(totals), "hour_start")
+      .filter(col("n") * (width + 1) > col("n_hour"))
+      .select(col("hour_start"), col("user_id"), col("n"), col("n_hour"))
+  }
+
+  /** q198: hourly heavy-hitter users (width 8) with exact counts. The
+    * oracle needs no sketch — the MG set contract reduces the output to
+    * "exact counts above the cross-multiplied threshold". */
+  val q198StreamTopk: Q = Q.sql(
+    "q198_stream_topk",
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start, user_id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |exact AS (
+      |  SELECT hour_start, user_id, COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT hour_start, COUNT(*) AS n_hour
+      |  FROM e GROUP BY 1)
+      |SELECT exact.hour_start, exact.user_id, exact.n, tot.n_hour
+      |FROM exact JOIN tot USING (hour_start)
+      |WHERE exact.n * 9 > tot.n_hour
+      |ORDER BY hour_start, user_id""".stripMargin
+  ) { (s, dir) =>
+    hourlyTopUsers(Tables.events(s, dir), 8)
+      .orderBy(col("hour_start"), col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
-    q146FunnelDropouts, q188StreamDistinct)
+    q146FunnelDropouts, q188StreamDistinct, q198StreamTopk)
 }

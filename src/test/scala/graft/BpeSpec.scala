@@ -72,6 +72,22 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.bpeEncode(docs, Seq("a b" -> "c")))
   }
 
+  test("lengthBuckets: hand-derived buckets, padding, and exact micro utilization") {
+    import spark.implicits._
+    val enc = Seq(
+      (1L, 10L), (2L, 16L),   // both land in bucket 16: padding 6 + 0
+      (3L, 17L),              // bucket 32: padding 15
+      (4L, 3000L)             // oversize -> bucket 0, null utilization
+    ).toDF("doc_id", "n_tokens")
+    val out = Graft.lengthBuckets(enc).orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 3000L, 0L, -1L),
+      (16L, 2L, 26L, 6L, 26L * 1000000L / 32L),
+      (32L, 1L, 17L, 15L, 17L * 1000000L / 32L)))
+  }
+
   test("ShippedMerges IS the q191 artifact: training on sf0.01 reproduces it") {
     val trained = ops.Bpe.trainMerges(Tables.documents(spark, Sf001), 10)
       .collect().map(r => (r.getString(1), r.getString(2)))

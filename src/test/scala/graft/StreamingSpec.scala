@@ -462,4 +462,40 @@ class StreamingSpec extends AnyFunSuite {
         s"hour $h exact=$d est=${batch(h)}")
     }
   }
+
+  test("windowed Misra-Gries: streamed candidate sets keep every true heavy hitter") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Streaming.hourlyUserSketch(stream.toDF(), width = 8)
+      .writeStream.format("memory").queryName("mg_hours").outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamedCands = spark.table("mg_hours")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // ground truth: per-hour users with n * 9 > N_hour
+    val truth = Streaming.hourlyTopUsers(Tables.events(spark, Sf0001), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toString).toSet).toMap
+    assert(truth.nonEmpty, "fixture has no heavy hitters — threshold too high")
+    // the MG set contract, under incremental micro-batch arrival: every
+    // true above-threshold user survives in that hour's candidate set
+    truth.foreach { case (h, users) =>
+      assert(users.subsetOf(streamedCands.getOrElse(h, Set.empty)),
+        s"hour $h lost true heavy hitters: ${users -- streamedCands(h)}")
+      // bounded state: candidates never exceed the sketch width
+      assert(streamedCands(h).size <= 8)
+    }
+    // two-pass determinism: rerun returns the identical exact rows
+    val r1 = Streaming.hourlyTopUsers(Tables.events(spark, Sf0001), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val r2 = Streaming.hourlyTopUsers(Tables.events(spark, Sf0001), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r1.sorted.toSeq == r2.sorted.toSeq)
+    intercept[IllegalArgumentException](
+      Streaming.hourlyTopUsers(Tables.events(spark, Sf0001), 0))
+  }
 }
