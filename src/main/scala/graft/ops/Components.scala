@@ -424,13 +424,22 @@ object Components {
     * distinct i < j rows; each triangle emitted exactly once. Exposed
     * for the facade and [[q145Triangles]]. */
   private[graft] def triangles(edges: DataFrame): DataFrame = {
-    // checkpoint evaluates the (possibly expensive) upstream pair
-    // pipeline + degree pass ONCE — the oriented frame is referenced
-    // three times below (same discipline as [[connectedComponents]]);
-    // the ReliableConfKey session conf upgrades it to a reliable
-    // checkpoint, same as the CC loop
+    // checkpoint the (possibly expensive) upstream pair pipeline ONCE:
+    // orientEdges alone references the edge frame three times (degree
+    // aggregate + the two tag joins), so an un-materialized minhash
+    // pair pipeline would replay end-to-end per reference
     val rel = sessionReliable(edges)
     if (rel) requireCheckpointDir(edges)
+    trianglesOfMaterialized(materialize(edges.select(col("i"), col("j")), rel), rel)
+  }
+
+  /** [[triangles]] body over an ALREADY-materialized edge frame —
+    * callers that fan the same edges into other consumers (the
+    * clustering-coefficient degree pass) checkpoint once and share. */
+  private[graft] def trianglesOfMaterialized(edges: DataFrame, rel: Boolean): DataFrame = {
+    // the oriented frame is referenced three times below (same
+    // discipline as [[connectedComponents]]); the ReliableConfKey
+    // session conf upgrades both checkpoints to reliable
     val oriented = materialize(orientEdges(edges), rel)
     // the closing edge of a wedge (u→v, u→w), if present, is oriented
     // v→w by the same (degree, id) order, so a semi-join closes it;
@@ -574,10 +583,16 @@ object Components {
     * node grain. The division is exact-int/exact-int rounded to 9 dp —
     * deterministic cross-engine. */
   private[graft] def clusteringCoeffOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("i").as("node"))
-      .unionAll(edges.select(col("j").as("node")))
+    // one checkpoint of the pair pipeline feeds BOTH the degree pass
+    // (two references) and the triangle machinery (three more) — five
+    // replays of an expensive candidate join otherwise
+    val rel = sessionReliable(edges)
+    if (rel) requireCheckpointDir(edges)
+    val e = materialize(edges.select(col("i"), col("j")), rel)
+    val deg = e.select(col("i").as("node"))
+      .unionAll(e.select(col("j").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val tri = triangles(edges)
+    val tri = trianglesOfMaterialized(e, rel)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
     deg.join(tri, Seq("node"), "left")

@@ -997,9 +997,14 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"))
       .filter(col("nd") >= 2 && col("no") <= MaxPassageDf)
       .select(col("h"))
-    val m = seg.as("a")
-      .join(seg.as("b"), "h")
-      .join(elig, "h")
+    // filter ONCE, self-join the identical frame: with elig joined
+    // after the self-join the optimizer pushes it into one side only,
+    // de-syncing the subtrees and costing a third full seg evaluation
+    // (scan + md5) — this shape keeps both sides byte-identical so
+    // ReuseExchange serves them from one exchange
+    val eseg = seg.join(elig, "h")
+    val m = eseg.as("a")
+      .join(eseg.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         (col("a.pos") - col("b.pos")).as("d"), col("a.pos").as("apos"))
