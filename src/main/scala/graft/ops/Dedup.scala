@@ -372,9 +372,16 @@ object Dedup {
     * counts in IEEE double — bit-identical cross-engine). */
   private[graft] def lshRecallOf(docs: DataFrame, maxDf: Long,
                                  minJaccard: Double): DataFrame = {
-    val truth = neardupJaccardPairs(docs, maxDf, minJaccard)
+    // the hashed-shingle frame fans into BOTH pair generators (inverted
+    // index + verification arrays on the truth side, signatures on the
+    // candidate side — 6+ references): checkpoint it once, the
+    // triangles()/pageRankInt discipline
+    val rel = Components.sessionReliable(docs)
+    if (rel) Components.requireCheckpointDir(docs)
+    val d = Components.materialize(docs, rel)
+    val truth = neardupJaccardPairs(d, maxDf, minJaccard)
       .select(col("i"), col("j"), lit(1L).as("t"))
-    val cand = lshCandidatePairs(docs)
+    val cand = lshCandidatePairs(d)
       .select(col("i"), col("j"), lit(1L).as("c"))
     truth.join(cand, Seq("i", "j"), "full")
       .agg(
