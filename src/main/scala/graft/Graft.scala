@@ -694,6 +694,23 @@ object Graft {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
 
+  /** Token-balanced contiguous shard manifest over a tokenized frame
+    * carrying (doc_id, n_tokens): docs in doc_id order fill shards of
+    * ~`targetTokens` each (a straddling doc belongs wholly to the shard
+    * its first token lands in). Global running sum rides the scalable
+    * prefix (range repartition + broadcast offsets), never a
+    * one-partition window. */
+  def shardManifest(encoded: DataFrame, targetTokens: Long): DataFrame =
+    ops.Bpe.shardManifestOf(encoded, targetTokens)
+
+  /** Jaccard threshold-sweep histogram over all df-capped candidate
+    * pairs of a (doc_id, text) corpus: 0.05-wide similarity bins with
+    * pair counts — the table a dedup threshold is tuned from, one
+    * candidate pass for every τ. */
+  def jaccardSweep(docs: DataFrame,
+                   maxShingleDf: Long = ops.Dedup.MaxShingleDf): DataFrame =
+    ops.Dedup.jaccardSweepOf(ops.Dedup.hashedShinglesOf(docs), maxShingleDf)
+
   /** Power-of-two length-bucket report over a tokenized frame carrying
     * `n_tokens` (e.g. [[bpeEncode]] output): per bucket (16…2048; 0 =
     * oversize) — doc count, token sum, padding waste (pad-token FLOPs a

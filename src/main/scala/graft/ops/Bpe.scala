@@ -150,6 +150,14 @@ object Bpe {
   private[graft] def bpeEncodeOf(docs: DataFrame,
                                  merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
+    // one chained `aggregate` per merge: linear plan growth, but a
+    // full 30k-merge production vocabulary would still blow Catalyst's
+    // expression tree — this encoder is for compact/distilled merge
+    // tables (analytics, ablations); a full tokenizer belongs in a
+    // codegen'd trie Expression, not a per-merge expression chain
+    require(merges.size <= 256,
+      s"bpeEncode chains one fold per merge; ${merges.size} merges exceed " +
+        "the supported 256 — use a compact merge table")
     require(merges.forall { case (l, r) =>
       !(l + r).exists(c => c == ' ' || c == '\t') },
       "merge symbols must not contain space or tab")
@@ -298,5 +306,57 @@ object Bpe {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode, q199LengthBuckets)
+  /** Tokens per output shard for [[q200ShardManifest]]: small enough to
+    * make ~7 shards at sf0.01 (so the oracle exercises real boundaries)
+    * and scale-independent — a production run passes its own target. */
+  private[graft] val ShardTokens = 16384L
+
+  /** Token-balanced contiguous shard manifest: docs in doc_id order
+    * fill shards of ~`targetTokens` each (shard = exclusive-prefix
+    * token sum DIV target — a doc straddling a boundary belongs wholly
+    * to the shard its first token lands in, so shards overshoot by at
+    * most one doc). The manifest a writer uses to emit near-equal
+    * training shards; contiguous id ranges keep each shard one scan
+    * range on id-sorted storage.
+    *
+    * Scale: the global running sum is the scalable-prefix pattern
+    * ([[Eval.withExclusivePrefix]] — range repartition + local windows
+    * + broadcast per-partition offsets), NEVER a one-partition window;
+    * then one tiny aggregate at shard grain. */
+  private[graft] def shardManifestOf(encoded: DataFrame, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    Eval.withExclusivePrefix(
+      encoded.select(col("doc_id"), col("n_tokens")),
+      Seq(col("doc_id")), Seq((col("n_tokens"), "__graft_cum")))
+      .withColumn("shard", expr(s"__graft_cum DIV $targetTokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** q200: the shard manifest of the [[ShippedMerges]]-encoded corpus
+    * at [[ShardTokens]] tokens per shard. */
+  val q200ShardManifest: Q = Q.sql(
+    "q200_shard_manifest",
+    s"""WITH $oracleEncodePerDoc,
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM per_doc),
+       |s AS (SELECT doc_id, n_tokens, cum // $ShardTokens AS shard FROM p)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM s GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  ) { (s, dir) =>
+    shardManifestOf(bpeEncodeOf(Tables.documents(s, dir), ShippedMerges), ShardTokens)
+      .orderBy(col("shard"))
+  }
+
+  val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode, q199LengthBuckets,
+    q200ShardManifest)
 }

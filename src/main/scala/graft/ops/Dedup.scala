@@ -216,6 +216,49 @@ object Dedup {
     neardupJaccard(docHashedShingles(s, dir), MaxShingleDf, 0.8)
   }
 
+  /** Similarity histogram over ALL inverted-index candidate pairs:
+    * verified Jaccard bucketed into 0.05-wide bins — the decision table
+    * for choosing a dedup threshold (how many pairs does τ = 0.7 vs 0.8
+    * admit?) from ONE candidate pass instead of re-running the pipeline
+    * per τ. Bucket = min(floor(j·20), 19): both engines floor the
+    * identical IEEE double (exact-int operands, ×20 exact), so bin
+    * edges cannot drift. Scale contract is q25's (df-capped candidates,
+    * full-array verification); the histogram adds one |bins|-row
+    * aggregate. */
+  private[graft] def jaccardSweepOf(docs: DataFrame, maxDf: Long): DataFrame =
+    neardupJaccardPairs(docs, maxDf, 0.0)
+      .select(least(floor(col("jaccard") * 20).cast("long"), lit(19L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("lo", round(col("bucket") * lit(0.05), 2))
+
+  /** q201: the threshold-sweep histogram on the documents corpus. */
+  val q201JaccardSweep: Q = Q.sql(
+    "q201_jaccard_sweep",
+    s"""WITH $oracleDocs,
+       |$oracleHashed,
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+       |stop AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |         WHERE df > $MaxShingleDf),
+       |cold AS (SELECT doc_id, h FROM sh ANTI JOIN stop USING (h)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT CAST(len(list_intersect(hi.hs, hj.hs)) AS DOUBLE)
+       |    / (len(hi.hs) + len(hj.hs) - len(list_intersect(hi.hs, hj.hs))) AS jac
+       |  FROM cand JOIN hashed hi ON hi.doc_id = i JOIN hashed hj ON hj.doc_id = j)
+       |SELECT least(CAST(floor(jac * 20) AS BIGINT), 19) AS bucket,
+       |  COUNT(*) AS n_pairs,
+       |  round(least(CAST(floor(jac * 20) AS BIGINT), 19) * 0.05e0, 2) AS lo
+       |FROM scored
+       |GROUP BY least(CAST(floor(jac * 20) AS BIGINT), 19)
+       |ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    jaccardSweepOf(docHashedShingles(s, dir), MaxShingleDf)
+      .orderBy(col("bucket"))
+  }
+
   /** Default directional-containment threshold: a doc whose shingles are
     * ≥90% covered by another doc is (mostly) a subset of it. */
   private[graft] val MinContainment = 0.9
@@ -1030,5 +1073,5 @@ object Dedup {
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
-    q197LshRecall)
+    q197LshRecall, q201JaccardSweep)
 }

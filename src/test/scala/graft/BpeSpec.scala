@@ -88,6 +88,22 @@ class BpeSpec extends AnyFunSuite {
       (32L, 1L, 17L, 15L, 17L * 1000000L / 32L)))
   }
 
+  test("shardManifest fills contiguous shards; straddlers belong to their start shard") {
+    import spark.implicits._
+    // target 100: doc 1 (60) -> shard 0 (cum 0); doc 2 (60) -> shard 0
+    // (cum 60, straddles into 120); doc 3 (30) -> shard 1 (cum 120);
+    // doc 4 (200) -> shard 1 (cum 150); doc 5 (10) -> shard 3 (cum 350)
+    val enc = Seq((1L, 60L), (2L, 60L), (3L, 30L), (4L, 200L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = Graft.shardManifest(enc, 100L).orderBy(col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 120L, 1L, 2L),
+      (1L, 2L, 230L, 3L, 4L),
+      (3L, 1L, 10L, 5L, 5L)))
+    intercept[IllegalArgumentException](Graft.shardManifest(enc, 0L))
+  }
+
   test("ShippedMerges IS the q191 artifact: training on sf0.01 reproduces it") {
     val trained = ops.Bpe.trainMerges(Tables.documents(spark, Sf001), 10)
       .collect().map(r => (r.getString(1), r.getString(2)))

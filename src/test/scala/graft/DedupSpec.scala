@@ -157,6 +157,27 @@ class DedupSpec extends AnyFunSuite {
     assert(reg.getDouble(3) >= 0.0 && reg.getDouble(3) <= 1.0)
   }
 
+  test("jaccardSweep buckets candidate pairs at exact 0.05 bin edges") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base + "one"),
+      (2L, base + "one"),   // exact dup: jaccard 1.0 -> bucket 19 (capped)
+      (3L, base + "two"),   // high-similarity pair with 1 and 2
+      (4L, "singleton words that overlap nothing else in this tiny corpus ok")
+    ).toDF("doc_id", "text")
+    val out = Graft.jaccardSweep(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // total pairs = the 3 candidate pairs among docs 1/2/3
+    assert(out.map(_._2).sum == 3L)
+    // the exact dup must sit in the top bucket with lo = 0.95
+    val top = out.find(_._1 == 19L).get
+    assert(top._2 >= 1L && top._3 == 0.95)
+    // bucket edges: lo = bucket * 0.05 rounded to 2 dp
+    out.foreach { case (b, _, lo) =>
+      assert(b >= 0L && b <= 19L && lo == math.round(b * 5.0) / 100.0) }
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
