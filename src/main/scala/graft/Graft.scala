@@ -694,6 +694,14 @@ object Graft {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
 
+  /** Token-grain data recipe over a (source, n_tokens) frame:
+    * √-temperature target shares, a total budget of Σ tokens allocated
+    * across sources, and the milli-epoch repeat factor each source
+    * needs — all exact int64 after the one milli-quantized √ (the q132
+    * discipline at token grain). */
+  def tokenBudget(bySource: DataFrame): DataFrame =
+    ops.Bpe.tokenBudgetOf(bySource)
+
   /** Token-balanced contiguous shard manifest over a tokenized frame
     * carrying (doc_id, n_tokens): docs in doc_id order fill shards of
     * ~`targetTokens` each (a straddling doc belongs wholly to the shard

@@ -148,7 +148,8 @@ object Bpe {
     * the wrong trade at scale. Merge symbols must not contain space or
     * tab (true of any space-split training corpus; require()d). */
   private[graft] def bpeEncodeOf(docs: DataFrame,
-                                 merges: Seq[(String, String)]): DataFrame = {
+                                 merges: Seq[(String, String)],
+                                 keep: Seq[String] = Nil): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     // one chained `aggregate` per merge: linear plan growth, but a
     // full 30k-merge production vocabulary would still blow Catalyst's
@@ -163,14 +164,14 @@ object Bpe {
       "merge symbols must not contain space or tab")
     val syms0 = s"concat(split(w, ''), array('${esc(Eow)}'))"
     val folded = merges.foldLeft(syms0) { case (acc, (l, r)) => foldOnceExpr(acc, l, r) }
-    docs.select(col("doc_id"),
-      expr("filter(split(text, ' '), w -> length(w) >= 1)").as("__graft_ws"))
-      .select(col("doc_id"),
-        size(col("__graft_ws")).cast("long").as("n_words"),
+    docs.select(col("doc_id") +: keep.map(col) :+
+      expr("filter(split(text, ' '), w -> length(w) >= 1)").as("__graft_ws"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        size(col("__graft_ws")).cast("long").as("n_words") :+
         expr(s"aggregate(__graft_ws, 0L, (acc, w) -> acc + size($folded))")
-          .as("n_tokens"),
+          .as("n_tokens") :+
         expr("aggregate(__graft_ws, 0L, (acc, w) -> acc + length(w))")
-          .as("n_chars"))
+          .as("n_chars"): _*)
       .withColumn("micro_chars_per_token",
         when(col("n_tokens") === 0L, lit(null).cast("long"))
           .otherwise(expr("(n_chars * 1000000L) DIV n_tokens")))
@@ -357,6 +358,68 @@ object Bpe {
       .orderBy(col("shard"))
   }
 
+  /** Token-grain mixture budgeting: given per-source token counts (the
+    * real tokenizer's, not a char proxy) and √-temperature target
+    * weights (τ = ½ — the q132 discipline: √T is one correctly-rounded
+    * IEEE op on an exact integer, milli-quantized; every later step is
+    * exact int64), allocate a total token budget of Σ tokens across
+    * sources and report the repeat factor each source needs:
+    * (source, n_docs, tokens, w, share_micro, tokens_target,
+    * epochs_milli) — epochs > 1000 milli means the source repeats, the
+    * "data recipe" a trainer materializes.
+    *
+    * Integer-exactness bounds (documented like q132's): the split
+    * divisions floor-exactly while Σw · w < 2⁶³ and per-source
+    * tokens < 9.2·10¹⁵ milli-epochs' worth — comfortable past a
+    * 100 TB corpus at word grain. */
+  private[graft] def tokenBudgetOf(bySource: DataFrame): DataFrame = {
+    val stats = bySource
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double")) * 1000).cast("long"))
+    val tot = stats.agg(sum(col("w")).as("tw"), sum(col("tokens")).as("tb"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("w"),
+        expr("w * 1000000L DIV tw").as("share_micro"),
+        // floor(tb*w/tw) via the overflow-safe split: (tb DIV tw)*w +
+        // ((tb MOD tw)*w) DIV tw — exact by the division identity
+        expr("(tb DIV tw) * w + ((tb % tw) * w) DIV tw").as("tokens_target"))
+      .withColumn("epochs_milli",
+        expr("(tokens_target DIV tokens) * 1000L + ((tokens_target % tokens) * 1000L) DIV tokens"))
+  }
+
+  /** q202: the data recipe for the documents corpus — √-temperature
+    * token budget over sources, tokenized with [[ShippedMerges]]. */
+  val q202TokenBudget: Q = Q.sql(
+    "q202_token_budget",
+    s"""WITH $oracleEncodePerDoc,
+       |src AS (
+       |  SELECT d.source, p.n_tokens
+       |  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id),
+       |stats AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000) AS BIGINT) AS w
+       |  FROM src GROUP BY source),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(tokens) AS BIGINT) AS tb
+       |        FROM stats),
+       |alloc AS (
+       |  SELECT source, n_docs, tokens, w,
+       |    (w * 1000000) // tw AS share_micro,
+       |    (tb // tw) * w + ((tb % tw) * w) // tw AS tokens_target
+       |  FROM stats CROSS JOIN tot)
+       |SELECT source, n_docs, tokens, w, share_micro, tokens_target,
+       |  (tokens_target // tokens) * 1000 + ((tokens_target % tokens) * 1000) // tokens
+       |    AS epochs_milli
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    tokenBudgetOf(
+      bpeEncodeOf(Tables.documents(s, dir), ShippedMerges, keep = Seq("source"))
+        .select(col("source"), col("n_tokens")))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode, q199LengthBuckets,
-    q200ShardManifest)
+    q200ShardManifest, q202TokenBudget)
 }

@@ -104,6 +104,25 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.shardManifest(enc, 0L))
   }
 
+  test("tokenBudget: hand-derived sqrt-temperature allocation and epoch factors") {
+    import spark.implicits._
+    // sources: a = 900 tokens, b = 100 -> w_a = 30000, w_b = 10000,
+    // tw = 40000, budget tb = 1000. share_a = 750000 micro, share_b =
+    // 250000. target_a = 750, target_b = 250. epochs: a = 833 milli
+    // (downsampled), b = 2500 milli (repeats 2.5x).
+    val bySource = Seq(("a", 900L), ("b", 100L))
+      .flatMap { case (s, t) => Seq((s, t / 2), (s, t - t / 2)) } // 2 docs each
+      .toDF("source", "n_tokens")
+    val out = Graft.tokenBudget(bySource).orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 900L, 30000L, 750000L, 750L, 833L),
+      ("b", 2L, 100L, 10000L, 250000L, 250L, 2500L)))
+    // allocation never exceeds the budget (floor division throughout)
+    assert(out.map(_._6).sum <= 1000L)
+  }
+
   test("ShippedMerges IS the q191 artifact: training on sf0.01 reproduces it") {
     val trained = ops.Bpe.trainMerges(Tables.documents(spark, Sf001), 10)
       .collect().map(r => (r.getString(1), r.getString(2)))
