@@ -673,6 +673,16 @@ object Graft {
                             sketch: Column): DataFrame =
     ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
 
+  /** Streaming twin of [[chatStats]]: incremental per-conversation
+    * shape state via mapGroupsWithState — one fixed-size record per
+    * OPEN conversation (never the turns), re-emitted in update mode;
+    * converges to the batch battery once a conversation stops. Turns
+    * must arrive in nondecreasing rn order per conversation across
+    * micro-batches. */
+  def chatShapeStream(turns: org.apache.spark.sql.Dataset[streaming.Streaming.ChatTurn])
+      : org.apache.spark.sql.Dataset[streaming.Streaming.ChatShape] =
+    streaming.Streaming.chatShapeStream(turns)
+
   /** Windowed heavy hitters over a (ts, user_id) event frame: per
     * tumbling hour, the users with frequency strictly above
     * N_hour/(width+1) and their EXACT counts — two-pass (Misra-Gries

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotF64, Md5Long64, MinHashSig, SimHash48}
+import graft.expressions.{BpeCounts, DotF64, Md5Long64, MinHashSig, SimHash48}
 
 /** Engine extension point (SparkSessionExtensions): registers graft's
   * custom Catalyst expressions so they resolve by name in SQL text and
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) =>
         MinHashSig(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_counts"),
+      new ExpressionInfo(classOf[BpeCounts].getName, "graft_bpe_counts"),
+      (children: Seq[Expression]) => BpeCounts(children.head, children(1))))
   }
 }

@@ -140,28 +140,55 @@ object Bpe {
     * floor — no float division) and n_tokens counts post-merge symbols
     * including each word's [[Eow]].
     *
-    * Scale: ROW-LOCAL — zero shuffle, scan-speed at 100 TB. The merges
-    * fold per word via chained native `aggregate` HOFs (codegen'd, one
-    * nesting level per merge; merge tables are bounded artifacts). The
-    * word-TYPE-grain alternative (explode → dedup words → join counts
-    * back) would shuffle the corpus twice to save bounded per-row CPU —
-    * the wrong trade at scale. Merge symbols must not contain space or
-    * tab (true of any space-split training corpus; require()d). */
+    * Scale: ROW-LOCAL — zero shuffle, scan-speed at 100 TB. All three
+    * counts come from ONE compiled pass per document
+    * ([[graft.expressions.BpeCounts]] — higher-order functions are
+    * CodegenFallback, so the equivalent chained-`aggregate` fold
+    * ([[bpeEncodeHof]], kept for the bit-equivalence spec) pays
+    * interpreted closure frames per symbol: ~15 s vs < 1 s on the sf0.1
+    * corpus). The word-TYPE-grain alternative (explode → dedup words →
+    * join counts back) would shuffle the corpus to save bounded per-row
+    * CPU — the wrong trade at scale. Merge symbols must not contain
+    * space or tab (true of any space-split training corpus;
+    * require()d — tab is the pair separator in the literal). */
   private[graft] def bpeEncodeOf(docs: DataFrame,
                                  merges: Seq[(String, String)],
                                  keep: Seq[String] = Nil): DataFrame = {
+    requireEncodable(merges)
+    val mergesLit = array(merges.map { case (l, r) => lit(l + "\t" + r) }: _*)
+    docs.select(col("doc_id") +: keep.map(col) :+
+      call_function("graft_bpe_counts", col("text"), mergesLit).as("__graft_c"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        col("__graft_c")(0).as("n_words") :+
+        col("__graft_c")(1).as("n_tokens") :+
+        col("__graft_c")(2).as("n_chars"): _*)
+      .withColumn("micro_chars_per_token",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_chars * 1000000L) DIV n_tokens")))
+  }
+
+  private def requireEncodable(merges: Seq[(String, String)]): Unit = {
     require(merges.nonEmpty, "merges must be non-empty")
-    // one chained `aggregate` per merge: linear plan growth, but a
-    // full 30k-merge production vocabulary would still blow Catalyst's
-    // expression tree — this encoder is for compact/distilled merge
-    // tables (analytics, ablations); a full tokenizer belongs in a
-    // codegen'd trie Expression, not a per-merge expression chain
     require(merges.size <= 256,
-      s"bpeEncode chains one fold per merge; ${merges.size} merges exceed " +
-        "the supported 256 — use a compact merge table")
+      s"bpeEncode is sized for compact merge tables; ${merges.size} merges " +
+        "exceed the supported 256")
     require(merges.forall { case (l, r) =>
       !(l + r).exists(c => c == ' ' || c == '\t') },
       "merge symbols must not contain space or tab")
+  }
+
+  /** The higher-order-function form of [[bpeEncodeOf]] — one chained
+    * 4-arg `aggregate` per merge (linear nesting via the finish
+    * lambda). Semantically identical to the native expression; kept
+    * NON-dead as the cross-implementation witness BpeSpec asserts
+    * bit-equivalence against (the MinHashSigSpec discipline), and as
+    * the reference for the DuckDB oracle's VARCHAR-state fold. Not used
+    * in registry plans: HOFs are CodegenFallback and pay interpreted
+    * closure frames per symbol. */
+  private[graft] def bpeEncodeHof(docs: DataFrame,
+                                  merges: Seq[(String, String)],
+                                  keep: Seq[String] = Nil): DataFrame = {
+    requireEncodable(merges)
     val syms0 = s"concat(split(w, ''), array('${esc(Eow)}'))"
     val folded = merges.foldLeft(syms0) { case (acc, (l, r)) => foldOnceExpr(acc, l, r) }
     docs.select(col("doc_id") +: keep.map(col) :+
@@ -303,9 +330,20 @@ object Bpe {
        |FROM b GROUP BY bucket
        |ORDER BY bucket""".stripMargin
   ) { (s, dir) =>
-    lengthBucketsOf(bpeEncodeOf(Tables.documents(s, dir), ShippedMerges))
-      .orderBy(col("bucket"))
+    lengthBucketsOf(encodedOnce(s, dir)).orderBy(col("bucket"))
   }
+
+  /** The tokenize output MATERIALIZED (checkpoint; at scale, the
+    * written q196 table): the bucket CASE and the prefix/offsets
+    * machinery reference n_tokens many times, and Catalyst inlines a
+    * referenced alias per use — without a materialization boundary the
+    * whole merge fold re-runs per reference (measured 17-34 s/query at
+    * sf0.1 vs 0.12 s for the encode itself). Tokenize once, persist,
+    * analyze — the production lifecycle, reflected in the plan. */
+  private def encodedOnce(s: SparkSession, dir: String): DataFrame =
+    Components.materialize(
+      bpeEncodeOf(Tables.documents(s, dir), ShippedMerges),
+      Components.sessionReliable(Tables.documents(s, dir)))
 
   /** Tokens per output shard for [[q200ShardManifest]]: small enough to
     * make ~7 shards at sf0.01 (so the oracle exercises real boundaries)
@@ -354,8 +392,7 @@ object Bpe {
        |FROM s GROUP BY shard
        |ORDER BY shard""".stripMargin
   ) { (s, dir) =>
-    shardManifestOf(bpeEncodeOf(Tables.documents(s, dir), ShippedMerges), ShardTokens)
-      .orderBy(col("shard"))
+    shardManifestOf(encodedOnce(s, dir), ShardTokens).orderBy(col("shard"))
   }
 
   /** Token-grain mixture budgeting: given per-source token counts (the

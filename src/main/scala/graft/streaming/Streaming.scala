@@ -322,6 +322,55 @@ object Streaming {
     hourlyDistinctUsers(Tables.events(s, dir)).orderBy(col("hour_start"))
   }
 
+  final case class ChatTurn(conv_id: Long, rn: Long, role: String, content: String)
+  /** Internal running state for [[chatShapeStream]] (public only
+    * because the state encoder's generated code instantiates it). */
+  final case class ChatShapeState(
+      nTurns: Long, nUser: Long, nAssistant: Long, firstRole: String,
+      lastRole: String, nBreaks: Long, nEmpty: Long)
+  final case class ChatShape(conv_id: Long, n_turns: Long, n_user: Long,
+                             n_assistant: Long, first_role: String, last_role: String,
+                             n_breaks: Long, n_empty: Long, valid: Boolean)
+
+  /** Streaming SFT chat-shape validation — q194's batch battery as
+    * incremental keyed state: per conversation, the running turn
+    * counts, boundary roles, alternation breaks and empty-content
+    * count, re-emitted (update mode) as turns arrive. State is one
+    * fixed-size record per OPEN conversation (the counts — never the
+    * turns themselves), so a firehose of live chats validates with
+    * per-conversation O(1) memory; the `valid` flag converges to the
+    * batch value once the conversation stops.
+    *
+    * Ordering contract: turns must arrive in nondecreasing `rn` order
+    * per conversation ACROSS micro-batches (within a batch they are
+    * sorted here) — the same per-key order the batch window assumes. */
+  def chatShapeStream(turns: Dataset[ChatTurn]): Dataset[ChatShape] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (conv: Long, batch: Iterator[ChatTurn], state: GroupState[ChatShapeState]) =>
+          var st = state.getOption.getOrElse(
+            ChatShapeState(0L, 0L, 0L, null, null, 0L, 0L))
+          batch.toSeq.sortBy(_.rn).foreach { t =>
+            val empty = t.content == null || t.content.isEmpty
+            st = ChatShapeState(
+              st.nTurns + 1,
+              st.nUser + (if (t.role == "user") 1L else 0L),
+              st.nAssistant + (if (t.role == "assistant") 1L else 0L),
+              if (st.nTurns == 0L) t.role else st.firstRole,
+              t.role,
+              st.nBreaks + (if (st.nTurns > 0L && st.lastRole == t.role) 1L else 0L),
+              st.nEmpty + (if (empty) 1L else 0L))
+          }
+          state.update(st)
+          ChatShape(conv, st.nTurns, st.nUser, st.nAssistant, st.firstRole,
+            st.lastRole, st.nBreaks, st.nEmpty,
+            st.firstRole == "user" && st.lastRole == "assistant" &&
+              st.nBreaks == 0L && st.nEmpty == 0L)
+      }
+  }
+
   /** Per-hour Misra-Gries candidate sketch over user ids — the
     * STREAMING pass of windowed heavy hitters: state per open window is
     * O(width) counters however many distinct users the hour holds

@@ -72,6 +72,30 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.bpeEncode(docs, Seq("a b" -> "c")))
   }
 
+  test("native graft_bpe_counts is bit-equivalent to the chained HOF fold") {
+    import spark.implicits._
+    // adversarial shapes: overlapping runs, chained merges into </w>,
+    // multi-space gaps, empty-ish docs, single chars
+    val docs = Seq(
+      (1L, "tower ten hash aaaa"),
+      (2L, "erer  rere e r"),
+      (3L, " "),
+      (4L, "a"),
+      (5L, "stowow atat erh")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val native = rows(ops.Bpe.bpeEncodeOf(docs, ops.Bpe.ShippedMerges))
+    val hof = rows(ops.Bpe.bpeEncodeHof(docs, ops.Bpe.ShippedMerges))
+    assert(native == hof)
+    // and on a real corpus slice — the equivalence must hold on data
+    // that exercises every merge in the shipped table
+    val corpus = Tables.documents(spark, Sf0001).limit(50)
+    assert(rows(ops.Bpe.bpeEncodeOf(corpus, ops.Bpe.ShippedMerges)) ==
+      rows(ops.Bpe.bpeEncodeHof(corpus, ops.Bpe.ShippedMerges)))
+  }
+
   test("lengthBuckets: hand-derived buckets, padding, and exact micro utilization") {
     import spark.implicits._
     val enc = Seq(

@@ -498,4 +498,40 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Streaming.hourlyTopUsers(Tables.events(spark, Sf0001), 0))
   }
+
+  test("streaming chat-shape state converges to the batch q194 battery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.ChatTurn
+    val turns = Seq(
+      ChatTurn(1L, 1L, "user", "hi"), ChatTurn(1L, 2L, "assistant", "hello"),
+      ChatTurn(1L, 3L, "user", "thanks"), ChatTurn(1L, 4L, "assistant", "yw"),
+      ChatTurn(2L, 1L, "user", "a"), ChatTurn(2L, 2L, "user", "b"),
+      ChatTurn(2L, 3L, "assistant", ""), ChatTurn(2L, 4L, "user", "c"),
+      ChatTurn(3L, 1L, "assistant", "unprompted"), ChatTurn(3L, 2L, "user", "ok"))
+    val stream = MemoryStream[ChatTurn]
+    val q = Streaming.chatShapeStream(stream.toDS())
+      .writeStream.format("memory").queryName("chat_shape").outputMode("update").start()
+    try {
+      // three micro-batches, per-conversation rn order preserved across them
+      stream.addData(turns.take(3)); q.processAllAvailable()
+      stream.addData(turns.slice(3, 7)); q.processAllAvailable()
+      stream.addData(turns.drop(7)); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits per batch; state is monotonic in n_turns, so
+    // the max-n_turns row per conversation is the converged state (no
+    // reliance on memory-sink row order)
+    val streamed = spark.table("chat_shape").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2).toMap
+    import org.apache.spark.sql.functions.col
+    val batch = graft.Graft.chatStats(turns.toDF(), col("conv_id"), Seq(col("rn")),
+      col("role"), col("content"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(streamed == batch)
+    assert(batch(1L)._8 && !batch(2L)._8 && !batch(3L)._8)
+  }
 }
