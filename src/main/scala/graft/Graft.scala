@@ -704,6 +704,14 @@ object Graft {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
 
+  /** Per-group tokenizer fertility over an encoded frame carrying
+    * (g, n_words, n_tokens, n_chars): tokens-per-word and
+    * chars-per-token in exact micro-units per group — the multilingual
+    * tokenizer-fairness audit (a 2× fertility language pays 2× context
+    * budget per word). */
+  def tokenizerFertility(encoded: DataFrame): DataFrame =
+    ops.Bpe.fertilityOf(encoded)
+
   /** Token-grain data recipe over a (source, n_tokens) frame:
     * √-temperature target shares, a total budget of Σ tokens allocated
     * across sources, and the milli-epoch repeat factor each source

@@ -457,6 +457,53 @@ object Bpe {
       .orderBy(col("source"))
   }
 
+  /** Per-group tokenizer fertility over an encoded frame carrying a
+    * group column `g`: fertility = tokens per word (micro-exact), the
+    * standard multilingual-tokenizer fairness metric — a language whose
+    * fertility runs 2× pays 2× the context budget per word, so a
+    * shipped tokenizer is audited per language before a mixture is
+    * fixed. One tiny aggregate over the materialized encode. */
+  private[graft] def fertilityOf(encoded: DataFrame): DataFrame =
+    encoded
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("g"), col("n_docs"), col("words"), col("tokens"), col("chars"),
+        when(col("words") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(tokens * 1000000L) DIV words")).as("fertility_micro"),
+        when(col("tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(chars * 1000000L) DIV tokens")).as("chars_per_token_micro"))
+
+  /** q203: fertility of [[ShippedMerges]] per language — the
+    * tokenizer-fairness audit. */
+  val q203Fertility: Q = Q.sql(
+    "q203_fertility",
+    s"""WITH $oracleEncodePerDoc,
+       |byg AS (
+       |  SELECT d.lang AS g, p.n_words, p.n_tokens, p.n_chars
+       |  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id),
+       |agg AS (
+       |  SELECT g, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS words,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM byg GROUP BY g)
+       |SELECT g, n_docs, words, tokens, chars,
+       |  CASE WHEN words = 0 THEN NULL
+       |       ELSE (tokens * 1000000) // words END AS fertility_micro,
+       |  CASE WHEN tokens = 0 THEN NULL
+       |       ELSE (chars * 1000000) // tokens END AS chars_per_token_micro
+       |FROM agg
+       |ORDER BY g""".stripMargin
+  ) { (s, dir) =>
+    fertilityOf(
+      bpeEncodeOf(Tables.documents(s, dir), ShippedMerges, keep = Seq("lang"))
+        .withColumnRenamed("lang", "g"))
+      .orderBy(col("g"))
+  }
+
   val all: Seq[Q] = Seq(q191BpeMerges, q196BpeEncode, q199LengthBuckets,
-    q200ShardManifest, q202TokenBudget)
+    q200ShardManifest, q202TokenBudget, q203Fertility)
 }

@@ -147,6 +147,23 @@ class BpeSpec extends AnyFunSuite {
     assert(out.map(_._6).sum <= 1000L)
   }
 
+  test("tokenizerFertility: exact micro ratios per group, nulls on empty groups") {
+    import spark.implicits._
+    val enc = Seq(
+      ("en", 10L, 25L, 40L), ("en", 10L, 15L, 40L),  // 20 words, 40 toks, 80 chars
+      ("zh", 5L, 20L, 10L),                           // fertility 4.0
+      ("xx", 0L, 0L, 0L)                              // degenerate group
+    ).toDF("g", "n_words", "n_tokens", "n_chars")
+    val out = Graft.tokenizerFertility(enc).orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("en", 2000000L, 2000000L),  // 40/20 toks/word, 80/40 chars/tok
+      ("xx", -1L, -1L),
+      ("zh", 4000000L, 500000L)))
+  }
+
   test("ShippedMerges IS the q191 artifact: training on sf0.01 reproduces it") {
     val trained = ops.Bpe.trainMerges(Tables.documents(spark, Sf001), 10)
       .collect().map(r => (r.getString(1), r.getString(2)))
