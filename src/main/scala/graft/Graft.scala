@@ -32,6 +32,17 @@ object Graft {
                           minJaccard: Double = 0.8): DataFrame =
     ops.Dedup.neardupJaccard(ops.Dedup.hashedShinglesOf(docs), maxShingleDf, minJaccard)
 
+  /** Cross-source duplication matrix of a (doc_id, source, text)
+    * corpus: verified near-dup pairs rolled up to (source_a, source_b)
+    * with pair counts and mean similarity in exact micro-units — the
+    * provenance audit (mirror detection, scraper loops) run before
+    * fixing survivor policy. Triangular: sources sorted within each
+    * pair. */
+  def sourceOverlap(docs: DataFrame): DataFrame =
+    ops.Dedup.sourceOverlapOf(
+      ops.Dedup.minhashPairsOf(ops.Dedup.hashedShinglesOf(docs)),
+      docs.select(col("doc_id"), col("source")))
+
   /** LSH candidate-generation quality funnel on a (doc_id, text)
     * corpus: ONE row — exact-Jaccard truth-pair count, LSH band
     * candidate count, their intersection, recall and precision. The

@@ -259,6 +259,55 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up
+    * to (source_a, source_b) grain with pair counts and the mean
+    * similarity in exact micro-units — the provenance audit that tells
+    * a curation pass WHICH feeds copy from which (mirror detection,
+    * double-licensed corpora, scraper loops) before it decides survivor
+    * policy. Sources are emitted in sorted order per pair so the matrix
+    * is triangular regardless of doc-id order. Adds one small-side
+    * lookup join per pair end plus a |sources|² aggregate on top of the
+    * q26 pair pipeline — pairs are the scale driver, and they are
+    * already band-bounded. */
+  private[graft] def sourceOverlapOf(pairs: DataFrame, docSources: DataFrame): DataFrame =
+    pairs
+      .join(docSources.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+      .join(docSources.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+      .select(
+        least(col("src_i"), col("src_j")).as("source_a"),
+        greatest(col("src_i"), col("src_j")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1e6).cast("long")).as("__graft_jsum"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("__graft_jsum DIV n_pairs").as("mean_jaccard_micro"))
+
+  /** q204: the matrix over the MinHash near-dup pairs and the documents
+    * table's source column. (lazy: the oracle text splices
+    * [[oracleMinhashPairsBody]], declared further down the object —
+    * a strict val here would read null at class-init.) */
+  lazy val q204SourceOverlap: Q = Q.sql(
+    "q204_source_overlap",
+    s"""WITH np AS (
+       |  ${oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |tagged AS (
+       |  SELECT least(di.source, dj.source) AS source_a,
+       |         greatest(di.source, dj.source) AS source_b,
+       |         CAST(round(np.jaccard * 1e6) AS BIGINT) AS j6
+       |  FROM np
+       |  JOIN documents di ON di.doc_id = np.i
+       |  JOIN documents dj ON dj.doc_id = np.j)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  CAST(SUM(j6) AS BIGINT) // COUNT(*) AS mean_jaccard_micro
+       |FROM tagged GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  ) { (s, dir) =>
+    sourceOverlapOf(minhashPairs(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("source")))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Default directional-containment threshold: a doc whose shingles are
     * ≥90% covered by another doc is (mostly) a subset of it. */
   private[graft] val MinContainment = 0.9
@@ -1073,5 +1122,5 @@ object Dedup {
     q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
-    q197LshRecall, q201JaccardSweep)
+    q197LshRecall, q201JaccardSweep, q204SourceOverlap)
 }

@@ -178,6 +178,24 @@ class DedupSpec extends AnyFunSuite {
       assert(b >= 0L && b <= 19L && lo == math.round(b * 5.0) / 100.0) }
   }
 
+  test("sourceOverlap rolls near-dup pairs into a triangular source matrix") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, "mirrorA", base + "one"),
+      (2L, "mirrorB", base + "one"),   // cross-source exact dup
+      (3L, "mirrorB", base + "one"),   // within-B exact dup of 2
+      (4L, "clean", "entirely different words that overlap nothing else here at all")
+    ).toDF("doc_id", "source", "text")
+    val out = Graft.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B -- all jaccard 1.0
+    assert(out == Set(
+      ("mirrorA", "mirrorB", 2L, 1000000L),
+      ("mirrorB", "mirrorB", 1L, 1000000L)))
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
