@@ -715,6 +715,14 @@ object Graft {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
 
+  /** Sink-side twin of [[shardManifest]]: write the corpus as
+    * token-balanced `shard=N` parquet partitions (repartitioned on the
+    * shard id first, so each shard lands as few files, not one file per
+    * upstream task × shard). Input carries (doc_id, n_tokens) plus
+    * payload columns. */
+  def writeTokenShards(encoded: DataFrame, targetTokens: Long, path: String): Unit =
+    ops.Bpe.writeTokenShards(encoded, targetTokens, path)
+
   /** Per-group tokenizer fertility over an encoded frame carrying
     * (g, n_words, n_tokens, n_chars): tokens-per-word and
     * chars-per-token in exact micro-units per group — the multilingual

@@ -457,6 +457,30 @@ object Bpe {
       .orderBy(col("source"))
   }
 
+  /** Assign [[shardManifestOf]]'s shard ids to the rows themselves:
+    * (input columns…, shard) — the write-side twin of the manifest. */
+  private[graft] def withShardIds(encoded: DataFrame, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    Eval.withExclusivePrefix(encoded, Seq(col("doc_id")),
+      Seq((col("n_tokens"), "__graft_cum")))
+      .withColumn("shard", expr(s"__graft_cum DIV $targetTokens"))
+      .drop("__graft_cum")
+  }
+
+  /** Write a tokenized corpus as token-balanced shard files: one
+    * `shard=N` parquet partition per contiguous ~`targetTokens` shard
+    * (the [[shardManifestOf]] rule — a straddling doc belongs wholly to
+    * the shard its first token lands in). `repartition(shard)` aligns
+    * task outputs with directory partitions so each shard writes one
+    * file per shuffle partition holding it, not one file per upstream
+    * task × shard — the small-files discipline a 100 TB writer needs.
+    * Input must carry (doc_id, n_tokens) plus the payload columns. */
+  private[graft] def writeTokenShards(encoded: DataFrame, targetTokens: Long,
+                                      path: String): Unit =
+    withShardIds(encoded, targetTokens)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Per-group tokenizer fertility over an encoded frame carrying a
     * group column `g`: fertility = tokens per word (micro-exact), the
     * standard multilingual-tokenizer fairness metric — a language whose

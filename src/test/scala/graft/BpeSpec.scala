@@ -147,6 +147,32 @@ class BpeSpec extends AnyFunSuite {
     assert(out.map(_._6).sum <= 1000L)
   }
 
+  test("writeTokenShards: directory partitions match the manifest exactly") {
+    import spark.implicits._
+    val enc = Seq((1L, 60L, "a"), (2L, 60L, "b"), (3L, 30L, "c"),
+      (4L, 200L, "d"), (5L, 10L, "e")).toDF("doc_id", "n_tokens", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    Graft.writeTokenShards(enc, 100L, path)
+    // shard= directories exist exactly for the manifest's shard ids
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong)
+      .toSet
+    assert(dirs == Set(0L, 1L, 3L))
+    // read-back per-shard token sums equal the manifest's
+    val back = spark.read.parquet(path)
+      .groupBy(col("shard")).agg(
+        org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Number]("shard").longValue(), r.getLong(1), r.getLong(2)))
+      .toSet
+    val manifest = Graft.shardManifest(enc.select(col("doc_id"), col("n_tokens")), 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(back == manifest)
+    // payload columns survive the write
+    assert(spark.read.parquet(path).columns.toSet ==
+      Set("doc_id", "n_tokens", "text", "shard"))
+  }
+
   test("tokenizerFertility: exact micro ratios per group, nulls on empty groups") {
     import spark.implicits._
     val enc = Seq(
