@@ -268,6 +268,17 @@ object Graft {
                    version: Seq[org.apache.spark.sql.Column]): DataFrame =
     ops.Merge.upsertLatest(changelog, keys, version)
 
+  /** Snapshot delta between two ingest generations: per `key`, status
+    * added / removed / changed / unchanged by comparing the non-null
+    * `fp` fingerprint column, new-side payload carried through (old
+    * side's value on removed rows for shared columns). The old side
+    * only needs its stored (key, fingerprint) manifest — delta
+    * detection is O(|manifest| + |new corpus|), the old corpus is
+    * never rescanned. */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
+                    key: String, fp: String): DataFrame =
+    ops.Merge.snapshotDeltaOf(oldSnap, newSnap, key, fp)
+
   /** Ordered conversion funnel over (user_id, event_type, t) rows: per
     * user the first qualifying time of each stage (each strictly after
     * the previous and within `windowUs`), plus the furthest stage

@@ -155,5 +155,86 @@ object Merge {
         col("s2").cast("double").as("sum_price"),
         (col("s2").cast("double") / col("n_orders")).as("avg_price")): _*)
 
-  val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History, q112ViewMerge)
+  /** Snapshot delta detection — the change-data feed for incremental
+    * corpus maintenance: classify every key as added / removed /
+    * changed / unchanged between two ingest generations by comparing a
+    * content fingerprint column, so downstream recompute (re-banding
+    * via q83's incremental MinHash, re-tokenization, manifest refresh)
+    * touches ONLY the delta instead of the whole corpus. The old side
+    * needs nothing but its stored (key, fingerprint) manifest — tens of
+    * bytes per document, not the old corpus — so a 100 TB refresh is
+    * one co-partitioned join of the new generation against a manifest
+    * orders of magnitude smaller. Both sides hash-partition on the key
+    * (Spark cannot broadcast a full outer join's build side, and at
+    * corpus scale both sides are large anyway); output carries the
+    * new-side payload columns, falling back to the old side's value on
+    * removed rows for columns the two frames share.
+    *
+    * `oldSnap`/`newSnap` must both contain `key` and `fp`; `fp` must be
+    * non-null (a null fingerprint would make changed-vs-unchanged
+    * undecidable — null-safe compare would silently call it changed). */
+  private[graft] def snapshotDeltaOf(oldSnap: DataFrame, newSnap: DataFrame,
+                                     key: String, fp: String): DataFrame = {
+    require(oldSnap.columns.contains(fp) && newSnap.columns.contains(fp),
+      s"fingerprint column '$fp' must exist in both snapshots")
+    val oldCols = oldSnap.columns.filterNot(_ == key)
+    val o = oldSnap.select(col(key).as("__graft_k_old") +:
+      oldCols.map(c => col(c).as(s"__graft_old_$c")): _*)
+    val n = newSnap.select(col(key).as("__graft_k_new") +:
+      newSnap.columns.filterNot(_ == key).map(col): _*)
+    val joined = o.join(n, col("__graft_k_old") === col("__graft_k_new"), "full_outer")
+    val status = when(col("__graft_k_old").isNull, lit("added"))
+      .when(col("__graft_k_new").isNull, lit("removed"))
+      .when(col(s"__graft_old_$fp") =!= col(fp), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val attrs = newSnap.columns.filterNot(_ == key).map { c =>
+      if (oldCols.contains(c)) coalesce(col(c), col(s"__graft_old_$c")).as(c)
+      else col(c)
+    }
+    joined.select(coalesce(col("__graft_k_old"), col("__graft_k_new")).as(key) +:
+      status.as("status") +: attrs: _*)
+  }
+
+  /** q205: delta detection between two simulated ingest generations of
+    * the documents corpus — the old generation lacks every 11th doc
+    * (those read as `added`), carries stale text for every 7th
+    * (`changed`), and the new generation dropped every 13th
+    * (`removed`); fingerprints are md5(text), identical bytes in both
+    * engines. Rolled up to the (source, status) audit a refresh job
+    * publishes before deciding what to recompute. */
+  val q205SnapshotDelta: Q = Q.sql(
+    "q205_snapshot_delta",
+    """WITH oldsnap AS (
+      |  SELECT doc_id, source,
+      |    md5(text || CASE WHEN doc_id % 7 = 2 THEN ' legacy' ELSE '' END) AS fp
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |newsnap AS (
+      |  SELECT doc_id, source, md5(text) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |delta AS (
+      |  SELECT coalesce(n.source, o.source) AS source,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.fp <> n.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+      |SELECT source, status, COUNT(*) AS n_docs
+      |FROM delta GROUP BY source, status
+      |ORDER BY source, status""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val old = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("text"),
+          when(col("doc_id") % 7 === 2, lit(" legacy")).otherwise(lit("")))).as("fp"))
+    val neu = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    snapshotDeltaOf(old, neu, "doc_id", "fp")
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val all: Seq[Q] = Seq(q103MergeUpsert, q104Scd2History, q112ViewMerge,
+    q205SnapshotDelta)
 }

@@ -278,6 +278,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Map("k1" -> (3L, "new"), "k2" -> (9L, "only")))
   }
 
+  test("snapshotDelta classifies every key and carries new-side payload") {
+    import spark.implicits._
+    val old = Seq((1L, "fa", "s1"), (2L, "fb", "s1"), (3L, "fc", "s2"))
+      .toDF("id", "fp", "src")
+    val neu = Seq((2L, "fb", "s1"), (3L, "fc2", "s2"), (4L, "fd", "s3"))
+      .toDF("id", "fp", "src")
+    val got = Graft.snapshotDelta(old, neu, "id", "fp")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> ("removed", "s1"), // shared payload falls back to the old side
+      2L -> ("unchanged", "s1"),
+      3L -> ("changed", "s2"),
+      4L -> ("added", "s3")))
+    // fp column itself coalesces too: removed rows keep the manifest fp
+    val fps = Graft.snapshotDelta(old, neu, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fps(1L) == "fa" && fps(3L) == "fc2")
+  }
+
   test("boilerplateShare works on an arbitrary user corpus") {
     val rep = Graft.boilerplateShare(corpus)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
