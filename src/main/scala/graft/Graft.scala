@@ -705,6 +705,18 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.Streaming.ChatShape] =
     streaming.Streaming.chatShapeStream(turns)
 
+  /** Streaming ingest near-dup gate: each arriving (doc_id, text)
+    * micro-batch MinHash-banded row-locally and matched against the
+    * standing corpus via a stream-static band join, candidates verified
+    * with exact Jaccard ≥ `minJaccard` — (incoming_id, existing_id,
+    * jaccard) duplicate alerts in append mode, no watermark or
+    * streaming state (a first-matching-band filter replaces the batch
+    * path's distinct()). Same signatures/banding as [[nearDupPairs]] /
+    * [[incrementalNearDups]]; works identically on a batch frame. */
+  def nearDupStream(incoming: DataFrame, standing: DataFrame,
+                    minJaccard: Double = 0.8): DataFrame =
+    streaming.Streaming.nearDupStream(incoming, standing, minJaccard)
+
   /** Windowed heavy hitters over a (ts, user_id) event frame: per
     * tumbling hour, the users with frequency strictly above
     * N_hour/(width+1) and their EXACT counts — two-pass (Misra-Gries

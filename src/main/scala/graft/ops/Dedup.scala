@@ -44,7 +44,7 @@ object Dedup {
   import Hashes._
 
   /** Universal-hash family modulus: the Mersenne prime 2^31-1. */
-  private val P = 2147483647L
+  private[graft] val P = 2147483647L
 
   /** k=16 (a_j, b_j) universal-hash constants, md5-derived so they are
     * reproducible, with a_j ∈ [1, p-1] and b_j ∈ [0, p-1]. */
@@ -94,9 +94,16 @@ object Dedup {
     * Hash collisions (60-bit) first matter near ~2^30 distinct shingles;
     * the oracle hashes identically, so semantics stay mirrored anyway. */
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    hashedShinglesRowLocal(docs)
+      .groupBy(col("doc_id")).agg(first(col("hs")).as("hs"))
+
+  /** [[hashedShinglesOf]] WITHOUT the aggregation barrier — one fully
+    * row-local projection per doc. For STREAMING frames (a groupBy is
+    * not allowed pre-watermark in append mode); batch callers should
+    * keep the barriered form, whose plan-dedup rationale is above. */
+  private[graft] def hashedShinglesRowLocal(docs: DataFrame): DataFrame =
     shinglesOf(docs)
       .select(col("doc_id"), transform(col("sh"), sh => hexLong(sh)).as("hs"))
-      .groupBy(col("doc_id")).agg(first(col("hs")).as("hs"))
 
   private def docHashedShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesOf(Tables.documents(s, dir))

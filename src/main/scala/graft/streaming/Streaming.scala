@@ -451,6 +451,72 @@ object Streaming {
       .orderBy(col("hour_start"), col("user_id"))
   }
 
+  /** Streaming ingest near-dup gate — q83's incremental matcher as a
+    * stream-static join, the continuous-ingestion complement of the
+    * daily-batch path: each arriving (doc_id, text) micro-batch is
+    * MinHash-signed ROW-LOCALLY (no pre-join aggregation, so append
+    * mode needs no watermark), its 4 LSH band keys joined against the
+    * STANDING corpus's band rows, and every candidate verified with
+    * exact Jaccard — emitting (incoming_id, existing_id, jaccard)
+    * duplicate alerts as they arrive.
+    *
+    * Exactly-once per pair WITHOUT streaming state: a pair colliding in
+    * k bands would surface k times from the band join, and the batch
+    * path's `distinct()` is unavailable pre-watermark — instead both
+    * sides carry their full 4-slot band-key array, and the join keeps
+    * only the row whose band is the FIRST slot where the two arrays
+    * agree. Row-local arithmetic replaces state: stateless, bounded
+    * memory, no late-data semantics to reason about.
+    *
+    * Scale: the standing side is re-read per micro-batch (Spark
+    * stream-static semantics) — at 100 TB it must be the MATERIALIZED
+    * band-index table (doc_id, hs, bkeys, b, bkey), bucketed on
+    * (b, bkey) so each micro-batch's join probes only matching buckets;
+    * pass it pre-built via `standingIndex`. Re-deliveries of the same
+    * incoming doc across micro-batches are the source's concern —
+    * compose with [[dedupWithinWatermark]] upstream for at-least-once
+    * sources.
+    *
+    * `incoming` is a streaming (or batch — same plan) (doc_id, text)
+    * frame; `standing` a static (doc_id, text) corpus. */
+  def nearDupStream(incoming: DataFrame, standing: DataFrame,
+                    minJaccard: Double = 0.8): DataFrame = {
+    val e = bandRows(graft.ops.Dedup.hashedShinglesOf(standing))
+    val n = bandRows(graft.ops.Dedup.hashedShinglesRowLocal(incoming))
+    val joined = n.as("n").join(e.as("e"),
+      col("n.b") === col("e.b") && col("n.bkey") === col("e.bkey") &&
+        col("n.doc_id") =!= col("e.doc_id"))
+    // 1-based slot of the first agreeing band vs the join row's 0-based b
+    val firstMatch = array_position(
+      zip_with(col("n.bkeys"), col("e.bkeys"), (x, y) => x === y), true)
+    val inter = size(array_intersect(col("n.hs"), col("e.hs")))
+    val jac = inter.cast("double") /
+      (size(col("n.hs")) + size(col("e.hs")) - inter)
+    joined
+      .filter(col("n.b") + 1 === firstMatch)
+      .select(col("n.doc_id").as("incoming_id"),
+        col("e.doc_id").as("existing_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** (doc_id, hs) → one row per LSH band: (doc_id, hs, bkeys, b, bkey),
+    * the full 4-slot key array carried for the first-match filter.
+    * Same signatures/banding as the batch q26/q83 path. */
+  private def bandRows(hs: DataFrame): DataFrame = {
+    import graft.ops.Dedup.{MinhashAB, P}
+    val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
+    val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
+    hs
+      .select(col("doc_id"), col("hs"),
+        call_function("graft_minhash", col("hs"), aLit, bLit, lit(P)).as("sig"))
+      .select(col("doc_id"), col("hs"),
+        transform(sequence(lit(0), lit(3)), b =>
+          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))
+            .cast("array<string>"))).as("bkeys"))
+      .select(col("doc_id"), col("hs"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("b", "bkey")))
+  }
+
   val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
     q146FunnelDropouts, q188StreamDistinct, q198StreamTopk)
 }

@@ -534,4 +534,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch(1L)._8 && !batch(2L)._8 && !batch(3L)._8)
   }
+
+  test("streaming near-dup gate: micro-batched alerts == batch, exactly once per pair") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the door"
+    val other = "completely different words populate this sentence about " +
+      "spark engines and distributed shuffles at scale here"
+    val standing = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val in1 = (101L, base) // exact dup of doc 1: ALL 4 bands collide
+    val in2 = (102L, base + " extra trailing tokens appended")
+    val in3 = (103L, "unrelated gibberish nothing shared with corpus text " +
+      "at all right now in any shingle")
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupStream(stream.toDF().toDF("doc_id", "text"), standing)
+      .writeStream.format("memory").queryName("nd_alerts").outputMode("append").start()
+    try {
+      stream.addData(in1); q.processAllAvailable()
+      stream.addData(in2, in3); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nd_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact duplicate shares all four band keys with doc 1 but must
+    // alert exactly ONCE (first-matching-band filter), at jaccard 1.0
+    assert(got.count(t => t._1 == 101L && t._2 == 1L) == 1)
+    assert(got.filter(t => t._1 == 101L).forall(_._3 == 1.0))
+    assert(!got.exists(_._1 == 103L))
+    // micro-batched arrival produces exactly the batch plan's alert set
+    val batch = Streaming.nearDupStream(
+      Seq(in1, in2, in3).toDF("doc_id", "text"), standing)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == batch.toSet && got.length == batch.length)
+  }
 }
