@@ -84,13 +84,15 @@ object Graft {
     ops.Components.connectedComponents(edges, reliable = reliable)
 
   /** The deduplicated corpus: drops every near-dup that is not its
-    * component's min doc_id. All non-key columns pass through. */
+    * component's min doc_id. All non-key columns pass through. The
+    * drop set is duplication-bounded but not bounded by construction,
+    * so the anti-join is plain — AQE broadcasts it when small. */
   def dedup(docs: DataFrame): DataFrame = {
     val dropped = ops.Components
       .connectedComponents(nearDupPairs(docs).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    docs.join(broadcast(dropped), docs("doc_id") === dropped("id"), "left_anti")
+    docs.join(dropped, docs("doc_id") === dropped("id"), "left_anti")
   }
 
   /** Per-document quality statistics (token counts, TTR, stopword
@@ -257,7 +259,7 @@ object Graft {
     * partitioning/parallelism. Within a fitted model the survivor
     * policy is deterministic (lowest id per ε-ball wins). */
   def semDedup(vectors: DataFrame, k: Int = 16, tau: Double = 0.999,
-               maxClusterSize: Int = 4096): DataFrame =
+               maxClusterSize: Int = ops.Similarity.DefaultMaxClusterSize): DataFrame =
     ops.Similarity.semDedupOf(vectors, k, tau, maxClusterSize)
 
   /** Latest-wins changelog compaction (CDC upsert / SCD type 1): keep,
@@ -414,10 +416,13 @@ object Graft {
   /** Longest duplicated word span per doc pair at 12-gram grain:
     * (i, j, max_run, span_words) — the suffix-array passage-dedup
     * report (Lee et al. 2022) via diagonal runs of shared windows; hot
-    * windows above `Dedup.MaxPassageDf` occurrences are excluded from
-    * pairing. */
-  def dupSpans(docs: DataFrame): DataFrame =
-    ops.Dedup.dupSpansOf(docs)
+    * windows above `maxPassageDf` occurrences are excluded from
+    * pairing (the df-cap guard bounding match rows at
+    * Σ n_occ² ≤ cap · Σ n_occ — raise it for boilerplate-heavy
+    * corpora at a quadratic candidate cost). */
+  def dupSpans(docs: DataFrame,
+               maxPassageDf: Long = ops.Dedup.MaxPassageDf): DataFrame =
+    ops.Dedup.dupSpansOf(docs, maxPassageDf)
 
   /** Fixed-point integer PageRank over a directed (src, dst) edge frame:
     * (node, rank) in micro-units after `iters` damped rounds (d = 0.85,
@@ -555,11 +560,14 @@ object Graft {
     * decontaminators can't see). Both frames carry (vec_id,
     * v: array<double>); candidates come from shared LSH buckets, the
     * eval side broadcasts, the corpus never shuffles. Returns (vec_id,
-    * eval_id, sim) — the best eval match per flagged vector. */
+    * eval_id, sim) — the best eval match per flagged vector.
+    * `nPlanes` sizes the LSH bucket key (bits ∝ log₂N, the [[knnGraph]]
+    * contract — more planes = fewer candidates, lower recall). */
   def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
-                       minSim: Double = 0.9): DataFrame =
+                       minSim: Double = 0.9, nPlanes: Int = 8): DataFrame =
     ops.Similarity.semanticDecontamOf(
-      ops.Similarity.bucketized(corpus), ops.Similarity.bucketized(evalSet), minSim)
+      ops.Similarity.bucketized(corpus, nPlanes),
+      ops.Similarity.bucketized(evalSet, nPlanes), minSim)
 
   /** k-NN graph over (vec_id, v: array<double>): for every vector its
     * top-`k` same-LSH-bucket neighbors by exact cosine — (query_id,
@@ -567,17 +575,29 @@ object Graft {
     * bounded-probe exact search), so candidates come from a bucket
     * equi-join; vectors alone in their bucket have no neighbors
     * (multi-probe or fewer hyperplane bits densifies). Zero-norm
-    * vectors are excluded. */
-  def knnGraph(vectors: DataFrame, k: Int = 10): DataFrame =
-    ops.Similarity.knnGraphOf(vectors, k)
+    * vectors are excluded.
+    *
+    * Scale knobs: `nPlanes` hyperplane sign bits form the bucket key —
+    * bucket population ≈ N/2^nPlanes, so grow nPlanes ∝ log₂N (8 bits
+    * suit ~10⁶ vectors; ~10⁹ want ~16+). Whatever skew remains,
+    * `maxBucketSize` is the in-engine guard: any bucket above it is
+    * sub-bucketed by banded centroid-relative sign bits before the
+    * pair join, bounding pair volume at the price of some near-dup
+    * recall (exact-duplicate recall is structural). */
+  def knnGraph(vectors: DataFrame, k: Int = 10, nPlanes: Int = 8,
+               maxBucketSize: Int = ops.Similarity.DefaultMaxBucketSize): DataFrame =
+    ops.Similarity.knnGraphOf(vectors, k, nPlanes, maxBucketSize)
 
   /** Embedding near-dup clusters: same-LSH-bucket pairs at cosine ≥
     * `minSim` → connected components — every vector gets (vec_id,
     * cluster), cluster = min member id, singletons their own id. The
     * transitive, ML-free twin of [[semDedup]]: A≈B≈C cluster together
-    * even when cos(A,C) misses the bar. */
-  def embedClusters(vectors: DataFrame, minSim: Double = 0.9): DataFrame =
-    ops.Similarity.embedClustersOf(vectors, minSim)
+    * even when cos(A,C) misses the bar. Scale knobs `nPlanes` /
+    * `maxBucketSize`: see [[knnGraph]] — same guarded candidate
+    * generator, same bits-∝-log₂N contract. */
+  def embedClusters(vectors: DataFrame, minSim: Double = 0.9, nPlanes: Int = 8,
+                    maxBucketSize: Int = ops.Similarity.DefaultMaxBucketSize): DataFrame =
+    ops.Similarity.embedClustersOf(vectors, minSim, nPlanes, maxBucketSize)
 
   /** Exact distributed ROC-AUC of a (score, y ∈ {0,1}) frame with
     * average-rank tie handling (the Mann–Whitney identity — the value
@@ -672,6 +692,18 @@ object Graft {
   def bpeMerges(docs: DataFrame, n: Int = 10): DataFrame =
     ops.Bpe.trainMerges(docs, n)
 
+  /** Batched twin of [[bpeMerges]] for REAL vocabulary sizes: the
+    * sequential trainer costs one Spark job + driver argmax per merge
+    * (50k merges → 50k jobs — its documented ceiling); this one learns
+    * up to `maxBatch` pairwise symbol-disjoint merges per recount
+    * round (longest rank-order prefix rule), so the job count falls
+    * toward n/maxBatch on Zipf-shaped pair heads while the learned
+    * table matches sequential training on non-interacting batches
+    * (see the ops.Bpe scaladoc for the exactness contract;
+    * maxBatch = 1 IS the sequential trainer). */
+  def bpeMergesBatched(docs: DataFrame, n: Int, maxBatch: Int = 16): DataFrame =
+    ops.Bpe.trainMergesBatched(docs, n, maxBatch)
+
   /** Leakage-safe k-fold CV assignment: [[leakageSafeSplit]] generalized
     * to folds — fold = md5(near-dup component) % k, so transitive
     * near-copies always share a fold and no CV round trains on a
@@ -712,10 +744,27 @@ object Graft {
     * jaccard) duplicate alerts in append mode, no watermark or
     * streaming state (a first-matching-band filter replaces the batch
     * path's distinct()). Same signatures/banding as [[nearDupPairs]] /
-    * [[incrementalNearDups]]; works identically on a batch frame. */
+    * [[incrementalNearDups]]; works identically on a batch frame.
+    * This form re-bands the standing corpus every micro-batch — at
+    * scale, materialize [[nearDupBandIndex]] once and gate through
+    * [[nearDupStreamIndexed]] instead. */
   def nearDupStream(incoming: DataFrame, standing: DataFrame,
                     minJaccard: Double = 0.8): DataFrame =
     streaming.Streaming.nearDupStream(incoming, standing, minJaccard)
+
+  /** Materialized standing-corpus band index for the streaming gate:
+    * (doc_id, hs, bkeys, b, bkey), one row per (doc, band). Persist it
+    * bucketed on (b, bkey) and refresh it incrementally (q83's
+    * manifest / [[snapshotDelta]]'s change feed), so the 100 TB
+    * standing side is a stored scan, never re-shingled per trigger. */
+  def nearDupBandIndex(standing: DataFrame): DataFrame =
+    streaming.Streaming.standingBandIndex(standing)
+
+  /** [[nearDupStream]] over a prebuilt [[nearDupBandIndex]] frame —
+    * identical alerts, standing text never touched. */
+  def nearDupStreamIndexed(incoming: DataFrame, standingIndex: DataFrame,
+                           minJaccard: Double = 0.8): DataFrame =
+    streaming.Streaming.nearDupStreamIndexed(incoming, standingIndex, minJaccard)
 
   /** Windowed heavy hitters over a (ts, user_id) event frame: per
     * tumbling hour, the users with frequency strictly above
@@ -732,9 +781,13 @@ object Graft {
     * step order): per doc (doc_id, n_words, n_tokens, n_chars,
     * micro_chars_per_token) where the ratio is n_chars·10⁶ DIV n_tokens
     * (exact integer) — the token-accounting input packing and budget
-    * math consume. Row-local (zero shuffle): merges fold per word via
-    * chained native `aggregate` HOFs. Merge symbols must not contain
-    * space or tab. */
+    * math consume. Row-local (zero shuffle): the whole fold runs in
+    * the compiled codegen'd `graft_bpe_counts` Catalyst expression
+    * (the session must have [[GraftExtensions]] registered for
+    * `call_function` to resolve it; the chained-HOF formulation
+    * survives only as BpeSpec's bit-equivalence witness). Merge
+    * symbols must not contain space or tab; text is processed by
+    * Unicode code point. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     ops.Bpe.bpeEncodeOf(docs, merges)
 

@@ -60,8 +60,19 @@ object BpeCounts {
   /** End-of-word marker — must equal [[graft.ops.Bpe]]'s. */
   private val Eow = "</w>"
 
-  /** Static entry shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, merges: ArrayData): ArrayData = {
+  /** Per-thread memo of the last parsed merges literal. The merges
+    * child is required foldable, so every row of a task evaluates to
+    * the SAME ArrayData instance (a Literal reference) — an identity
+    * check makes the tab-split parse once-per-task instead of
+    * per-row (the kernel exists to remove per-row interpretation
+    * cost; re-parsing up to 256 merge strings per row was exactly
+    * that cost sneaking back in). */
+  private val lastMerges =
+    new ThreadLocal[(ArrayData, Array[String], Array[String])]
+
+  private def parsedMerges(merges: ArrayData): (Array[String], Array[String]) = {
+    val memo = lastMerges.get()
+    if (memo != null && (memo._1 eq merges)) return (memo._2, memo._3)
     val nm = merges.numElements()
     val ls = new Array[String](nm)
     val rs = new Array[String](nm)
@@ -74,6 +85,20 @@ object BpeCounts {
       rs(m) = pair.substring(tab + 1)
       m += 1
     }
+    lastMerges.set((merges, ls, rs))
+    (ls, rs)
+  }
+
+  /** Static entry shared by interpreted eval and generated code.
+    * Iteration is by Unicode CODE POINT, not UTF-16 unit — symbols,
+    * word lengths and n_chars must agree with the HOF twin (Spark
+    * `split(w, '')` / `length(w)`) and the DuckDB oracle, both of
+    * which are code-point semantics; a supplementary-plane char is
+    * ONE symbol, never a lone-surrogate pair. */
+  def compute(text: UTF8String, merges: ArrayData): ArrayData = {
+    val (ls, rs) = parsedMerges(merges)
+    val nm = ls.length
+    var m = 0
     var nWords = 0L
     var nTokens = 0L
     var nChars = 0L
@@ -83,14 +108,20 @@ object BpeCounts {
     while (start <= n) {
       var end = s.indexOf(' ', start)
       if (end < 0) end = n
-      val wlen = end - start
-      if (wlen >= 1) {
+      if (end > start) {
+        val wlen = s.codePointCount(start, end)
         nWords += 1
         nChars += wlen
-        // symbols: one per char + the end-of-word marker
+        // symbols: one per code point + the end-of-word marker
         var syms = new Array[String](wlen + 1)
         var i = 0
-        while (i < wlen) { syms(i) = String.valueOf(s.charAt(start + i)); i += 1 }
+        var pos = start
+        while (pos < end) {
+          val cc = Character.charCount(s.codePointAt(pos))
+          syms(i) = s.substring(pos, pos + cc)
+          pos += cc
+          i += 1
+        }
         syms(wlen) = Eow
         var len = syms.length
         m = 0

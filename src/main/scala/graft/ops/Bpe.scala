@@ -56,7 +56,19 @@ object Bpe {
       .groupBy(col("left"), col("right")).agg(sum(col("n")).as("cnt"))
 
   /** Train `nMerges` BPE merges on (doc_id, text) docs. Returns the
-    * merge table (step, left, right, pair_count) in learning order. */
+    * merge table (step, left, right, pair_count) in learning order.
+    *
+    * COST CONTRACT — O(nMerges) sequential Spark jobs: Sennrich BPE is
+    * inherently sequential (each argmax depends on the previous
+    * merge's recount), so every merge costs one pair-aggregation job
+    * plus one 1-row driver argmax, checkpointed. Fine at the shipped
+    * nMerges=10; at a REAL vocabulary (50k merges) that is 50k Spark
+    * jobs / driver round-trips — hours of scheduler overhead before
+    * any data is touched. That is this trainer's practical ceiling
+    * (≲ a few hundred merges). Past it, use [[trainMergesBatched]],
+    * which learns several non-interacting merges per recount round;
+    * statistics run at word-TYPE grain either way, so the per-round
+    * data cost is |vocabulary|, not corpus size. */
   private[graft] def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
@@ -96,6 +108,72 @@ object Bpe {
           state.withColumn("x", folded)
             .select(col("word"), col("n"), mergedSyms.as("syms")), rel)
         step += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "left", "right", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** Batched BPE training — [[trainMerges]]' answer to its own
+    * O(nMerges)-jobs ceiling: per recount round, accept the longest
+    * RANK-ORDER PREFIX of the (cnt DESC, left, right) pair list whose
+    * members are pairwise symbol-disjoint (no shared left/right/merged
+    * symbol, capped at `maxBatch`), apply them in one fold pass, and
+    * recount once. Job count drops from nMerges to the number of
+    * rounds — on Zipf-shaped heads (frequent pairs from different
+    * words) that approaches nMerges/maxBatch; on chained heads (a
+    * word's internal pairs all tie) a round degrades to one merge,
+    * never to wrong output.
+    *
+    * Equivalence to the sequential trainer: a batch applies merges in
+    * rank order, and symbol-disjointness makes each accepted pair's
+    * count invariant under the others' application, so the table
+    * matches sequential training whenever every pair INTERACTING with
+    * an accepted merge ranks strictly below the whole batch — the
+    * prefix rule enforces exactly that for existing pairs (it stops at
+    * the first interacting pair). Residual theoretical gap: a pair
+    * CREATED by an accepted merge (count ≤ its source pair, which the
+    * prefix rule proves ranks below the batch) can tie that source's
+    * count and re-rank above a later batch member purely through the
+    * lexicographic tiebreak on the new concatenated symbol name.
+    * BpeSpec pins batched == sequential on an interacting multi-word
+    * fixture and maxBatch=1 == sequential on the real corpus;
+    * maxBatch=1 eliminates the gap entirely. */
+  private[graft] def trainMergesBatched(docs: DataFrame, nMerges: Int,
+                                        maxBatch: Int = 16): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    val spark = docs.sparkSession
+    val rel = Components.sessionReliable(docs)
+    if (rel) Components.requireCheckpointDir(docs)
+    var state = Components.materialize(wordTable(docs), rel)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val want = math.min(maxBatch, nMerges - step + 1)
+      val ranked = pairCounts(state)
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(want).collect()
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        for (row <- ranked if !stop) {
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (accepted.isEmpty || (!used(l) && !used(r) && !used(l + r))) {
+            accepted += ((l, r, c)); used ++= Seq(l, r, l + r)
+          } else stop = true
+        }
+        accepted.foreach { case (l, r, c) => merges += ((step, l, r, c)); step += 1 }
+        val folded = accepted.foldLeft("syms") {
+          case (acc, (l, r, _)) => foldOnceExpr(acc, l, r)
+        }
+        state = Components.materialize(
+          state.select(col("word"), col("n"), expr(folded).as("syms")), rel)
       }
     }
     spark.createDataFrame(merges.toSeq)

@@ -182,8 +182,12 @@ object Components {
   /** The deduplicated corpus: every document except non-survivor
     * near-dups (component members other than the min doc_id). This is
     * the pipeline's end product — what a training run actually reads.
-    * Non-survivors are a small set (near-dup docs only), so the
-    * anti-join broadcasts; the corpus itself streams through unshuffled. */
+    * Non-survivors are duplication-bounded (near-dup docs only) but
+    * NOT bounded by construction — a 50%-dup corpus makes the set
+    * corpus-scale — so the anti-join is a plain equi-join and AQE
+    * picks broadcast when the set is actually small (a forced
+    * `broadcast()` hint would override Spark's size threshold and
+    * OOM the driver in the heavy-dup case). */
   val q73DedupSurvivors: Q = Q.sql(
     "q73_dedup_survivors",
     s"""WITH RECURSIVE
@@ -205,7 +209,7 @@ object Components {
       .filter(col("id") =!= col("label"))
       .select(col("id"))
     graft.Tables.documents(s, dir)
-      .join(broadcast(dropped), col("doc_id") === col("id"), "left_anti")
+      .join(dropped, col("doc_id") === col("id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -219,9 +223,11 @@ object Components {
     *
     * Scale: components exist only for duplicated docs (small);
     * quality joins at that grain; the per-component argmax is a
-    * `max_by` aggregate (partial-merge friendly); the corpus itself
-    * streams through one broadcast anti-join, unshuffled — identical
-    * shape to [[q73DedupSurvivors]] with one extra small-side join. */
+    * `max_by` aggregate (partial-merge friendly); the corpus joins
+    * the drop set in a plain anti-join (duplication-bounded, not
+    * bounded by construction — AQE broadcasts it when small, see
+    * [[q73DedupSurvivors]]) — identical shape to q73 with one extra
+    * small-side join. */
   val q158BestSurvivors: Q = Q.sql(
     "q158_best_survivors",
     s"""WITH RECURSIVE
@@ -263,10 +269,10 @@ object Components {
     val best = comps.join(quality, "id")
       .groupBy(col("label"))
       .agg(max_by(col("id"), struct(col("quality"), negate(col("id")))).as("keep"))
-    val dropped = comps.join(broadcast(best), "label")
+    val dropped = comps.join(best, "label")
       .filter(col("id") =!= col("keep"))
       .select(col("id"))
-    docs.join(broadcast(dropped), docs("doc_id") === dropped("id"), "left_anti")
+    docs.join(dropped, docs("doc_id") === dropped("id"), "left_anti")
   }
 
   /** Leakage-safe train/eval split: membership is a deterministic md5
@@ -282,8 +288,9 @@ object Components {
     * engines, reruns, and partitionings.
     *
     * Scale: components exist only for duplicated docs → the (id, label)
-    * map broadcasts; the corpus takes one broadcast left join and
-    * streams through unshuffled. */
+    * map is duplication-bounded; the corpus takes one plain left
+    * equi-join (AQE broadcasts the map when it is actually small — a
+    * forced hint would OOM the driver on a heavy-dup corpus). */
   val q160LeakageSafeSplit: Q = Q.sql(
     "q160_leakage_safe_split",
     s"""WITH RECURSIVE
@@ -313,8 +320,8 @@ object Components {
     * folds: fold = md5(component) % k, so every member of a near-dup
     * component lands in ONE fold and no CV round ever trains on a
     * near-copy of its held-out docs. Same scale shape as q160 (the
-    * (id, label) component map broadcasts; the corpus takes one
-    * broadcast left join, unshuffled). */
+    * (id, label) component map joins back in a plain left equi-join;
+    * AQE broadcasts it when small). */
   val q192CvFolds: Q = Q.sql(
     "q192_cv_folds",
     s"""WITH RECURSIVE
@@ -347,7 +354,7 @@ object Components {
     require(k >= 2, s"k must be >= 2, got $k")
     val comps = connectedComponents(pairs)
       .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
-    docs.join(broadcast(comps), docs("doc_id") === col("__graft_cc_id"), "left")
+    docs.join(comps, docs("doc_id") === col("__graft_cc_id"), "left")
       .withColumn("grp", coalesce(col("__graft_cc_label"), docs("doc_id")))
       .withColumn("fold",
         call_function("graft_md5long64", col("grp").cast("string")) % k)
@@ -366,7 +373,7 @@ object Components {
     // untouched, not get silently dropped or turn the join ambiguous
     val comps = connectedComponents(pairs)
       .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
-    docs.join(broadcast(comps), docs("doc_id") === col("__graft_cc_id"), "left")
+    docs.join(comps, docs("doc_id") === col("__graft_cc_id"), "left")
       .withColumn("grp", coalesce(col("__graft_cc_label"), docs("doc_id")))
       .withColumn("split",
         when(call_function("graft_md5long64", col("grp").cast("string")) % 1000

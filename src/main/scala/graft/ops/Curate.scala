@@ -8,11 +8,12 @@ import graft.{Q, Tables}
   * near-dup survivorship, reported per language. Exists to prove the
   * stages COMPOSE as one lazy plan: [[TextAnalysis.textStats]] (row-local
   * scoring), [[Dedup.minhashPairs]] → [[Components.connectedComponents]]
-  * (the pair graph + survivor labels), and a broadcast anti-join — no
+  * (the pair graph + survivor labels), and an anti-join — no
   * materialization boundaries between modules, one job.
   *
   * Shape at scale: scoring is scan-speed; the dedup branch's state is
-  * proportional to duplicated docs; the anti-join broadcasts; the final
+  * proportional to duplicated docs; the anti-join is plain (AQE
+  * broadcasts the duplication-bounded drop set when small); the final
   * per-language rollup is a 5-row aggregate. The corpus is scanned twice
   * (once for scoring, once inside the shingle pipeline) — fundamental,
   * since dedup needs the pair graph closed before survivorship is known.
@@ -59,7 +60,7 @@ object Curate {
       .select(col("id"))
     TextAnalysis.textStats(s, dir)
       .filter(col("quality") >= MinQuality && col("n_words") >= MinWords)
-      .join(broadcast(dropped), col("doc_id") === col("id"), "left_anti")
+      .join(dropped, col("doc_id") === col("id"), "left_anti")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -90,7 +91,9 @@ object Curate {
     * Shape at scale: three corpus scans (scoring, shingle pipeline,
     * sample filter) — the shingle pass feeds dedup AND decontamination
     * from one exchange (ReuseExchange); everything that joins back to
-    * the corpus (drop set, contamination set, thresholds) broadcasts. */
+    * the corpus stays small in practice — thresholds are lang-grain
+    * (forced broadcast, bounded); drop/contamination sets are
+    * duplication-bounded plain joins AQE broadcasts when small. */
   val q143TrainingManifest: Q = Q.sql(
     "q143_training_manifest",
     s"""WITH RECURSIVE
@@ -164,8 +167,8 @@ object Curate {
     val eligible = TextAnalysis.textStats(s, dir)
       .filter(col("quality") >= MinQuality && col("n_words") >= MinWords
         && col("doc_id") % 20 =!= 0)
-      .join(broadcast(dropped), col("doc_id") === col("id"), "left_anti")
-      .join(broadcast(contaminated), col("doc_id") === col("cid"), "left_anti")
+      .join(dropped, col("doc_id") === col("id"), "left_anti")
+      .join(contaminated, col("doc_id") === col("cid"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_words"))
     val thr = Sampling.temperatureThresholds(eligible, "lang")
     eligible

@@ -905,7 +905,7 @@ object Dedup {
     val wsets = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
     val shared = size(array_intersect(col("wi"), col("wj")))
-    broadcast(minhashPairs(s, dir).select(col("i"), col("j")))
+    minhashPairs(s, dir).select(col("i"), col("j"))
       .join(wsets.select(col("doc_id").as("i"), col("ws").as("wi")), "i")
       .join(wsets.select(col("doc_id").as("j"), col("ws").as("wj")), "j")
       .select(col("i"), col("j"),
@@ -1089,8 +1089,10 @@ object Dedup {
     * at least one df-capped 12-gram window; span_words = longest shared
     * word span (≥ 12) certified by a consecutive diagonal run. Exposed
     * for the facade and [[q177DupSpans]]. */
-  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+  private[graft] def dupSpansOf(docs: DataFrame,
+                                maxPassageDf: Long = MaxPassageDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxPassageDf >= 2, s"maxPassageDf must be >= 2, got $maxPassageDf")
     val seg = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 12)
@@ -1101,7 +1103,7 @@ object Dedup {
       .withColumnRenamed("col", "h")
     val elig = seg.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"))
-      .filter(col("nd") >= 2 && col("no") <= MaxPassageDf)
+      .filter(col("nd") >= 2 && col("no") <= maxPassageDf)
       .select(col("h"))
     // filter ONCE, self-join the identical frame: with elig joined
     // after the self-join the optimizer pushes it into one side only,

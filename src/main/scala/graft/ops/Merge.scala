@@ -167,12 +167,16 @@ object Merge {
     * orders of magnitude smaller. Both sides hash-partition on the key
     * (Spark cannot broadcast a full outer join's build side, and at
     * corpus scale both sides are large anyway); output carries the
-    * new-side payload columns, falling back to the old side's value on
-    * removed rows for columns the two frames share.
+    * new-side payload columns, falling back to the old side's value
+    * ONLY on removed rows (a matched row keeps the new side verbatim —
+    * a null new value is data, not a signal to resurrect stale bytes)
+    * for columns the two frames share.
     *
-    * `oldSnap`/`newSnap` must both contain `key` and `fp`; `fp` must be
-    * non-null (a null fingerprint would make changed-vs-unchanged
-    * undecidable — null-safe compare would silently call it changed). */
+    * `oldSnap`/`newSnap` must both contain `key` and `fp`; a null
+    * fingerprint on a present side FAILS FAST (`raise_error` inside
+    * the status classifier) — a null would otherwise make
+    * changed-vs-unchanged undecidable and `=!=` would silently file
+    * the row under `unchanged`. */
   private[graft] def snapshotDeltaOf(oldSnap: DataFrame, newSnap: DataFrame,
                                      key: String, fp: String): DataFrame = {
     require(oldSnap.columns.contains(fp) && newSnap.columns.contains(fp),
@@ -185,10 +189,15 @@ object Merge {
     val joined = o.join(n, col("__graft_k_old") === col("__graft_k_new"), "full_outer")
     val status = when(col("__graft_k_old").isNull, lit("added"))
       .when(col("__graft_k_new").isNull, lit("removed"))
+      .when(col(s"__graft_old_$fp").isNull || col(fp).isNull,
+        raise_error(concat(lit("snapshotDelta: null fingerprint for key "),
+          coalesce(col("__graft_k_new").cast("string"), lit("?")))))
       .when(col(s"__graft_old_$fp") =!= col(fp), lit("changed"))
       .otherwise(lit("unchanged"))
     val attrs = newSnap.columns.filterNot(_ == key).map { c =>
-      if (oldCols.contains(c)) coalesce(col(c), col(s"__graft_old_$c")).as(c)
+      if (oldCols.contains(c))
+        when(col("__graft_k_new").isNull, col(s"__graft_old_$c"))
+          .otherwise(col(c)).as(c)
       else col(c)
     }
     joined.select(coalesce(col("__graft_k_old"), col("__graft_k_new")).as(key) +:

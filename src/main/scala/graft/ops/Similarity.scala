@@ -36,9 +36,30 @@ object Similarity {
   private val Dim = 64
   private val NPlanes = 8
 
-  /** The 8 fixed md5-derived hyperplanes, computed once at plan build. */
-  private val planes: Seq[Array[Double]] =
-    (0 until NPlanes).map(p => Array.tabulate(Dim)(d => pseudoUniform(s"hp$p", d)))
+  /** Default per-bucket population cap for the FULL-CORPUS pair
+    * generators ([[lshPairCandidates]] → q29/q178/q179 and the
+    * [[graft.Graft.knnGraph]]/[[graft.Graft.embedClusters]] facades).
+    * A bucket above this size is sub-bucketed by centroid-relative
+    * sign bits before any pair join (see [[lshGuardBuckets]]), so the
+    * worst-case pair volume per original bucket is
+    * ~bands · 2^r · (size/2^r)² instead of size². */
+  private[graft] val DefaultMaxBucketSize = 4096
+
+  /** Default within-k-means-cluster population cap for [[semDedupOf]]
+    * (same guard family: above it, [[semDedupBuckets]] sub-buckets by
+    * centroid-relative sign bits before the pair join). */
+  private[graft] val DefaultMaxClusterSize = 4096
+
+  /** md5-derived hyperplane `p`, deterministic and cached: planes
+    * 0..nPlanes-1 are the bucketing planes the DuckDB oracle replays
+    * from SQL; the number of planes is a parameter (bits must grow
+    * ∝ log₂N — at 10⁹ vectors, 8 bits leave ~4M vectors per bucket,
+    * which is why the facades expose `nPlanes` AND the guard exists
+    * for whatever skew remains). */
+  private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Double]]
+  private def plane(p: Int): Array[Double] =
+    planeCache.getOrElseUpdate(p, Array.tabulate(Dim)(d => pseudoUniform(s"hp$p", d)))
+
 
   /** Left-fold dot product of two array<double> columns — the native
     * codegen'd [[graft.expressions.DotF64]]; bit-identical to DuckDB's
@@ -77,9 +98,9 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
 
   /** 8-bit LSH bucket: concatenated signs of the hyperplane projections. */
-  private def bucket(v: Column): Column =
-    concat(planes.map(p =>
-      when(dot(v, lit(p)) > 0, "1").otherwise("0")): _*)
+  private def bucket(v: Column, nPlanes: Int = NPlanes): Column =
+    concat((0 until nPlanes).map(p =>
+      when(dot(v, lit(plane(p))) > 0, "1").otherwise("0")): _*)
 
   // Lambda var deliberately NOT 'p' — it would capture the planes CTE's
   // p column in DuckDB's binder instead of the lambda argument.
@@ -188,13 +209,7 @@ object Similarity {
        |SELECT i, j, sim FROM scored WHERE sim >= 0.1
        |ORDER BY i, j""".stripMargin
   ) { (s, dir) =>
-    val n = vecs(s, dir).withColumn("bucket", bucket(col("v")))
-    val a = n.select(col("vec_id").as("i"), col("v").as("av"),
-      col("nrm").as("an"), col("bucket").as("ab"))
-    a.join(n, col("ab") === col("bucket") && col("i") < col("vec_id"))
-      .select(
-        col("i"), col("vec_id").as("j"),
-        round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9).as("sim"))
+    lshPairCandidates(vecs(s, dir).select(col("vec_id"), col("v")))
       .filter(col("sim") >= 0.1)
       .orderBy(col("i"), col("j"))
   }
@@ -261,10 +276,108 @@ object Similarity {
   /** Bucketize an arbitrary (vec_id, v: array<double>) frame for
     * [[semanticDecontamOf]] — norms + the md5-derived hyperplane
     * bucket. */
-  private[graft] def bucketized(vectors: DataFrame): DataFrame =
+  private[graft] def bucketized(vectors: DataFrame,
+                                nPlanes: Int = NPlanes): DataFrame =
     vectors.select(col("vec_id"), col("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucket(col("v")))
+      .withColumn("bucket", bucket(col("v"), nPlanes))
+
+  /** Bucket-size guard for the FULL-CORPUS pair generators — the same
+    * oversized-group machinery as [[semDedupBuckets]], applied to the
+    * hyperplane buckets: any bucket above `maxBucketSize` is split by
+    * the signs of its vectors' coordinates relative to the BUCKET
+    * centroid — r = ceil(log2(size/maxBucketSize)) bits (≤
+    * [[SubBucketBits]]), replicated over [[SubBucketBands]] bands
+    * reading different coordinate offsets, OR-combined by the
+    * downstream pair distinct. Identical vectors share every sig in
+    * every band (exact-dup recall is structural); near-identical pairs
+    * can straddle a sign boundary in all bands — the documented recall
+    * price of bounding a bucket the caller's `nPlanes` failed to
+    * bound. Buckets at or under the cap keep one band with sig 0 (the
+    * plain q28-shaped equi-join, byte-identical results — the oracle
+    * never sees the guard at verify scale).
+    *
+    * Scale: bucket sizes and centroids are bucket-grain aggregates;
+    * their joins back to the corpus are PLAIN equi-joins (AQE picks
+    * broadcast when the bucket count is small — no explicit
+    * `broadcast()` of a frame that is corpus-bounded by construction).
+    * Input/output: (vec_id, v, nrm, bucket) → + (band, sig). */
+  private[graft] def lshGuardBuckets(n: DataFrame, maxBucketSize: Int): DataFrame = {
+    // ONE pass, no union: bucket sizes come from a window over the
+    // bucket key (no second corpus scan; the exchange it introduces is
+    // subsumed by the pair join's shuffle grain), bands explode to 1
+    // for in-cap buckets and SubBucketBands for oversized ones, and the
+    // per-band sig is a band-dispatched when-chain whose bit terms
+    // short-circuit on r = 0 — so the common no-oversized-bucket case
+    // pays one window + one explode(1) and never touches `mu`.
+    val sized = n
+      .withColumn("__graft_bsz",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .withColumn("__graft_r",
+        greatest(lit(0L),
+          least(ceil(log(2.0, col("__graft_bsz").cast("double") / maxBucketSize)),
+            lit(SubBucketBits.toLong))).cast("int"))
+    // per-oversized-bucket centroid, dimension-agnostic (posexplode →
+    // per-coordinate mean → re-assembled in coordinate order); empty
+    // whenever no bucket exceeds the cap, so the left join below is a
+    // no-op there (AQE sees ~0 rows and broadcasts)
+    val mus = sized.filter(col("__graft_bsz") > maxBucketSize)
+      .select(col("bucket"), posexplode(col("v")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(avg(col("col")).as("__graft_mx"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("pos"), col("__graft_mx"))).as("__graft_dm"))
+      .select(col("bucket"),
+        transform(array_sort(col("__graft_dm")), s => s.getField("__graft_mx")).as("mu"))
+    def sigFor(band: Int): Column = (0 until SubBucketBits).map { j =>
+      val idx = (pmod(lit(band * SubBucketBits + j), size(col("v"))) + 1).cast("int")
+      when(lit(j) < col("__graft_r") &&
+        element_at(col("v"), idx) > element_at(col("mu"), idx),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = (1 until SubBucketBands)
+      .foldLeft(when(col("band") === 0, sigFor(0))) {
+        case (acc, b) => acc.when(col("band") === b, sigFor(b))
+      }.otherwise(lit(0L))
+    sized
+      .join(mus, Seq("bucket"), "left")
+      .withColumn("band",
+        explode(when(col("__graft_r") > 0,
+          lit((0 until SubBucketBands).toArray)).otherwise(array(lit(0)))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
+        col("band"), sig.as("sig"))
+  }
+
+  /** The guarded bucket self-join every full-corpus generator shares:
+    * score exact cosine for co-bucketed (bucket, band, sig) id pairs
+    * passing `keep`, then distinct to OR-combine the bands. Zero-norm
+    * vectors carry no cosine and are excluded up front. */
+  private def guardedBucketJoin(vectors: DataFrame, nPlanes: Int, maxBucketSize: Int)
+                               (keep: (Column, Column) => Column): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 24,
+      s"nPlanes must be in [1, 24], got $nPlanes")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val n = vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("bucket", bucket(col("v"), nPlanes))
+    val g = lshGuardBuckets(n, maxBucketSize)
+    val a = g.select(col("vec_id").as("i"), col("v").as("av"), col("nrm").as("an"),
+      col("bucket").as("ab"), col("band").as("abd"), col("sig").as("asg"))
+    a.join(g, col("ab") === col("bucket") && col("abd") === col("band") &&
+        col("asg") === col("sig") && keep(col("i"), col("vec_id")))
+      .select(col("i"), col("vec_id").as("j"),
+        round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9).as("sim"))
+      .distinct()
+  }
+
+  /** Unordered candidate pairs (i < j, sim) from the guarded bucket
+    * join — the generator q29, q179 and [[graft.Graft.embedClusters]]
+    * share. With no oversized bucket this is exactly the q29 8-plane
+    * equi-join (band 0 / sig 0, distinct a no-op). */
+  private[graft] def lshPairCandidates(vectors: DataFrame, nPlanes: Int = NPlanes,
+                                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    guardedBucketJoin(vectors, nPlanes, maxBucketSize)(_ < _)
 
   /** IVF-style ANN (the other classic scale path beside q28's LSH):
     * a KMeans(16, seed 30) coarse quantizer assigns every vector to an
@@ -569,7 +682,7 @@ object Similarity {
     * kept) with at most one member kept per ε-ball per cluster (recall
     * caveats for oversized clusters: see [[semDedupBuckets]]). */
   private[graft] def semDedupOf(vectors: DataFrame, k: Int, tau: Double,
-                                maxClusterSize: Int = 4096): DataFrame = {
+                                maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
@@ -597,25 +710,20 @@ object Similarity {
     * vector have no neighbors and are absent (an LSH recall property,
     * not a bug — multi-probe or fewer bits densifies).
     *
-    * Scale: bucket population ≈ N/2^bits must stay bounded — at 10⁹
-    * vectors, 8 sign bits leave ~4M per bucket, so bits (planes) must
-    * grow ∝ log₂N exactly like SemDeDup's k ∝ N (the [[semDedupBuckets]]
-    * scaladoc); the per-bucket join is then |bucket|², the price every
-    * LSH pair generator here pays (q29's contract). Zero-norm vectors
-    * carry no cosine and are excluded from both sides. */
-  private[graft] def knnGraphOf(vectors: DataFrame, k: Int): DataFrame = {
+    * Scale: bucket population ≈ N/2^bits must stay bounded, so bits
+    * (planes) must grow ∝ log₂N exactly like SemDeDup's k ∝ N — the
+    * caller owns `nPlanes`; `maxBucketSize` is the IN-ENGINE guard for
+    * the buckets that end up oversized anyway (skew, or a lazily
+    * chosen plane count): [[lshGuardBuckets]] sub-buckets them by
+    * banded centroid-relative sign bits before the pair join, bounding
+    * the per-bucket join at ~bands · 2^r · (size/2^r)² pairs. Zero-norm
+    * vectors carry no cosine and are excluded from both sides. */
+  private[graft] def knnGraphOf(vectors: DataFrame, k: Int, nPlanes: Int = NPlanes,
+                                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val n = vectors.select(col("vec_id"), col("v"))
-      .withColumn("nrm", norm(col("v")))
-      .filter(col("nrm") > 0)
-      .withColumn("bucket", bucket(col("v")))
-    val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket").as("qb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(n, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+    guardedBucketJoin(vectors, nPlanes, maxBucketSize)(_ =!= _)
+      .select(col("i").as("query_id"), col("j").as("neighbor_id"), col("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -651,25 +759,25 @@ object Similarity {
     * labels the full transitive closure (A≈B≈C cluster together even
     * when cos(A,C) < τ) with no ML dependency — so it oracle-checks.
     *
-    * Scale: pair volume is the q29 contract (bits ∝ log₂N); the CC loop
-    * is [[Components.connectedComponents]] — O(log diameter) rounds with
+    * Scale: candidates come from [[lshPairCandidates]] — the caller
+    * owns `nPlanes` (bits ∝ log₂N) and `maxBucketSize` bounds whatever
+    * bucket skew remains (see [[lshGuardBuckets]]); the CC loop is
+    * [[Components.connectedComponents]] — O(log diameter) rounds with
     * path doubling, checkpointed; components exist only for paired
-    * vectors → the (id, label) map broadcasts and the corpus takes one
-    * broadcast left join, unshuffled. */
-  private[graft] def embedClustersOf(vectors: DataFrame, minSim: Double): DataFrame = {
-    val n = vectors.select(col("vec_id"), col("v"))
-      .withColumn("nrm", norm(col("v")))
-      .filter(col("nrm") > 0)
-      .withColumn("bucket", bucket(col("v")))
-    val a = n.select(col("vec_id").as("i"), col("v").as("av"),
-      col("nrm").as("an"), col("bucket").as("ab"))
-    val pairs = a.join(n, col("ab") === col("bucket") && col("i") < col("vec_id"))
-      .filter(round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9) >= minSim)
-      .select(col("i"), col("vec_id").as("j"))
+    * vectors, so the (id, label) map is duplication-bounded — but NOT
+    * bounded by construction (a 50%-dup corpus makes it corpus-scale),
+    * so the map-back is a PLAIN left equi-join and AQE picks broadcast
+    * when the map is actually small. */
+  private[graft] def embedClustersOf(vectors: DataFrame, minSim: Double,
+                                     nPlanes: Int = NPlanes,
+                                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = lshPairCandidates(vectors, nPlanes, maxBucketSize)
+      .filter(col("sim") >= minSim)
+      .select(col("i"), col("j"))
     val comps = Components.connectedComponents(pairs)
       .select(col("id").as("__graft_cc_id"), col("label").as("__graft_cc_label"))
     vectors.select(col("vec_id"))
-      .join(broadcast(comps), col("vec_id") === col("__graft_cc_id"), "left")
+      .join(comps, col("vec_id") === col("__graft_cc_id"), "left")
       .select(col("vec_id"),
         coalesce(col("__graft_cc_label"), col("vec_id")).as("cluster"))
   }

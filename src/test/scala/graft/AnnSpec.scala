@@ -260,4 +260,65 @@ class AnnSpec extends AnyFunSuite {
     assert(out(2000L))
   }
 
+  test("knnGraph/embedClusters bound the pair join in a giant skewed LSH bucket, keep exact-dup recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 600 DISTINCT 64-dim vectors forced into ONE hyperplane bucket:
+    // dominant coordinate 1 (every md5 plane weighs it >= 0.337 while
+    // the +/-eps noise contributes <= ~0.021 — co-bucketing is
+    // deterministic, not probabilistic). The low 5 id bits are planted
+    // as +/-eps at the coordinates each sub-bucket band reads
+    // (r = ceil(log2(602/32)) = 5, bands read 0-based coords {0..4},
+    // {16..20}, {32..36}, {48..52}; coord 1 is dominant-constant so
+    // band 0 is effectively 4-bit). Coordinate 9 (read by no band)
+    // carries a per-id unique value so no two ball vectors are
+    // byte-identical. Ids 1000/1001 are byte-identical copies of
+    // vec(5); id 2000 is zero-norm.
+    val eps = 0.001
+    def vec(i: Long): Seq[Double] = Seq.tabulate(64) { d =>
+      val j = d % 16
+      if (d == 1) 10.0
+      else if (d == 9) 1e-6 * i
+      else if (j < 5 && (d < 5 || d >= 16)) (if (((i >> j) & 1L) == 1L) eps else -eps)
+      else 0.0
+    }
+    val ball = (0L until 600L).map(i => (i, vec(i)))
+    val docs = (ball ++ Seq((1000L, vec(5L)), (1001L, vec(5L)),
+      (2000L, Seq.fill(64)(0.0)))).toDF("vec_id", "v")
+
+    // precondition: the planted ball really is one LSH bucket
+    val nb = ops.Similarity.bucketized(docs.filter(col("vec_id") < 2000L))
+      .select(col("bucket")).distinct().count()
+    assert(nb == 1L, s"fixture drifted: expected 1 bucket, got $nb")
+
+    val pairs = ops.Similarity.lshPairCandidates(docs, 8, 32)
+    val n = pairs.count()
+    // the unguarded bucket join would be C(602,2) = 180,901 pairs;
+    // the banded sign split bounds it (band 0: 16 groups of ~38 ->
+    // ~11.2k pairs; bands 1-3 produce subsets of those)
+    assert(n > 0 && n <= 20000L, s"pair join not bounded: $n")
+    // exact-duplicate recall is structural: identical vectors share
+    // every band signature, so all three copies pair up at sim 1.0
+    val dupPairs = pairs.filter(col("i").isin(5L, 1000L) && col("j").isin(1000L, 1001L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dupPairs == Set((5L, 1000L, 1.0), (5L, 1001L, 1.0), (1000L, 1001L, 1.0)),
+      s"exact-dup pairs lost under the guard: $dupPairs")
+
+    // end-to-end through the facades with the same guard engaged
+    val knn = Graft.knnGraph(docs, k = 1, nPlanes = 8, maxBucketSize = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (query 5's own top-1 is id 37 — same low-5 bits, so its cosine
+    // also rounds to 1.0 at 9 dp and the lower id wins the tie)
+    assert(knn(1000L) == 5L && knn(1001L) == 5L && knn(5L) == 37L)
+    assert(!knn.contains(2000L) && !knn.values.exists(_ == 2000L))
+    val clusters = Graft.embedClusters(docs, minSim = 0.999, nPlanes = 8,
+      maxBucketSize = 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the three identical vectors always cluster together...
+    assert(clusters(1000L) == clusters(5L) && clusters(1001L) == clusters(5L))
+    // ...while the guard splits the ball into >= 16 sign-groups (the
+    // documented near-dup recall price of bounding the bucket)
+    assert(clusters.filter(_._1 < 1000L).values.toSet.size >= 16)
+    assert(clusters(2000L) == 2000L)
+  }
+
 }

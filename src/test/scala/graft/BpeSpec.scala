@@ -26,6 +26,32 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.bpeMerges(docs, 0))
   }
 
+  test("batched trainer equals the sequential table on an interacting multi-word fixture") {
+    import spark.implicits._
+    // word types: abx ×6, aby ×5, cd ×7. Round-1 pair counts:
+    // (a,b)=11, (c,d)=7, (d,</w>)=7, (b,x)=6, (x,</w>)=6, (b,y)=5,
+    // (y,</w>)=5. Rank prefix: (a,b,11) accepted; (c,d,7) disjoint ->
+    // accepted; (d,</w>,7) shares d -> STOP. Batch {(a,b),(c,d)} is
+    // exactly what sequential training learns in steps 1-2 (the pair
+    // (ab,x)=6 that merging (a,b) creates stays below (c,d)=7, as the
+    // prefix rule's (b,x)=6 < 7 bound guarantees). Later rounds chain
+    // through </w> and degrade to one merge each — also sequential.
+    val text = (Seq.fill(6)("abx") ++ Seq.fill(5)("aby") ++
+      Seq.fill(7)("cd")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val seqTable = table(Graft.bpeMerges(docs, n = 6))
+    val batTable = table(Graft.bpeMergesBatched(docs, n = 6, maxBatch = 4))
+    assert(batTable == seqTable, s"batched $batTable != sequential $seqTable")
+    assert(seqTable.take(2).map(t => (t._2, t._3)) == Seq(("a", "b"), ("c", "d")))
+    // maxBatch = 1 IS the sequential trainer — on the real corpus
+    val corpus = Tables.documents(spark, Sf0001)
+    assert(table(Graft.bpeMergesBatched(corpus, n = 6, maxBatch = 1)) ==
+      table(Graft.bpeMerges(corpus, n = 6)))
+    intercept[IllegalArgumentException](Graft.bpeMergesBatched(docs, 6, 0))
+  }
+
   test("merge application is left-to-right non-overlapping") {
     import spark.implicits._
     // "aaaa": round-1 top pair is (a,a)=3 per word (overlapping), but
@@ -76,12 +102,16 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     // adversarial shapes: overlapping runs, chained merges into </w>,
     // multi-space gaps, empty-ish docs, single chars
+    // 6: non-BMP — the surrogate-pair emoji and CJK must each count as
+    // ONE char/symbol in all three implementations (code-point
+    // semantics; a UTF-16 iteration would see two lone surrogates)
     val docs = Seq(
       (1L, "tower ten hash aaaa"),
       (2L, "erer  rere e r"),
       (3L, " "),
       (4L, "a"),
-      (5L, "stowow atat erh")
+      (5L, "stowow atat erh"),
+      (6L, "café 😀x 你好ter 😀😀")
     ).toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1),

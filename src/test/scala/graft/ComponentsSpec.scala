@@ -158,6 +158,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(droppedIds.nonEmpty, "dedup must actually drop something on the fixture")
   }
 
+  test("survivor/fold map-backs are correct on the NON-broadcast join path") {
+    // the comps / drop-set frames are duplication-bounded but NOT
+    // bounded by construction, so the map-back joins carry no forced
+    // broadcast() hint — AQE chooses. This pins the other leg: with
+    // broadcasting disabled entirely (shuffled joins only), results
+    // are byte-identical to the default-config run.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def run(): (Set[Long], Set[Long], Map[Long, Long]) = {
+      val surv = SparkEntry.queries("q73_dedup_survivors")(spark, Sf0001)
+        .collect().map(_.getLong(0)).toSet
+      val best = SparkEntry.queries("q158_best_survivors")(spark, Sf0001)
+        .collect().map(_.getLong(0)).toSet
+      val folds = SparkEntry.queries("q192_cv_folds")(spark, Sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (surv, best, folds)
+    }
+    val before = keys.map(k => k -> conf.getOption(k))
+    val withBroadcast = run()
+    try {
+      keys.foreach(k => conf.set(k, "-1"))
+      assert(run() == withBroadcast)
+    } finally before.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("clusteringCoeff: triangle members close fully, the hub partially, pendants zero") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant 4 hanging off 1:

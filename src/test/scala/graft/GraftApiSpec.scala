@@ -291,10 +291,33 @@ class GraftApiSpec extends AnyFunSuite {
       2L -> ("unchanged", "s1"),
       3L -> ("changed", "s2"),
       4L -> ("added", "s3")))
-    // fp column itself coalesces too: removed rows keep the manifest fp
+    // fp column itself falls back too: removed rows keep the manifest fp
     val fps = Graft.snapshotDelta(old, neu, "id", "fp")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(fps(1L) == "fa" && fps(3L) == "fc2")
+  }
+
+  test("snapshotDelta keeps matched null payloads (no stale resurrection), rejects null fp") {
+    import spark.implicits._
+    val old = Seq((1L, "fa", Some("old-src")), (2L, "fb", Some("old-src")))
+      .toDF("id", "fp", "src")
+    // id 1 matched with a NULL new-side payload: the old-side fallback
+    // is for REMOVED rows only — a matched null must stay null, not
+    // silently resurrect the stale value
+    val neu = Seq((1L, "fa2", None: Option[String])).toDF("id", "fp", "src")
+    val got = Graft.snapshotDelta(old, neu, "id", "fp")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got == Map(1L -> ("changed", null), 2L -> ("removed", "old-src")))
+    // a null fingerprint on a PRESENT side fails fast instead of
+    // landing in 'unchanged' via a null-valued =!=
+    val badNew = Seq((2L, None: Option[String], Some("s"))).toDF("id", "fp", "src")
+    val ex = intercept[Exception] {
+      Graft.snapshotDelta(old, badNew, "id", "fp").collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("null fingerprint"), s"unexpected failure: $chain")
   }
 
   test("boilerplateShare works on an arbitrary user corpus") {

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance gate (VERDICT r8 item 5): many operators
+  * CLAIM partitioning/order-independence — integer fixed-point
+  * centroids (q79), MAD/z-score double discipline (q107), quantized-idf
+  * ranking (q121), libm-free LM scoring (q161), integer rank-sum AUC
+  * (q180), register-max HLL merges (q193). Claims drift; this spec
+  * machine-checks them: each representative query re-runs under
+  * `spark.sql.shuffle.partitions` ∈ {1, 7, 64} and must produce
+  * BYTE-IDENTICAL rows (the driver-gate representation: row.toString
+  * over the totally-ordered output). Any order-dependent aggregate
+  * regression — a naive double sum, a first()-based tiebreak, a
+  * partition-dependent seed — now fails the suite instead of flaking
+  * the oracle hash at some future partition count. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val targets = Seq(
+    "q79_label_centroids",  // order-independent fixed-point float agg
+    "q107_outliers",        // z-score outliers over event amounts
+    "q121_ranked_search",   // quantized-idf + fixed-point BM25 ranking
+    "q161_lm_quality",      // transcendental-free LM quality scoring
+    "q180_auc",             // exact Mann-Whitney AUC, integer rank sums
+    "q193_hll_state_merge") // register-max sketch merge (associative)
+
+  test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
+    val conf = spark.conf
+    val key = "spark.sql.shuffle.partitions"
+    val before = conf.get(key)
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, Sf0001).collect().map(_.toString).toSeq
+    try {
+      val runs: Map[Int, Map[String, Seq[String]]] =
+        Seq(1, 7, 64).map { p =>
+          conf.set(key, p.toString)
+          p -> targets.map(n => n -> run(n)).toMap
+        }.toMap
+      for (n <- targets) {
+        assert(runs(1)(n).nonEmpty, s"$n returned no rows — vacuous invariance")
+        assert(runs(7)(n) == runs(1)(n),
+          s"$n differs between shuffle.partitions=1 and 7")
+        assert(runs(64)(n) == runs(1)(n),
+          s"$n differs between shuffle.partitions=1 and 64")
+      }
+    } finally conf.set(key, before)
+  }
+}

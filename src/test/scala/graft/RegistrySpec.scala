@@ -43,6 +43,36 @@ class RegistrySpec extends AnyFunSuite {
       s"table references unregistered queries: ${qnames.filterNot(registered)}")
   }
 
+  test("README scale-knob table matches Knobs; every knob is a real named facade parameter") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(readme.contains(Knobs.markdown),
+      "README '### Scale knobs' table drifted from graft.Knobs.markdown — regenerate it")
+    // COMPILE-TIME exposure proof: each knob passed by NAME. The defs
+    // are never invoked (several trigger eager ML fits / loops); losing
+    // a knob parameter fails compilation, which is the point.
+    import org.apache.spark.sql.functions.col
+    def compileTimeKnobCheck(docs: org.apache.spark.sql.DataFrame,
+                             vecs: org.apache.spark.sql.DataFrame): Unit = {
+      Graft.jaccardNearDupPairs(docs, maxShingleDf = 2L)
+      Graft.jaccardSweep(docs, maxShingleDf = 2L)
+      Graft.lshRecall(docs, maxShingleDf = 2L)
+      Graft.containmentPairs(docs, maxShingleDf = 2L)
+      Graft.dupSpans(docs, maxPassageDf = 2L)
+      Graft.basketLift(docs, col("b"), col("i"), maxBasketSize = 2)
+      Graft.semDedup(vecs, maxClusterSize = 2)
+      Graft.knnGraph(vecs, nPlanes = 4, maxBucketSize = 64)
+      Graft.embedClusters(vecs, nPlanes = 4, maxBucketSize = 64)
+      Graft.semanticDecontam(vecs, vecs, nPlanes = 4)
+      Graft.topTerms(docs, k = 1, width = 4)
+      Graft.windowedHeavyHitters(docs, width = 4)
+      Graft.bpeMergesBatched(docs, 2, maxBatch = 2)
+      Graft.connectedComponents(docs, reliable = false)
+      ()
+    }
+    assert(compileTimeKnobCheck _ != null) // defined ⇒ compiled ⇒ knobs exist
+  }
+
   test("every oracle-paired query ends in a global total sort") {
     def topSortIsGlobal(p: LogicalPlan): Boolean = p match {
       case s: Sort => s.global

@@ -567,4 +567,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSet == batch.toSet && got.length == batch.length)
   }
+
+  test("streaming near-dup gate over a prebuilt band index emits identical alerts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the door"
+    val other = "completely different words populate this sentence about " +
+      "spark engines and distributed shuffles at scale here"
+    val standing = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    // the 100 TB shape: the index is MATERIALIZED once (here: to a
+    // temp parquet, standing in for the bucketed stored table) and the
+    // gate runs over the stored scan — standing text never re-banded
+    val idxDir = java.nio.file.Files.createTempDirectory("nd_idx").toString
+    Streaming.standingBandIndex(standing).write.mode("overwrite").parquet(idxDir)
+    val storedIdx = spark.read.parquet(idxDir)
+    assert(storedIdx.columns.toSeq == Seq("doc_id", "hs", "bkeys", "b", "bkey"))
+    val ins = Seq((101L, base), (102L, base + " extra trailing tokens appended"),
+      (103L, "unrelated gibberish nothing shared with corpus text at all " +
+        "right now in any shingle"))
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupStreamIndexed(
+      stream.toDF().toDF("doc_id", "text"), storedIdx)
+      .writeStream.format("memory").queryName("nd_idx_alerts")
+      .outputMode("append").start()
+    try {
+      stream.addData(ins.head); q.processAllAvailable()
+      stream.addData(ins(1), ins(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nd_idx_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical alert set to the text-rebanding convenience path,
+    // still exactly once per pair
+    val direct = Streaming.nearDupStream(ins.toDF("doc_id", "text"), standing)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == direct.toSet && got.length == direct.length)
+    assert(got.count(t => t._1 == 101L && t._2 == 1L) == 1)
+  }
 }
