@@ -277,10 +277,17 @@ object Similarity {
     * [[semanticDecontamOf]] — norms + the md5-derived hyperplane
     * bucket. */
   private[graft] def bucketized(vectors: DataFrame,
-                                nPlanes: Int = NPlanes): DataFrame =
+                                nPlanes: Int = NPlanes): DataFrame = {
+    // same bound as guardedBucketJoin — callers reaching bucketized()
+    // directly (semanticDecontam) must not slip an nPlanes <= 0 through:
+    // zero planes would give every vector the empty-string bucket and
+    // turn the candidate join into a full cross join instead of erroring
+    require(nPlanes >= 1 && nPlanes <= 24,
+      s"nPlanes must be in [1, 24], got $nPlanes")
     vectors.select(col("vec_id"), col("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucket(col("v"), nPlanes))
+  }
 
   /** Bucket-size guard for the FULL-CORPUS pair generators — the same
     * oversized-group machinery as [[semDedupBuckets]], applied to the
@@ -289,7 +296,10 @@ object Similarity {
     * centroid — r = ceil(log2(size/maxBucketSize)) bits (≤
     * [[SubBucketBits]]), replicated over [[SubBucketBands]] bands
     * reading different coordinate offsets, OR-combined by the
-    * downstream pair distinct. Identical vectors share every sig in
+    * downstream FIRST-AGREEING-BAND filter (each pair is emitted only
+    * at the lowest band whose sigs match — the `nearDupStream`
+    * exactly-once trick, so no pair-set dedup shuffle exists).
+    * Identical vectors share every sig in
     * every band (exact-dup recall is structural); near-identical pairs
     * can straddle a sign boundary in all bands — the documented recall
     * price of bounding a bucket the caller's `nPlanes` failed to
@@ -297,61 +307,91 @@ object Similarity {
     * plain q28-shaped equi-join, byte-identical results — the oracle
     * never sees the guard at verify scale).
     *
-    * Scale: bucket sizes and centroids are bucket-grain aggregates;
-    * their joins back to the corpus are PLAIN equi-joins (AQE picks
-    * broadcast when the bucket count is small — no explicit
-    * `broadcast()` of a frame that is corpus-bounded by construction).
-    * Input/output: (vec_id, v, nrm, bucket) → + (band, sig). */
+    * Scale: bucket sizes come from `groupBy("bucket").count()` — a
+    * map-side-combined aggregate of ≤ 2^nPlanes rows joined back as a
+    * PLAIN equi-join (AQE broadcasts it) — NOT a window over the bucket
+    * key, which would funnel each bucket's full population, including
+    * the giant skewed bucket the guard exists for, through a single
+    * window task (and cost a full-corpus exchange: measured +1.7s on
+    * q29 at sf0.1 with zero oversized buckets, VERDICT r9 #2). The
+    * centroid subtree sits BEHIND a semi-join on the oversized-bucket
+    * list, so with no oversized bucket the corpus streams through a
+    * hash probe and the 64× posexplode never runs. Centroid sign
+    * comparisons are in q79's fixed-point discipline (micro-unit int64
+    * sums — exactly associative, so sub-bucket membership is
+    * partition-order-deterministic; a double avg() could flip a sign
+    * bit within FP noise across runs).
+    * Input/output: (vec_id, v, nrm, bucket) → + (band, sig,
+    * sigs: array of every band's sig for the first-band filter). */
   private[graft] def lshGuardBuckets(n: DataFrame, maxBucketSize: Int): DataFrame = {
-    // ONE pass, no union: bucket sizes come from a window over the
-    // bucket key (no second corpus scan; the exchange it introduces is
-    // subsumed by the pair join's shuffle grain), bands explode to 1
-    // for in-cap buckets and SubBucketBands for oversized ones, and the
-    // per-band sig is a band-dispatched when-chain whose bit terms
-    // short-circuit on r = 0 — so the common no-oversized-bucket case
-    // pays one window + one explode(1) and never touches `mu`.
-    val sized = n
-      .withColumn("__graft_bsz",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .withColumn("__graft_r",
-        greatest(lit(0L),
-          least(ceil(log(2.0, col("__graft_bsz").cast("double") / maxBucketSize)),
-            lit(SubBucketBits.toLong))).cast("int"))
+    val sizes = n.groupBy(col("bucket")).agg(count(lit(1)).as("__graft_bsz"))
+      .withColumn("__graft_r", subBucketBits(col("__graft_bsz"), maxBucketSize))
     // per-oversized-bucket centroid, dimension-agnostic (posexplode →
-    // per-coordinate mean → re-assembled in coordinate order); empty
-    // whenever no bucket exceeds the cap, so the left join below is a
-    // no-op there (AQE sees ~0 rows and broadcasts)
-    val mus = sized.filter(col("__graft_bsz") > maxBucketSize)
+    // per-coordinate fixed-point mean → re-assembled in coordinate
+    // order); the semi-join keeps the explode off the common path, and
+    // micro-unit quantization (round(x·2²⁰) as int64 — q79's recipe)
+    // makes the mean independent of partition/accumulation order
+    val mus = n.join(sizes.filter(col("__graft_r") > 0).select(col("bucket")),
+        Seq("bucket"), "left_semi")
       .select(col("bucket"), posexplode(col("v")))
       .groupBy(col("bucket"), col("pos"))
-      .agg(avg(col("col")).as("__graft_mx"))
+      .agg((sum(round(col("col") * 1048576).cast("long")) /
+        count(lit(1))).as("__graft_mx"))
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("pos"), col("__graft_mx"))).as("__graft_dm"))
       .select(col("bucket"),
         transform(array_sort(col("__graft_dm")), s => s.getField("__graft_mx")).as("mu"))
+    // all band sigs at once (before the band explode) so every row can
+    // carry the full array for the downstream first-agreeing-band
+    // filter; bit terms short-circuit on j >= r and never touch `mu`
+    // when r = 0 (mu is null there — the left join found no centroid)
     def sigFor(band: Int): Column = (0 until SubBucketBits).map { j =>
       val idx = (pmod(lit(band * SubBucketBits + j), size(col("v"))) + 1).cast("int")
       when(lit(j) < col("__graft_r") &&
-        element_at(col("v"), idx) > element_at(col("mu"), idx),
+        round(element_at(col("v"), idx) * 1048576).cast("long").cast("double") >
+          element_at(col("mu"), idx),
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = (1 until SubBucketBands)
-      .foldLeft(when(col("band") === 0, sigFor(0))) {
-        case (acc, b) => acc.when(col("band") === b, sigFor(b))
-      }.otherwise(lit(0L))
-    sized
+    n.join(sizes, Seq("bucket"))
       .join(mus, Seq("bucket"), "left")
+      .withColumn("sigs",
+        when(col("__graft_r") > 0, array((0 until SubBucketBands).map(sigFor): _*))
+          .otherwise(array(lit(0L))))
       .withColumn("band",
         explode(when(col("__graft_r") > 0,
           lit((0 until SubBucketBands).toArray)).otherwise(array(lit(0)))))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
-        col("band"), sig.as("sig"))
+        col("band"), element_at(col("sigs"), col("band") + 1).as("sig"),
+        col("sigs"))
   }
 
-  /** The guarded bucket self-join every full-corpus generator shares:
-    * score exact cosine for co-bucketed (bucket, band, sig) id pairs
-    * passing `keep`, then distinct to OR-combine the bands. Zero-norm
-    * vectors carry no cosine and are excluded up front. */
+  /** The guarded bucket self-join every full-corpus generator shares —
+    * ADAPTIVE at plan-construction time (VERDICT/ADVICE r9): one cheap
+    * driver-side pre-count (a map-side-combined `groupBy("bucket")
+    * .count()`, ≤ 2^nPlanes rows, `.isEmpty` after the cap filter)
+    * decides whether ANY bucket exceeds `maxBucketSize`.
+    *
+    *  - Common case (no oversized bucket — every oracle run at verify
+    *    scale): the PLAIN q28 equi-join on the bucket key. No sizes
+    *    join, no centroid subtree, no band machinery riding the big
+    *    shuffle — r8's plan shape, plus one aggregate-only pre-pass.
+    *  - Skewed case: [[lshGuardBuckets]] sub-buckets the oversized
+    *    buckets; pairs join on (bucket, band, sig) and bands are
+    *    OR-combined WITHOUT a distinct — a pair agreeing in several
+    *    bands is emitted only at its lowest agreeing band (no earlier
+    *    band's sigs match, checked against the carried `sigs` arrays —
+    *    the `nearDupStream` exactly-once trick), so the pair set needs
+    *    no dedup shuffle.
+    *
+    * In both branches the two join sides are aliases of ONE frame, so
+    * the canonically-equal shuffle children collapse to a single
+    * exchange (ReuseExchange) — one corpus pass feeds both sides.
+    * The pre-count is an eager job (the one hand-rolled adaptive step
+    * in this file — the same move AQE makes at runtime, taken at the
+    * driver because the choice changes the PLAN, not a partition
+    * strategy); at 100 TB it is one aggregate-only corpus pass, paid
+    * to keep band/sig columns out of the pair shuffle the other 99%
+    * of runs. Zero-norm vectors carry no cosine, excluded up front. */
   private def guardedBucketJoin(vectors: DataFrame, nPlanes: Int, maxBucketSize: Int)
                                (keep: (Column, Column) => Column): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 24,
@@ -361,20 +401,32 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
       .withColumn("bucket", bucket(col("v"), nPlanes))
-    val g = lshGuardBuckets(n, maxBucketSize)
-    val a = g.select(col("vec_id").as("i"), col("v").as("av"), col("nrm").as("an"),
-      col("bucket").as("ab"), col("band").as("abd"), col("sig").as("asg"))
-    a.join(g, col("ab") === col("bucket") && col("abd") === col("band") &&
-        col("asg") === col("sig") && keep(col("i"), col("vec_id")))
-      .select(col("i"), col("vec_id").as("j"),
-        round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 9).as("sim"))
-      .distinct()
+    val anyOversized = !n.groupBy(col("bucket")).agg(count(lit(1)).as("__graft_bsz"))
+      .filter(col("__graft_bsz") > maxBucketSize).isEmpty
+    val pairCols = (extra: Column) => Seq(
+      col("l.bucket") === col("r.bucket"),
+      keep(col("l.vec_id"), col("r.vec_id")), extra).reduce(_ && _)
+    val scored = (j: DataFrame) => j.select(
+      col("l.vec_id").as("i"), col("r.vec_id").as("j"),
+      round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 9).as("sim"))
+    if (!anyOversized) {
+      scored(n.as("l").join(n.as("r"), pairCols(lit(true))))
+    } else {
+      val g = lshGuardBuckets(n, maxBucketSize)
+      val firstAgreeingBand = not(exists(
+        zip_with(slice(col("l.sigs"), lit(1), col("l.band")),
+          slice(col("r.sigs"), lit(1), col("r.band")), (x, y) => x === y),
+        b => b))
+      scored(g.as("l").join(g.as("r"),
+          pairCols(col("l.band") === col("r.band") && col("l.sig") === col("r.sig")))
+        .filter(firstAgreeingBand))
+    }
   }
 
   /** Unordered candidate pairs (i < j, sim) from the guarded bucket
     * join — the generator q29, q179 and [[graft.Graft.embedClusters]]
     * share. With no oversized bucket this is exactly the q29 8-plane
-    * equi-join (band 0 / sig 0, distinct a no-op). */
+    * equi-join (band 0 / sig 0, the first-band filter vacuous). */
   private[graft] def lshPairCandidates(vectors: DataFrame, nPlanes: Int = NPlanes,
                                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     guardedBucketJoin(vectors, nPlanes, maxBucketSize)(_ < _)
@@ -593,6 +645,24 @@ object Similarity {
 
   /** Bits per band / bands for the oversized-cluster sub-bucketing. */
   private val SubBucketBits = 16
+
+  /** r = ceil(log2(size / maxSize)) in PURE int64 arithmetic — the
+    * first k with size ≤ maxSize · 2^k, capped at [[SubBucketBits]].
+    * Deliberately not a float log: at a power-of-2 boundary (size =
+    * 2·maxSize) an ln-ratio in one engine and a libm log2 in the other
+    * can land on either side of the integer and ceil() apart, changing
+    * the sub-bucketing — integer comparisons replay bit-exactly in the
+    * DuckDB oracle (q206). */
+  private def subBucketBits(groupSize: Column, maxSize: Int): Column =
+    (0 until SubBucketBits).foldRight(lit(SubBucketBits): Column) { (k, acc) =>
+      when(groupSize <= lit(maxSize.toLong << k), lit(k)).otherwise(acc)
+    }.cast("int")
+
+  /** The DuckDB replay of [[subBucketBits]] — same integer CASE chain. */
+  private def oracleSubBits(sizeExpr: String, maxSize: Int): String =
+    (0 until SubBucketBits).foldRight(s"$SubBucketBits") { (k, acc) =>
+      s"CASE WHEN $sizeExpr <= ${maxSize.toLong << k} THEN $k ELSE $acc END"
+    }
   private val SubBucketBands = 4
 
   /** Sub-bucket representatives for the within-cluster pair join:
@@ -612,9 +682,7 @@ object Similarity {
                                      maxClusterSize: Int): DataFrame = {
     val sizes = reps.groupBy(col("cluster"))
       .agg(count(lit(1)).as("__graft_csz"))
-      .withColumn("__graft_r",
-        least(ceil(log(2.0, col("__graft_csz").cast("double") / maxClusterSize)),
-          lit(SubBucketBits.toLong)).cast("int"))
+      .withColumn("__graft_r", subBucketBits(col("__graft_csz"), maxClusterSize))
     val sized = reps.join(broadcast(sizes), Seq("cluster"))
     val small = sized.filter(col("__graft_csz") <= maxClusterSize)
       .select(col("rep_id"), col("v"), col("nrm"), col("cluster"),
@@ -808,7 +876,63 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q206: the LSH bucket-size guard with the guard ENGAGED — q29's
+    * pair generator at a deliberately tiny `maxBucketSize` = 4 (the
+    * sf0.01 embeddings put up to 9 vectors in one 8-plane bucket, so
+    * several buckets sub-bucket at r ∈ {1, 2}). Emits EVERY candidate
+    * pair (no sim floor), so each keep/drop decision the banded
+    * centroid-sign machinery makes is visible in the output set and
+    * hash-gated by the oracle — which replays the whole path in SQL:
+    * integer-chain r ([[oracleSubBits]]), fixed-point micro-unit
+    * centroids, the 4×16 band sigs, and the agree-in-some-band pair
+    * filter (EXISTS replaces the engine's first-agreeing-band
+    * multiplicity trick — same SET either way). VERDICT r9 demand 3:
+    * before this row, the r > 0 branch was spec-gated only; the 186
+    * oracle rows all ran with the guard structurally inert. */
+  val q206GuardedPairs: Q = Q.sql(
+    "q206_guarded_pairs",
+    s"""WITH $oracleBuckets,
+       |sizes AS (SELECT bucket, count(*) AS bsz FROM norms GROUP BY bucket),
+       |rs AS (SELECT bucket, bsz, ${oracleSubBits("bsz", 4)} AS r FROM sizes),
+       |mus AS (
+       |  SELECT n.bucket, pos.pos,
+       |    SUM(CAST(round(n.v[pos.pos] * 1048576) AS BIGINT)) / COUNT(*) AS mu
+       |  FROM norms n JOIN rs ON rs.bucket = n.bucket AND rs.r > 0,
+       |       (SELECT unnest(range(1, ${Dim + 1})) AS pos) pos
+       |  GROUP BY n.bucket, pos.pos),
+       |sigs AS (
+       |  SELECT n.vec_id, n.bucket, bj.band,
+       |    SUM(CASE WHEN bj.jj < rs.r AND
+       |        CAST(CAST(round(n.v[bj.band * $SubBucketBits + bj.jj + 1] * 1048576)
+       |          AS BIGINT) AS DOUBLE) > m.mu
+       |      THEN CAST(pow(2.0, bj.jj) AS BIGINT) ELSE 0 END) AS sig
+       |  FROM norms n
+       |  JOIN rs ON rs.bucket = n.bucket AND rs.r > 0,
+       |       (SELECT b.band, j.jj
+       |        FROM (SELECT unnest(range(0, $SubBucketBands)) AS band) b,
+       |             (SELECT unnest(range(0, $SubBucketBits)) AS jj) j) bj
+       |  JOIN mus m ON m.bucket = n.bucket
+       |    AND m.pos = bj.band * $SubBucketBits + bj.jj + 1
+       |  GROUP BY n.vec_id, n.bucket, bj.band),
+       |cands AS (
+       |  SELECT a.vec_id AS i, c.vec_id AS j
+       |  FROM norms a JOIN norms c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  JOIN rs ON rs.bucket = a.bucket WHERE rs.r = 0
+       |  UNION ALL
+       |  SELECT DISTINCT sa.vec_id AS i, sc.vec_id AS j
+       |  FROM sigs sa JOIN sigs sc ON sa.bucket = sc.bucket
+       |    AND sa.band = sc.band AND sa.sig = sc.sig AND sa.vec_id < sc.vec_id)
+       |SELECT p.i, p.j,
+       |  round(${oracleDot.format("a.v", "c.v")} / (a.nrm * c.nrm), 9) AS sim
+       |FROM cands p JOIN norms a ON a.vec_id = p.i JOIN norms c ON c.vec_id = p.j
+       |WHERE a.nrm > 0 AND c.nrm > 0
+       |ORDER BY i, j""".stripMargin
+  ) { (s, dir) =>
+    lshPairCandidates(vecs(s, dir).select(col("vec_id"), col("v")), 8, 4)
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
     q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
-    q178KnnGraph, q179EmbedClusters)
+    q178KnnGraph, q179EmbedClusters, q206GuardedPairs)
 }

@@ -23,7 +23,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q121_ranked_search",   // quantized-idf + fixed-point BM25 ranking
     "q161_lm_quality",      // transcendental-free LM quality scoring
     "q180_auc",             // exact Mann-Whitney AUC, integer rank sums
-    "q193_hll_state_merge") // register-max sketch merge (associative)
+    "q193_hll_state_merge", // register-max sketch merge (associative)
+    // guard family (VERDICT r9 item 4): q206 runs with the bucket guard
+    // ENGAGED (23 oversized sf0.001 buckets at cap 4 — AnnSpec pins it),
+    // so the fixed-point centroid sums, integer-chain r, and band-sig
+    // machinery are all under the gate; q29 covers the adaptive
+    // plain-join branch of the same generator
+    "q29_emb_neardup",
+    "q206_guarded_pairs")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
