@@ -666,10 +666,15 @@ object Analytics {
     * compare those deterministic doubles — partition-count-independent.
     *
     * Scale: the fact scan collapses to a part-grain aggregate (one
-    * equi-shuffle, map-side combined) BEFORE any window; the global
-    * cumulative window then sorts |parts| rows, not |lineitem| — fine
-    * to ~10⁸ parts on one reducer; past that, range-partition the rank
-    * and two-pass the prefix sums (same result, one extra exchange). */
+    * equi-shuffle, map-side combined) BEFORE any window; the running
+    * total is then the scalable-global-prefix pattern
+    * ([[Eval.withExclusivePrefix]], q166/q180's recipe): range
+    * repartition on (rev desc, key), per-partition window prefixes,
+    * broadcast ≤|partitions|-row offsets — at TPC-H sf100 |parts| is
+    * 20M, which a one-reducer `Window.orderBy` would sort on a single
+    * task (VERDICT r9 item 5); this shape never funnels. The grand
+    * total is a 1-row aggregate cross-joined back (exact DECIMAL both
+    * legs, so the shares stay partition-order-deterministic). */
   /** ABC/Pareto classes for any (key, measure) — aggregates `measure`
     * (exact DECIMAL) per `key`, then classes by running revenue share —
     * see [[q134AbcClass]] for the determinism and scale contract.
@@ -678,14 +683,14 @@ object Analytics {
                            key: org.apache.spark.sql.Column,
                            measure: org.apache.spark.sql.Column,
                            aCut: Double = 0.80, bCut: Double = 0.95): org.apache.spark.sql.DataFrame = {
-    val byRevenue = Window.orderBy(col("rev").desc, col("__graft_key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = df.groupBy(key.as("__graft_key")).agg(sum(dec(measure)).as("rev"))
+    val pref = Eval.withExclusivePrefix(agg,
+      Seq(col("rev").desc, col("__graft_key")),
+      Seq((col("rev"), "__graft_cum_excl")))
+    val tot = agg.agg(sum(col("rev")).as("tot"))
     val share = col("cum").cast("double") / col("tot").cast("double")
-    df.groupBy(key.as("__graft_key"))
-      .agg(sum(dec(measure)).as("rev"))
-      .select(col("__graft_key"), col("rev"),
-        sum(col("rev")).over(byRevenue).as("cum"),
-        sum(col("rev")).over(Window.partitionBy()).as("tot"))
+    pref.crossJoin(broadcast(tot))
+      .withColumn("cum", col("__graft_cum_excl") + col("rev"))
       .select(col("__graft_key").as("key"), col("rev").cast("double").as("revenue"),
         share.as("cum_share"),
         when(share <= aCut, "A").when(share <= bCut, "B").otherwise("C").as("abc"))
@@ -1063,9 +1068,12 @@ object Analytics {
     * final reported ratio — no float comparisons anywhere.
     *
     * Scale: counts collapse to VALUE grain before the running sums (one
-    * map-side-combined aggregate); the global cumulative window then
-    * orders |distinct values| rows — bounded for quantized metrics; for
-    * unbounded domains, range-partition the prefix sums (q134's note). */
+    * map-side-combined aggregate); both ECDF running sums then ride the
+    * scalable-global-prefix pattern ([[Eval.withExclusivePrefix]] —
+    * range repartition on value, local window prefixes, broadcast
+    * offsets; one ranged exchange carries both), so an unbounded value
+    * domain never funnels through a one-task global window (VERDICT r9
+    * item 5); the argmax is a TakeOrdered top-1, also distributed. */
   val q149KsDrift: Q = Q.sql(
     "q149_ks_drift",
     """WITH c AS (
@@ -1092,11 +1100,12 @@ object Analytics {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
     val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val num = abs(col("cca") * col("nb") - col("ccb") * col("na"))
-    c.select(col("value"),
-        sum(col("ca")).over(w).as("cca"),
-        sum(col("cb")).over(w).as("ccb"))
+    Eval.withExclusivePrefix(c, Seq(col("value")),
+        Seq((col("ca"), "__graft_pca"), (col("cb"), "__graft_pcb")))
+      .select(col("value"),
+        (col("__graft_pca") + col("ca")).as("cca"),
+        (col("__graft_pcb") + col("cb")).as("ccb"))
       .crossJoin(broadcast(t))
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("value").as("at_value"),
         round(num.cast("double") / (col("na") * col("nb")), 6).as("ks"),

@@ -30,7 +30,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // machinery are all under the gate; q29 covers the adaptive
     // plain-join branch of the same generator
     "q29_emb_neardup",
-    "q206_guarded_pairs")
+    "q206_guarded_pairs",
+    // r10: the last two one-task global windows were rewritten onto the
+    // scalable-prefix pattern (range repartition + broadcast offsets) —
+    // gate that the prefix arithmetic is boundary-placement-independent
+    "q134_abc_class",
+    "q149_ks_drift")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
