@@ -766,6 +766,14 @@ object Graft {
                            minJaccard: Double = 0.8): DataFrame =
     streaming.Streaming.nearDupStreamIndexed(incoming, standingIndex, minJaccard)
 
+  /** Incrementally refresh a stored [[nearDupBandIndex]] from a
+    * [[snapshotDelta]] change feed ((doc_id, status, text) rows):
+    * removed/changed band rows anti-joined out, added/changed docs
+    * re-shingled from their new text, unchanged rows untouched — work
+    * ∝ |delta|, never a full-corpus rebuild. */
+  def refreshBandIndex(index: DataFrame, delta: DataFrame): DataFrame =
+    streaming.Streaming.refreshBandIndex(index, delta)
+
   /** Windowed heavy hitters over a (ts, user_id) event frame: per
     * tumbling hour, the users with frequency strictly above
     * N_hour/(width+1) and their EXACT counts — two-pass (Misra-Gries

@@ -187,11 +187,19 @@ object Merge {
     val n = newSnap.select(col(key).as("__graft_k_new") +:
       newSnap.columns.filterNot(_ == key).map(col): _*)
     val joined = o.join(n, col("__graft_k_old") === col("__graft_k_new"), "full_outer")
-    val status = when(col("__graft_k_old").isNull, lit("added"))
-      .when(col("__graft_k_new").isNull, lit("removed"))
-      .when(col(s"__graft_old_$fp").isNull || col(fp).isNull,
+    // the null-fp check runs BEFORE the added/removed branches, so a
+    // present side with a null fingerprint fails fast in EVERY status —
+    // an added row stored with a null fp would poison the manifest the
+    // NEXT refresh joins against (ADVICE r9: the earlier ordering let
+    // added/removed rows slip past the check)
+    val status = when(
+        (col("__graft_k_new").isNotNull && col(fp).isNull) ||
+          (col("__graft_k_old").isNotNull && col(s"__graft_old_$fp").isNull),
         raise_error(concat(lit("snapshotDelta: null fingerprint for key "),
-          coalesce(col("__graft_k_new").cast("string"), lit("?")))))
+          coalesce(col("__graft_k_new").cast("string"),
+            col("__graft_k_old").cast("string"), lit("?")))))
+      .when(col("__graft_k_old").isNull, lit("added"))
+      .when(col("__graft_k_new").isNull, lit("removed"))
       .when(col(s"__graft_old_$fp") =!= col(fp), lit("changed"))
       .otherwise(lit("unchanged"))
     val attrs = newSnap.columns.filterNot(_ == key).map { c =>

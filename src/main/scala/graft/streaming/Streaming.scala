@@ -497,6 +497,29 @@ object Streaming {
   def standingBandIndex(standing: DataFrame): DataFrame =
     bandRows(graft.ops.Dedup.hashedShinglesOf(standing))
 
+  /** INCREMENTAL band-index maintenance — the q205 pairing the
+    * [[nearDupStream]] scaladoc promises: instead of re-deriving the
+    * full [[standingBandIndex]] on every corpus refresh (re-shingling
+    * 100 TB of standing text to pick up a per-mille delta), apply a
+    * snapshot delta ([[graft.ops.Merge.snapshotDeltaOf]]'s (key,
+    * status, text, …) output shape) to the stored index: band rows of
+    * `removed`/`changed` docs are anti-joined out, band rows for
+    * `added`/`changed` docs are derived from their NEW text only, and
+    * `unchanged` rows pass through untouched. Work is ∝ |delta|
+    * (shingling the added/changed text + one anti-join whose build
+    * side is the delta's id set — AQE broadcasts it when small), never
+    * ∝ |corpus|. StreamingSpec proves refreshed == rebuilt-from-
+    * scratch row-for-row, and that the gate alerts identically through
+    * either index. `delta` must carry (`doc_id`, `status`, `text`). */
+  def refreshBandIndex(index: DataFrame, delta: DataFrame): DataFrame = {
+    val drop = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val fresh = delta.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("text"))
+    index.join(drop, Seq("doc_id"), "left_anti")
+      .unionByName(standingBandIndex(fresh))
+  }
+
   /** [[nearDupStream]] over a PREBUILT standing band index (the
     * [[standingBandIndex]] schema: doc_id, hs, bkeys, b, bkey) — the
     * 100 TB form: the static side is a stored table scan, bucketed on

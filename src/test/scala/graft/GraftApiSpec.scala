@@ -318,6 +318,17 @@ class GraftApiSpec extends AnyFunSuite {
     val chain = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("null fingerprint"), s"unexpected failure: $chain")
+    // the check runs BEFORE the added/removed branches (ADVICE r9): an
+    // ADDED row with a null fp would poison the manifest the next
+    // refresh joins against, so it must fail fast too
+    val badAdded = Seq((1L, Some("fa2"), Some("s")),
+      (9L, None: Option[String], Some("s"))).toDF("id", "fp", "src")
+    val ex2 = intercept[Exception] {
+      Graft.snapshotDelta(old, badAdded, "id", "fp").collect()
+    }
+    val chain2 = Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain2.contains("null fingerprint"), s"unexpected failure: $chain2")
   }
 
   test("boilerplateShare works on an arbitrary user corpus") {

@@ -109,6 +109,7 @@ class RegistrySpec extends AnyFunSuite {
     "q125_rfm_features",       // 1-row corpus-max-ts cross join (recency)
     "q129_bm25",               // 1-row corpus-stats cross join (N, avgdl)
     "q132_temperature_mix",    // 1-row weight-total cross join
+    "q134_abc_class",          // 1-row revenue-total cross join (share denominator)
     "q137_division",           // 1-row divisor-count cross join
     "q138_target_encode",      // 1-row global-prior cross join
     "q139_interpolate",        // dense-axis grid: hour sequence × 5-row type dim

@@ -604,4 +604,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == direct.toSet && got.length == direct.length)
     assert(got.count(t => t._1 == 101L && t._2 == 1L) == 1)
   }
+
+  test("refreshBandIndex: incremental refresh == full rebuild, and the gate alerts identically") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the door"
+    val other = "completely different words populate this sentence about " +
+      "spark engines and distributed shuffles at scale here"
+    val third = "a third standing document with its own vocabulary about " +
+      "gardens rain flowers and the seasons turning slowly each year"
+    // generation 1 → generation 2: doc 2 removed, doc 3's text changed,
+    // doc 4 added, doc 1 untouched
+    val gen1 = Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text")
+    val gen2 = Seq((1L, base), (3L, third + " with freshly appended clauses"),
+      (4L, "a brand new fourth document mentioning telescopes comets and " +
+        "the mathematics of orbital mechanics tonight")).toDF("doc_id", "text")
+    val delta = Graft.snapshotDelta(
+      gen1.withColumn("fp", org.apache.spark.sql.functions.md5(col("text"))),
+      gen2.withColumn("fp", org.apache.spark.sql.functions.md5(col("text"))),
+      "doc_id", "fp").select(col("doc_id"), col("status"), col("text"))
+    assert(delta.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed", 4L -> "added"))
+    // refresh the STORED gen-1 index by the delta — then it must be
+    // row-for-row the index a full gen-2 rebuild derives
+    val refreshed = Streaming.refreshBandIndex(
+      Streaming.standingBandIndex(gen1), delta)
+    val rebuilt = Streaming.standingBandIndex(gen2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2),
+        r.getInt(3), r.getString(4))).toSet
+    assert(rows(refreshed) == rows(rebuilt),
+      "incrementally refreshed index differs from the full rebuild")
+    // and the streaming gate over the refreshed index alerts exactly as
+    // over the rebuilt one (an exact dup of the CHANGED doc's new text
+    // must hit doc 3's refreshed rows, not its stale ones)
+    val ins = Seq((101L, base), (102L, third + " with freshly appended clauses"))
+    val viaRefreshed = Streaming.nearDupStreamIndexed(
+      ins.toDF("doc_id", "text"), refreshed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaRebuilt = Streaming.nearDupStreamIndexed(
+      ins.toDF("doc_id", "text"), rebuilt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaRefreshed == viaRebuilt)
+    assert(viaRefreshed.contains((102L, 3L, 1.0)),
+      "gate missed the exact dup of the changed doc's NEW text")
+    assert(!viaRefreshed.exists(_._2 == 2L), "gate matched a removed doc")
+  }
 }
