@@ -83,6 +83,17 @@ object Graft {
   def connectedComponents(edges: DataFrame, reliable: Boolean = false): DataFrame =
     ops.Components.connectedComponents(edges, reliable = reliable)
 
+  /** Incrementally maintain a [[connectedComponents]] labeling when a
+    * batch of docs arrives: `comps` is the standing (doc_id, component)
+    * table, `newPairs` the (i, j) near-dup pairs the batch introduces
+    * (cross vs standing + within batch). Standing components contract
+    * to their labels, closure runs only on the contracted graph
+    * (∝ |newPairs|), then one equi-join relabels — never a closure
+    * re-run over the standing graph. q208 proves the result equals a
+    * full rebuild. */
+  def refreshComponents(comps: DataFrame, newPairs: DataFrame): DataFrame =
+    ops.Components.refreshComponents(comps, newPairs)
+
   /** The deduplicated corpus: drops every near-dup that is not its
     * component's min doc_id. All non-key columns pass through. The
     * drop set is duplication-bounded but not bounded by construction,

@@ -154,14 +154,12 @@ object Components {
     labels
   }
 
-  /** Dedup components over the MinHash-LSH pair graph (q26's pairs):
-    * (doc_id, component) with component = min doc_id — the survivor key.
-    * The oracle replays the ENTIRE pipeline — shingles → signatures →
-    * bands → verified pairs → transitive closure — via a recursive CTE,
-    * so the gate checks label propagation against DuckDB's fixpoint
-    * semantics, not just the pair list. */
-  val q72DedupComponents: Q = Q.sql(
-    "q72_dedup_components",
+  /** Full-rebuild closure oracle over the ENTIRE documents corpus —
+    * shingles → signatures → bands → verified pairs → transitive
+    * closure via a recursive CTE. Shared by q72 (the from-scratch
+    * engine path) and q208 (the INCREMENTAL engine path): both must
+    * reproduce this exact labeling. */
+  private[graft] val oracleFullClosure: String =
     s"""WITH RECURSIVE
        |np AS (
        |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
@@ -173,9 +171,110 @@ object Components {
        |SELECT id AS doc_id, MIN(r) AS component FROM reach
        |GROUP BY id
        |ORDER BY doc_id""".stripMargin
+
+  /** Dedup components over the MinHash-LSH pair graph (q26's pairs):
+    * (doc_id, component) with component = min doc_id — the survivor key.
+    * The oracle replays the ENTIRE pipeline — shingles → signatures →
+    * bands → verified pairs → transitive closure — via a recursive CTE,
+    * so the gate checks label propagation against DuckDB's fixpoint
+    * semantics, not just the pair list. */
+  val q72DedupComponents: Q = Q.sql(
+    "q72_dedup_components",
+    oracleFullClosure
   ) { (s, dir) =>
     connectedComponents(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
       .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental connected-components maintenance — the closure stage
+    * of the incremental-ingest trio (q205 `snapshotDelta` detects the
+    * changed docs, q207 `refreshBandIndex` refreshes the band index,
+    * THIS refreshes the dedup closure): given the standing labeling
+    * `comps` ((doc_id, component), component = min reachable doc_id —
+    * [[connectedComponents]]' output contract) and the `newPairs` an
+    * added batch introduces ((i, j) cross pairs vs the standing corpus
+    * + pairs within the batch), produce the grown graph's labeling
+    * WITHOUT re-running closure over the standing pair graph.
+    *
+    * Standing components are already transitively closed, so each
+    * CONTRACTS to its label: every new-pair endpoint maps to its
+    * standing component label (itself when unlabeled — new docs and
+    * standing singletons), and [[connectedComponents]] runs on that
+    * contracted graph, whose size is ∝ |newPairs| — never ∝ |standing
+    * graph|. A contracted group's label is the min over its member
+    * NODE ids; a standing label is already the min of its own members,
+    * so that min IS the min doc_id of the merged component — exactly
+    * the label a full rebuild assigns (q208 proves this against the
+    * full recursive-CTE rebuild). The final relabel is one equi-join
+    * pass over `comps` (the merged mapping is ∝ |newPairs| rows; AQE
+    * broadcasts it when small — no forced hint, same heavy-dup OOM
+    * rationale as the q72/q73 map-backs). For stored-table
+    * maintenance, rows with a changed component are exactly a q103
+    * `mergeUpsert` feed — emit `refreshComponents(...).join(comps,
+    * Seq("doc_id"), "left_anti")`-style deltas instead of rewriting
+    * the table. */
+  def refreshComponents(comps: DataFrame, newPairs: DataFrame): DataFrame = {
+    val c = comps.select(col("doc_id"), col("component"))
+    val p = newPairs.select(col("i"), col("j"))
+    val contracted = p
+      .join(c.select(col("doc_id").as("i"), col("component").as("__graft_ci")),
+        Seq("i"), "left")
+      .join(c.select(col("doc_id").as("j"), col("component").as("__graft_cj")),
+        Seq("j"), "left")
+      .select(coalesce(col("__graft_ci"), col("i")).as("i"),
+        coalesce(col("__graft_cj"), col("j")).as("j"))
+      // both endpoints inside one standing component: already closed,
+      // the contracted edge is a self-loop and carries nothing
+      .filter(col("i") =!= col("j"))
+    val merged = connectedComponents(contracted)
+    val relabeled = c
+      .join(merged.select(col("id").as("component"), col("label").as("__graft_new")),
+        Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__graft_new"), col("component")).as("component"))
+    // endpoints with no standing label (new docs, ex-singletons): every
+    // one survives contraction (its partner can never contract to the
+    // endpoint's own id — labels are ids of LABELED docs), so the left
+    // join is total; coalesce is a belt for the empty-pair edge case
+    val newlyLabeled = p.select(col("i").as("doc_id"))
+      .union(p.select(col("j").as("doc_id"))).distinct()
+      .join(c.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(merged.select(col("id").as("doc_id"), col("label").as("__graft_new")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__graft_new"), col("doc_id")).as("component"))
+    relabeled.unionByName(newlyLabeled)
+  }
+
+  /** q208: [[refreshComponents]] oracle-gated — the ENGINE maintains
+    * the dedup closure INCREMENTALLY (standing closure + an added
+    * batch's new pairs, discovered by the q83 two-sided band join plus
+    * a within-batch pair pass — work ∝ batch), while the ORACLE
+    * rebuilds the whole closure from scratch (q72's recursive CTE over
+    * the FULL corpus). The two only hash-match if contraction is
+    * exact: a merge the contracted graph misses, a stale label
+    * surviving the relabel join, or an ex-singleton left unlabeled all
+    * break the compare. Generations derive deterministically from
+    * `documents`: every 3rd doc is the added batch, the rest stand.
+    * The standing labeling is derived INLINE here only to keep the
+    * query self-contained — in production it is the stored (doc_id,
+    * component) table, read not recomputed, and the incremental cost
+    * is just the two band joins + the contracted closure. */
+  val q208ComponentRefresh: Q = Q.sql(
+    "q208_component_refresh",
+    oracleFullClosure
+  ) { (s, dir) =>
+    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    val standing = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val comps = connectedComponents(
+        Dedup.minhashPairsOf(standing).select(col("i"), col("j")))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    val newPairs = Dedup.crossVerifiedPairs(standing, incoming)
+      .select(col("i"), col("j"))
+      .unionByName(Dedup.minhashPairsOf(incoming).select(col("i"), col("j")))
+    refreshComponents(comps, newPairs)
       .orderBy(col("doc_id"))
   }
 
@@ -644,5 +743,5 @@ object Components {
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
     q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff,
-    q192CvFolds)
+    q192CvFolds, q208ComponentRefresh)
 }

@@ -603,10 +603,13 @@ object Dedup {
     }
   }
 
-  /** Generic two-sided near-dup match over hashed-shingle sets: each
-    * incoming doc's best verified match (jaccard ≥ 0.8) among the
-    * existing docs, deterministic (jaccard desc, id) tiebreak. */
-  private[graft] def incrementalPairsOf(existing: DataFrame, incoming: DataFrame): DataFrame = {
+  /** ALL verified cross pairs (i = existing doc, j = incoming doc,
+    * jaccard ≥ 0.8) between two hashed-shingle sets — the two-sided
+    * band join [[incrementalPairsOf]] tops with a best-match window.
+    * [[Components.refreshComponents]] consumes the FULL pair set:
+    * every cross edge matters for the transitive closure, not just
+    * each incoming doc's best one. */
+  private[graft] def crossVerifiedPairs(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val cand = bandsOf(existing).as("e")
       .join(bandsOf(incoming).as("n"),
         col("e.b") === col("n.b") && col("e.bkey") === col("n.bkey"))
@@ -617,8 +620,16 @@ object Dedup {
     cand
       .join(existing.as("de"), col("i") === col("de.doc_id"))
       .join(incoming.as("dn"), col("j") === col("dn.doc_id"))
-      .select(col("j").as("incoming_id"), col("i").as("existing_id"), jac.as("jaccard"))
+      .select(col("i"), col("j"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Generic two-sided near-dup match over hashed-shingle sets: each
+    * incoming doc's best verified match (jaccard ≥ 0.8) among the
+    * existing docs, deterministic (jaccard desc, id) tiebreak. */
+  private[graft] def incrementalPairsOf(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    crossVerifiedPairs(existing, incoming)
+      .select(col("j").as("incoming_id"), col("i").as("existing_id"), col("jaccard"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("incoming_id"))
           .orderBy(col("jaccard").desc, col("existing_id"))))

@@ -520,6 +520,51 @@ object Streaming {
       .unionByName(standingBandIndex(fresh))
   }
 
+  /** q207: [[refreshBandIndex]] oracle-gated — the ENGINE builds the
+    * gen-2 index INCREMENTALLY (gen-1 index + a [[graft.ops.Merge
+    * .snapshotDeltaOf]] change feed), while the ORACLE replays a full
+    * gen-2 rebuild from scratch in SQL (shingles → minhash sigs → band
+    * keys, the q26-proven pipeline). The two only hash-match if the
+    * incremental path is exact: a stale band row surviving the
+    * anti-join, a removed doc leaking through, or an added/changed doc
+    * banded from the wrong text generation all break the compare.
+    * Generations are derived deterministically from `documents`: gen 1
+    * lacks every 7th doc (→ `added`), gen 2 drops every 6th
+    * (→ `removed`) and appends a clause to every 5th's text
+    * (→ `changed`); everything else is `unchanged` and must pass
+    * through untouched. One (doc_id, band) row each, with the band key
+    * pinning all four minhash slots and n_shingles pinning the
+    * re-shingle. */
+  val q207BandIndexRefresh: Q = Q.sql(
+    "q207_band_index_refresh",
+    s"""WITH g2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' freshly appended refresh clause'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 6 <> 0),
+       |${graft.ops.Dedup.oracleDocs.replace("FROM documents", "FROM g2")},
+       |${graft.ops.Dedup.oracleHashed},
+       |${graft.ops.Dedup.oracleSigsBandsPairs}
+       |SELECT b.doc_id, b.b, b.bkey, len(h.hs) AS n_shingles
+       |FROM bands b JOIN hashed h ON h.doc_id = b.doc_id
+       |ORDER BY b.doc_id, b.b""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val g1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val g2 = docs.filter(col("doc_id") % 6 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" freshly appended refresh clause")))
+        .otherwise(col("text")))
+    val delta = graft.ops.Merge.snapshotDeltaOf(
+        g1.withColumn("fp", md5(col("text"))),
+        g2.withColumn("fp", md5(col("text"))), "doc_id", "fp")
+      .select(col("doc_id"), col("status"), col("text"))
+    refreshBandIndex(standingBandIndex(g1), delta)
+      .select(col("doc_id"), col("b"), col("bkey"),
+        size(col("hs")).as("n_shingles"))
+      .orderBy(col("doc_id"), col("b"))
+  }
+
   /** [[nearDupStream]] over a PREBUILT standing band index (the
     * [[standingBandIndex]] schema: doc_id, hs, bkeys, b, bkey) — the
     * 100 TB form: the static side is a stored table scan, bucketed on
@@ -563,5 +608,6 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
-    q146FunnelDropouts, q188StreamDistinct, q198StreamTopk)
+    q146FunnelDropouts, q188StreamDistinct, q198StreamTopk,
+    q207BandIndexRefresh)
 }

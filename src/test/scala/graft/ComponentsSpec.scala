@@ -202,4 +202,44 @@ class ComponentsSpec extends AnyFunSuite {
       3L -> ((2L, 1L, 1.0)),
       4L -> ((1L, 0L, 0.0))))
   }
+
+  test("refreshComponents: every incremental case on a planted graph == full rebuild") {
+    import spark.implicits._
+    // standing graph: {1,2,3} label 1, {10,11} label 10, {50,51} label 50,
+    // {60,61} label 60 (untouched); 20 is a standing SINGLETON (no pairs,
+    // so absent from the standing labeling — q72's contract)
+    val standingEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L), (60L, 61L))
+    val comps = Components.connectedComponents(standingEdges.toDF("i", "j"))
+      .select($"id".as("doc_id"), $"label".as("component"))
+    // the added batch introduces:
+    //  (3,10)  merge of two standing comps        -> {1,2,3,10,11} label 1
+    //  (20,30) new doc joins a standing singleton -> {20,30} label 20
+    //  (40,41) pair entirely within the batch     -> {40,41} label 40
+    //  (49,51) new doc with id SMALLER than the standing comp's label
+    //          -> {49,50,51} must RELABEL to 49
+    //  {60,61} gets no new pair and must pass through untouched
+    val newPairs = Seq((3L, 10L), (20L, 30L), (40L, 41L), (49L, 51L)).toDF("i", "j")
+    val got = Components.refreshComponents(comps, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Components.connectedComponents(
+        (standingEdges ++ Seq((3L, 10L), (20L, 30L), (40L, 41L), (49L, 51L))).toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rebuilt, "incremental labeling differs from the full rebuild")
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 30L -> 20L,
+      40L -> 40L, 41L -> 40L,
+      49L -> 49L, 50L -> 49L, 51L -> 49L,
+      60L -> 60L, 61L -> 60L))
+  }
+
+  test("refreshComponents: empty delta returns the standing labeling unchanged") {
+    import spark.implicits._
+    val comps = Components.connectedComponents(Seq((1L, 2L)).toDF("i", "j"))
+      .select($"id".as("doc_id"), $"label".as("component"))
+    val got = Components.refreshComponents(comps,
+        spark.emptyDataset[(Long, Long)].toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
 }
