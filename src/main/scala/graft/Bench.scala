@@ -26,41 +26,55 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-bench")
-    def once(): (Seq[(String, Double)], Seq[(String, String)]) = {
-      val errors = Seq.newBuilder[(String, String)]
-      val times = SparkEntry.registry.filter(_.inBench).map { q =>
-        val t0 = System.nanoTime()
-        try {
-          q.fn(spark, sfDir).count()
-          q.name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors += q.name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            q.name -> -1.0
-        }
-      }
-      (times, errors.result())
+    val benched = SparkEntry.registry.filter(_.inBench)
+    def runOnce(q: Q): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
     // Best-of-N (VERDICT r3 item 6): single-pass timings carry ~±15%
-    // process noise at sf0.1 (GC, page cache, 61 queries sharing one JVM),
+    // process noise at sf0.1 (GC, page cache, 200 queries sharing one JVM),
     // which is the same magnitude as a real regression. The headline
-    // per-query number is the MIN of N timed passes — noise only ever
+    // per-query number is the MIN of N timed runs — noise only ever
     // inflates a timing, so min converges on true cost. Spread is the gap
-    // between the best TWO passes (not max-min): a single outlier run —
-    // a GC pause or a first-timed-pass cold path — then reads as what it
+    // between the best TWO runs (not max-min): a single outlier run —
+    // a GC pause or a first-timed-run cold path — then reads as what it
     // is instead of polluting the repeatability signal (VERDICT r6: q75's
     // one 37s pass made max-min look like a 35s "spread" on a 1.97s query).
     val Passes = 3
-    once() // warm-up
-    val passes = Seq.fill(Passes)(once())
-    val errors = passes.flatMap(_._2).distinctBy(_._1)
-    val byQuery = passes.map(_._1)
-    val results = byQuery.head.indices.map { i =>
-      val name = byQuery.head(i)._1
-      val ts = byQuery.map(_(i)._2).filter(_ >= 0).sorted
-      if (ts.isEmpty) (name, -1.0, 0.0)
-      else (name, ts.head, if (ts.size >= 2) ts(1) - ts.head else 0.0)
+    // PER-QUERY BURSTS, not interleaved full-suite passes (round 10).
+    // The interleaved schedule (1 warm-up pass + 3 timed passes over the
+    // whole registry) put every timed run on the JVM/JIT warm-up ramp: a
+    // fixed 6-query basket timed across 10 bench-style passes in one JVM
+    // fell 14.8s → 9.2s with NO code change, and was still ~14s at the
+    // pass where the old schedule took its LAST timed sample. min-of-N
+    // sitting on that ramp made the suite TOTAL sensitive to suite
+    // COMPOSITION: an r10 A/B (same machine, back-to-back) measured
+    // 95.7s at HEAD vs ~108s after adding two registry queries whose own
+    // cost is 4.6s — every heavy query drifted ~10% with zero plan
+    // changes. That is the mechanism behind the r8/r9 "unexplained
+    // beyond-spread regressions" that tracked suite growth
+    // (plans/R10_PLAN_AUDIT.md Finding 3 has the full investigation).
+    // Bursts fix the sensitivity at the root: one untimed global pass
+    // still absorbs shared scan/codegen/JIT warm-up, then each query
+    // runs 1 warm + N timed CONSECUTIVE executions, so its timed window
+    // sits right after its own hot paths compiled — where another
+    // query's presence moves its ramp position by that query's runtime
+    // share only, not by a whole-suite re-interleaving.
+    benched.foreach(q => try runOnce(q) catch { case _: Throwable => () })
+    val errorsB = Seq.newBuilder[(String, String)]
+    val results = benched.map { q =>
+      try {
+        runOnce(q) // per-query warm: its own codegen + JIT burst
+        val ts = Seq.fill(Passes)(runOnce(q)).sorted
+        (q.name, ts.head, if (ts.size >= 2) ts(1) - ts.head else 0.0)
+      } catch {
+        case e: Throwable =>
+          errorsB += q.name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          (q.name, -1.0, 0.0)
+      }
     }
+    val errors = errorsB.result().distinctBy(_._1)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
