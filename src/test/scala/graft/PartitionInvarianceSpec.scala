@@ -35,7 +35,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // scalable-prefix pattern (range repartition + broadcast offsets) —
     // gate that the prefix arithmetic is boundary-placement-independent
     "q134_abc_class",
-    "q149_ks_drift")
+    "q149_ks_drift",
+    // r10: incremental band-index refresh — the anti-join + re-band +
+    // union composition must not depend on how the delta or the stored
+    // index happens to be partitioned
+    "q207_band_index_refresh")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
