@@ -610,6 +610,17 @@ object Graft {
                     maxBucketSize: Int = ops.Similarity.DefaultMaxBucketSize): DataFrame =
     ops.Similarity.embedClustersOf(vectors, minSim, nPlanes, maxBucketSize)
 
+  /** Incrementally maintain an IVF assignment table under a FROZEN
+    * coarse quantizer: `assignments` is the stored (vec_id, v, list_id)
+    * table, `delta` a (vec_id, status, v) change feed, `centroids` the
+    * (list_id, centroid) quantizer. Removed/changed rows anti-join out;
+    * added/changed vectors are re-assigned from their new embedding by
+    * a shuffle-free row-local argmin — work ∝ |delta|. q209 proves the
+    * refresh equals a from-scratch rebuild. */
+  def refreshIvfAssignments(assignments: DataFrame, delta: DataFrame,
+                            centroids: DataFrame): DataFrame =
+    ops.Similarity.refreshIvfAssignments(assignments, delta, centroids)
+
   /** Exact distributed ROC-AUC of a (score, y ∈ {0,1}) frame with
     * average-rank tie handling (the Mann–Whitney identity — the value
     * sklearn's roc_auc_score reports): one row (n, n_pos, n_neg, auc);

@@ -932,7 +932,131 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Nearest-centroid (coarse-quantizer) assignment of vectors to IVF
+    * posting lists — the shared step of index BUILD and index REFRESH.
+    * `centroids` is (list_id, centroid: array<double>), k rows (a coarse
+    * quantizer is small by design — k ∝ √N even at 100 TB). Scalable
+    * shape: the centroids collapse to ONE row (struct array sorted by
+    * list_id, broadcast via the 1-row cross-join idiom) and the argmin
+    * is a row-local fold over that array — the corpus is NEVER shuffled;
+    * assignment is a map-only pass. Distance uses the c·c − 2·v·c
+    * expansion (the v·v term is constant per vector and cannot change
+    * the argmin), each dot the codegen'd left fold
+    * [[graft.expressions.DotF64]], so DuckDB replays the floats
+    * bit-identically (q209); ties break to the lowest list_id (the fold
+    * replaces only on strictly smaller d over the sorted array). */
+  private[graft] def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cs = centroids
+      .select(struct(
+        col("list_id").cast("int").as("list_id"),
+        col("centroid"),
+        call_function("graft_dot_f64", col("centroid"), col("centroid")).as("cc")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+    val scored = transform(col("cs"), c => struct(
+      (c.getField("cc") -
+        lit(2.0) * call_function("graft_dot_f64", col("v"), c.getField("centroid"))).as("d"),
+      c.getField("list_id").as("list_id")))
+    val best = aggregate(scored,
+      struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("list_id")),
+      (acc, sc) => when(sc.getField("d") < acc.getField("d"), sc).otherwise(acc))
+    vectors.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("v"), best.getField("list_id").as("list_id"))
+  }
+
+  /** Incremental IVF posting-list maintenance — the ANN-family member of
+    * the incremental-ingest set (q205 delta → q207 band index → q208
+    * closure → THIS): `assignments` is the stored (vec_id, v, list_id)
+    * table, `delta` a (vec_id, status, v) change feed, `centroids` the
+    * FROZEN coarse quantizer (production IVF adds/removes under a fixed
+    * quantizer and retrains it offline when drift warrants). Removed and
+    * changed rows anti-join out; added and changed vectors are assigned
+    * by [[ivfAssign]] from their NEW embedding only — work ∝ |delta|,
+    * and the delta assignment is the same shuffle-free map-only pass as
+    * a full build. q209 proves refreshed == a from-scratch gen-2
+    * assignment against the DuckDB replay. */
+  def refreshIvfAssignments(assignments: DataFrame, delta: DataFrame,
+                            centroids: DataFrame): DataFrame = {
+    val drop = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("vec_id"))
+    val fresh = delta.filter(col("status").isin("added", "changed"))
+      .select(col("vec_id"), col("v"))
+    assignments.join(drop, Seq("vec_id"), "left_anti")
+      .unionByName(ivfAssign(fresh, centroids))
+  }
+
+  /** q209: [[refreshIvfAssignments]] oracle-gated — the ENGINE refreshes
+    * a gen-1 IVF assignment table incrementally (drop removed/changed,
+    * [[ivfAssign]] the delta under the frozen quantizer), while the
+    * ORACLE assigns the whole gen-2 corpus from scratch: a stale row, a
+    * leaked removed vector, or a changed vector left on its old list all
+    * break the hash. The quantizer is deterministic so both engines
+    * derive it bit-identically: per-label gen-1 centroids in q79's
+    * fixed-point discipline (exact int64 micro-unit sums / count).
+    * Generations: gen 1 lacks every 7th vector (→ added), gen 2 drops
+    * every 6th (→ removed) and NEGATES every 5th's embedding
+    * (→ changed — negation is exact in IEEE, so both engines see the
+    * same moved vector; it lands on a different list than its original).
+    * Distances replay the engine's c·c − 2·v·c left folds via
+    * list_reduce; ties go to the lowest list_id in both. */
+  val q209IvfRefresh: Q = Q.sql(
+    "q209_ivf_refresh",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |g1 AS (SELECT vec_id, v, label FROM e WHERE vec_id % 7 <> 0),
+       |g2 AS (SELECT vec_id,
+       |         CASE WHEN vec_id % 5 = 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+       |       FROM e WHERE vec_id % 6 <> 0),
+       |cents AS (
+       |  SELECT label, pos.pos AS pos,
+       |    CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |      / (COUNT(*) * 1048576.0) AS mu
+       |  FROM g1, (SELECT unnest(range(1, ${Dim + 1})) AS pos) pos
+       |  GROUP BY label, pos.pos),
+       |clists AS (
+       |  SELECT label AS list_id, list(mu ORDER BY pos) AS centroid
+       |  FROM cents GROUP BY label),
+       |scored AS (
+       |  SELECT g2.vec_id, c.list_id,
+       |    ${oracleDot.format("c.centroid", "c.centroid")}
+       |      - 2.0 * ${oracleDot.format("g2.v", "c.centroid")} AS d
+       |  FROM g2, clists c),
+       |best AS (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, list_id FROM best WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val g1 = emb.filter(col("vec_id") % 7 =!= 0)
+    // gen-1 per-label centroids, q79 fixed point → exact, oracle-equal
+    val cents = g1.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("col") * 1048576).cast("long")) /
+        (count(lit(1)) * lit(1048576.0))).as("mu"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s2 => s2.getField("mu")).as("centroid"))
+      .select(col("label").cast("int").as("list_id"), col("centroid"))
+    val assign1 = ivfAssign(g1.select(col("vec_id"), col("v")), cents)
+    // the change feed, by the same generation rules the oracle derives
+    // g2 from; v carries the NEW (gen-2) embedding for added/changed
+    val delta = emb
+      .withColumn("status",
+        when(col("vec_id") % 7 === 0 && col("vec_id") % 6 =!= 0, lit("added"))
+          .when(col("vec_id") % 6 === 0 && col("vec_id") % 7 =!= 0, lit("removed"))
+          .when(col("vec_id") % 6 =!= 0 && col("vec_id") % 5 === 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("vec_id"), col("status"),
+        when(col("vec_id") % 5 === 0, transform(col("v"), x => -x))
+          .otherwise(col("v")).as("v"))
+    refreshIvfAssignments(assign1, delta, cents)
+      .select(col("vec_id"), col("list_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
     q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
-    q178KnnGraph, q179EmbedClusters, q206GuardedPairs)
+    q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh)
 }

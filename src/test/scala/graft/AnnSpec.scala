@@ -349,4 +349,34 @@ class AnnSpec extends AnyFunSuite {
     assert(guarded.subsetOf(unguarded), "guard emitted a pair outside its bucket")
   }
 
+  test("refreshIvfAssignments: every delta case on a planted quantizer == full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // frozen 2-list quantizer on a 2-d plane: list 0 at the origin,
+    // list 1 at (10, 0)
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0))).toDF("list_id", "centroid")
+    def assign(vs: Seq[(Long, Seq[Double])]) =
+      ops.Similarity.ivfAssign(vs.toDF("vec_id", "v"), cents)
+    // gen 1: 1 near list 0; 2 near list 1; 3 nearer 0; 4 EQUIDISTANT
+    // (must tie-break to the lowest list_id in build AND rebuild)
+    val gen1 = Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(9.0, 0.0),
+      3L -> Seq(4.0, 0.0), 4L -> Seq(5.0, 0.0))
+    val assign1 = assign(gen1)
+    assert(assign1.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 0))
+    // delta: 2 removed; 3 changed and MOVES lists (4,0) → (9,0);
+    // 5 added near list 1; 1 and 4 untouched
+    val delta = Seq((3L, "changed", Seq(9.0, 0.0)), (2L, "removed", Seq(9.0, 0.0)),
+      (5L, "added", Seq(10.0, 1.0))).toDF("vec_id", "status", "v")
+    val gen2 = Seq(1L -> Seq(1.0, 0.0), 3L -> Seq(9.0, 0.0),
+      4L -> Seq(5.0, 0.0), 5L -> Seq(10.0, 1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
+    val refreshed = Graft.refreshIvfAssignments(assign1, delta, cents)
+    assert(rows(refreshed) == rows(assign(gen2)),
+      "incrementally refreshed assignments differ from the full rebuild")
+    assert(refreshed.filter(col("vec_id") === 3L).head.getInt(2) == 1,
+      "changed vector kept its stale posting list")
+  }
+
 }

@@ -127,7 +127,8 @@ class RegistrySpec extends AnyFunSuite {
     "q184_bootstrap_ci",       // 1-row point-estimate × 1-row CI brackets cross joins
     "q185_chi2_assoc",         // 1-row totals cross join onto the cell frame
     "q187_phash_groups",       // dense-axis grid: doc ids × 65-row code-slot dim
-    "q202_token_budget")       // 1-row budget/weight-total cross join
+    "q202_token_budget",       // 1-row budget/weight-total cross join
+    "q209_ivf_refresh")        // 1-row sorted-centroid-array cross join (row-local argmin)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
