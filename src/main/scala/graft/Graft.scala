@@ -621,6 +621,44 @@ object Graft {
                             centroids: DataFrame): DataFrame =
     ops.Similarity.refreshIvfAssignments(assignments, delta, centroids)
 
+  /** Priority sampling (Duffield–Lund–Thorup): k docs weighted by
+    * `weight`, WITHOUT replacement, each row carrying the estimator
+    * max(w, τ) whose sum is unbiased for any subset's true weight
+    * total. Deterministic md5 randomness, one IEEE division — replayed
+    * bit-exactly by the q210 oracle. Row-local priorities + partial
+    * top-(k+1): the corpus is scanned once and never shuffled. */
+  def prioritySample(docs: DataFrame, weight: Column, k: Int = 100,
+                     salt: String = "prio"): DataFrame =
+    ops.Sampling.prioritySampleOf(docs, weight, k, salt)
+
+  /** [[prioritySample]] per stratum: k docs per stratum without
+    * replacement, per-stratum τ estimators (the mixture-construction
+    * form). One shuffle on the stratum key; the rank filter is pushed
+    * to per-partition partial top-(k+1) by InferWindowGroupLimit, so no
+    * stratum's full population buffers in one task. */
+  def stratPrioritySample(docs: DataFrame, strata: String, weight: Column,
+                          k: Int = 100, salt: String = "sprio"): DataFrame =
+    ops.Sampling.stratPrioritySampleOf(docs, strata, weight, k, salt)
+
+  /** Per-label centroid sufficient statistics as STORED exact state:
+    * (label, pos, s_micro, n) int64 fixed-point sums (q79's recipe) —
+    * the buildable/refreshable/finalizable triple with
+    * [[refreshCentroidState]] and [[centroidsFromState]]. */
+  def centroidState(vectors: DataFrame): DataFrame =
+    ops.Similarity.centroidState(vectors)
+
+  /** Refresh a stored [[centroidState]] from a before/after-image
+    * change feed (vec_id, status, label, v_old, v_new): exact int64
+    * subtraction removes exactly what was added, so the refreshed state
+    * is bit-equal to a from-scratch rebuild (q211's gate). Work ∝
+    * |delta|·dim, then one join at the |labels|·dim state grain. */
+  def refreshCentroidState(state: DataFrame, delta: DataFrame): DataFrame =
+    ops.Similarity.refreshCentroidState(state, delta)
+
+  /** Finalize a [[centroidState]] to (label, pos, n, mu) centroids. */
+  def centroidsFromState(state: DataFrame): DataFrame =
+    ops.Similarity.centroidsFromState(state)
+
   /** Exact distributed ROC-AUC of a (score, y ∈ {0,1}) frame with
     * average-rank tie handling (the Mann–Whitney identity — the value
     * sklearn's roc_auc_score reports): one row (n, n_pos, n_neg, auc);

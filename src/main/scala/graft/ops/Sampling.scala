@@ -240,6 +240,154 @@ object Sampling {
       .filter(temperatureAccept(id))
       .drop("thr_micro")
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM '07): a fixed-size
+    * weighted sample WITHOUT replacement that carries unbiased
+    * subset-sum estimates. Each row draws priority p = w/u (u uniform
+    * in (0,1]); the k largest priorities are the sample, τ = the
+    * (k+1)-th priority, and each kept row's weight estimator is
+    * max(w, τ) — the DLT estimator whose sum is unbiased for ANY
+    * subset's true weight total (the property that makes a 100-doc
+    * sample answer "how many tokens does lang=de contribute" without
+    * rescanning the corpus). When N ≤ k there is no (k+1)-th priority:
+    * τ = 0 and every estimate is exactly w.
+    *
+    * Determinism (the q116/q132 discipline): u = (h mod 2⁵³ + 1)/2⁵³
+    * from the shared md5 — h is 60 bits so the mod is an EXACT uniform
+    * (2⁵³ divides 2⁶⁰), every integer ≤ 2⁵³ is exactly representable,
+    * and /2⁵³ only shifts the exponent, so u is exact; p = w/u is then
+    * ONE correctly-rounded IEEE division — bit-identical in any engine,
+    * no libm anywhere. Ties (same w, same bucket) break on doc_id in
+    * both engines.
+    *
+    * Scale: priorities are row-local (no shuffle); the top k+1 plans as
+    * TakeOrderedAndProject — per-partition partial top-(k+1), merge of
+    * partitions·(k+1) rows — so the corpus is scanned once and never
+    * exchanged. The two unpartitioned windows after the limit run on
+    * the (k+1)-row frame (bounded by the caller's k, not the corpus —
+    * the aggregate-grain exception in the window audit). */
+  private[graft] def prioritySampleOf(docs: DataFrame, weight: org.apache.spark.sql.Column,
+                                      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = call_function("graft_md5long64",
+      concat(lit(s"$salt:"), col("doc_id").cast("string")))
+    val u = ((h % lit(9007199254740992L)) + 1).cast("double") / lit(9.007199254740992e15)
+    val top = docs
+      .select(col("doc_id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("prio", col("w").cast("double") / u)
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(k + 1)
+    val ordered = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio").desc, col("doc_id"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    top
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("tau",
+        when(count(lit(1)).over(whole) === k + 1, min(col("prio")).over(whole))
+          .otherwise(lit(0.0)))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("w"),
+        greatest(col("w").cast("double"), col("tau")).as("w_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q210: [[prioritySampleOf]] oracle-gated — k = 100 docs weighted by
+    * n_chars; DuckDB replays the md5 buckets, the exact u, the single
+    * rounded division, and the τ window, so a mis-ranked priority, an
+    * off-by-one τ, or a drifted estimator all break the hash. */
+  val q210PrioritySample: Q = Q.sql(
+    "q210_priority_sample",
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST((CAST(concat('0x', substr(md5(concat('prio:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      |             % 9007199254740992) + 1 AS DOUBLE) / 9007199254740992.0) AS prio
+      |  FROM documents WHERE n_chars > 0),
+      |top AS (
+      |  SELECT doc_id, w, prio,
+      |    ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+      |  FROM scored ORDER BY prio DESC, doc_id LIMIT 101),
+      |tagged AS (
+      |  SELECT doc_id, w, rn,
+      |    CASE WHEN COUNT(*) OVER () = 101 THEN MIN(prio) OVER () ELSE 0.0 END AS tau
+      |  FROM top)
+      |SELECT doc_id, w, GREATEST(CAST(w AS DOUBLE), tau) AS w_est
+      |FROM tagged WHERE rn <= 100
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    prioritySampleOf(Tables.documents(s, dir), col("n_chars"), k = 100, salt = "prio")
+  }
+
+  /** Stratified priority sampling: [[prioritySampleOf]] run PER STRATUM
+    * — k docs per stratum, without replacement, each stratum carrying
+    * its own τ so max(w, τ) stays an unbiased subset-sum estimator
+    * WITHIN the stratum (the mixture-construction form: "give me k
+    * docs per language whose estimates still answer token-accounting
+    * questions"). Same exact-u / one-division determinism as q210.
+    *
+    * Scale: one shuffle on the stratum key; the rank window's
+    * `rn <= k+1` filter is pushed into per-partition partial limiting
+    * by Catalyst's InferWindowGroupLimit (each task keeps k+1 rows per
+    * stratum before the exchange — no stratum's full population ever
+    * buffers in one window task); the τ window then runs on the
+    * already-limited ≤(k+1)-rows-per-stratum frame. No join, no
+    * second corpus scan. */
+  private[graft] def stratPrioritySampleOf(docs: DataFrame, strata: String,
+                                           weight: org.apache.spark.sql.Column,
+                                           k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = call_function("graft_md5long64",
+      concat(lit(s"$salt:"), col("doc_id").cast("string")))
+    val u = ((h % lit(9007199254740992L)) + 1).cast("double") / lit(9.007199254740992e15)
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strata)).orderBy(col("prio").desc, col("doc_id"))
+    val stratum = org.apache.spark.sql.expressions.Window.partitionBy(col(strata))
+    docs
+      .select(col(strata), col("doc_id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("prio", col("w").cast("double") / u)
+      .withColumn("rn", row_number().over(ranked))
+      .filter(col("rn") <= k + 1)
+      .withColumn("tau",
+        coalesce(max(when(col("rn") === k + 1, col("prio"))).over(stratum), lit(0.0)))
+      .filter(col("rn") <= k)
+      .select(col(strata), col("doc_id"), col("w"),
+        greatest(col("w").cast("double"), col("tau")).as("w_est"))
+      .orderBy(col(strata), col("doc_id"))
+  }
+
+  /** q212: [[stratPrioritySampleOf]] oracle-gated — k = 40 docs per
+    * language weighted by n_chars; DuckDB replays the per-stratum rank,
+    * the (k+1)-th-priority τ, and the estimator, so a cross-stratum
+    * leak, a wrong τ grain, or a mis-ranked row breaks the hash. */
+  val q212StratPrioritySample: Q = Q.sql(
+    "q212_strat_priority_sample",
+    """WITH scored AS (
+      |  SELECT lang, doc_id, n_chars AS w,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST((CAST(concat('0x', substr(md5(concat('sprio:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      |             % 9007199254740992) + 1 AS DOUBLE) / 9007199254740992.0) AS prio
+      |  FROM documents WHERE n_chars > 0),
+      |top AS (
+      |  SELECT lang, doc_id, w, prio,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rn
+      |  FROM scored QUALIFY rn <= 41),
+      |tagged AS (
+      |  SELECT lang, doc_id, w, rn,
+      |    COALESCE(MAX(CASE WHEN rn = 41 THEN prio END) OVER (PARTITION BY lang), 0.0) AS tau
+      |  FROM top)
+      |SELECT lang, doc_id, w, GREATEST(CAST(w AS DOUBLE), tau) AS w_est
+      |FROM tagged WHERE rn <= 40
+      |ORDER BY lang, doc_id""".stripMargin
+  ) { (s, dir) =>
+    stratPrioritySampleOf(Tables.documents(s, dir), "lang", col("n_chars"),
+      k = 40, salt = "sprio")
+  }
+
   val all: Seq[Q] = Seq(q40SampleFraction, q41RandomSplit, q42RandLimit, q43TwoStageSplit,
-    q71StratifiedSample, q80HashTopnSample, q116WeightedSample, q132TemperatureMix)
+    q71StratifiedSample, q80HashTopnSample, q116WeightedSample, q132TemperatureMix,
+    q210PrioritySample, q212StratPrioritySample)
 }

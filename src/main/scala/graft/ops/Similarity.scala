@@ -1056,7 +1056,100 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label centroid SUFFICIENT STATISTICS in q79's fixed-point
+    * discipline: one (label, pos, s_micro, n) row per label×dimension,
+    * where s_micro = Σ round(v[pos]·2²⁰) as int64 and n = the label's
+    * vector count. Exact integer state — mergeable, refreshable, and
+    * partition-order-independent by construction (the float-mean
+    * problem q79 solves, carried into STORED state). `pos` is 1-based
+    * to match SQL array indexing. Scale: one map-side-combined
+    * aggregation, shuffle ∝ |labels|·dim rows (the state grain), never
+    * the corpus. */
+  private[graft] def centroidState(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(sum(round(col("col") * 1048576).cast("long")).as("s_micro"),
+        count(lit(1)).as("n"))
+
+  /** Incremental refresh of a stored [[centroidState]] from a CDC-style
+    * change feed with before/after images: `delta` is (vec_id, status,
+    * label, v_old, v_new). Removed/changed rows SUBTRACT their old
+    * quantized contribution; added/changed rows ADD their new one —
+    * because the state is exact int64 sums, subtraction removes exactly
+    * what was added (floats can't promise that) and the refreshed state
+    * is bit-equal to a from-scratch rebuild (q211's hash gate). Work ∝
+    * |delta|·dim aggregated map-side, then one join at the state grain
+    * (|labels|·dim rows) — the corpus is never touched. Labels whose
+    * count reaches zero drop out, matching the rebuild. */
+  def refreshCentroidState(state: DataFrame, delta: DataFrame): DataFrame = {
+    val oldSide = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("label"), posexplode(col("v_old")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        (-round(col("col") * 1048576).cast("long")).as("dq"), lit(-1L).as("dn"))
+    val newSide = delta.filter(col("status").isin("added", "changed"))
+      .select(col("label"), posexplode(col("v_new")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        round(col("col") * 1048576).cast("long").as("dq"), lit(1L).as("dn"))
+    val d = oldSide.unionByName(newSide)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("dq")).as("ds"), sum(col("dn")).as("dnn"))
+    state.join(d, Seq("label", "pos"), "full_outer")
+      .select(col("label"), col("pos"),
+        (coalesce(col("s_micro"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s_micro"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dnn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  /** Finalize a [[centroidState]] to per-label centroids:
+    * (label, pos, n, mu) with mu = s_micro / (n·2²⁰) — q79's exact-
+    * operand division (s_micro stays ≤ 2⁵³ while n·|v|·2²⁰ does; at
+    * larger corpora drop one scale factor, same caveat as q79/q132). */
+  def centroidsFromState(state: DataFrame): DataFrame =
+    state.select(col("label"), col("pos"), col("n"),
+      (col("s_micro") / (col("n") * lit(1048576.0))).as("mu"))
+
+  /** q211: [[refreshCentroidState]] oracle-gated — the ENGINE builds the
+    * gen-1 centroid state, refreshes it through the q209 generation
+    * rules' change feed (every 7th vector added, every 6th removed,
+    * every 5th's embedding negated = changed, with before AND after
+    * images), and finalizes; the ORACLE computes gen-2 centroids from
+    * scratch. Both paths are exact int64 arithmetic plus one identical
+    * division, so a stale contribution, a double-counted change, or a
+    * leaked removed vector shifts s_micro and breaks the hash. */
+  val q211CentroidRefresh: Q = Q.sql(
+    "q211_centroid_refresh",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |g2 AS (SELECT vec_id, label,
+       |         CASE WHEN vec_id % 5 = 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+       |       FROM e WHERE vec_id % 6 <> 0)
+       |SELECT label, pos.pos AS pos, COUNT(*) AS n,
+       |  CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |    / (COUNT(*) * 1048576.0) AS mu
+       |FROM g2, (SELECT unnest(range(1, ${Dim + 1})) AS pos) pos
+       |GROUP BY label, pos.pos
+       |ORDER BY label, pos""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val g1 = emb.filter(col("vec_id") % 7 =!= 0)
+    val state1 = centroidState(g1.select(col("label"), col("v")))
+    val delta = emb
+      .withColumn("status",
+        when(col("vec_id") % 7 === 0 && col("vec_id") % 6 =!= 0, lit("added"))
+          .when(col("vec_id") % 6 === 0 && col("vec_id") % 7 =!= 0, lit("removed"))
+          .when(col("vec_id") % 6 =!= 0 && col("vec_id") % 5 === 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("vec_id"), col("status"), col("label"),
+        col("v").as("v_old"),
+        when(col("vec_id") % 5 === 0, transform(col("v"), x => -x))
+          .otherwise(col("v")).as("v_new"))
+    centroidsFromState(refreshCentroidState(state1, delta))
+      .orderBy(col("label"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
     q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
-    q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh)
+    q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh, q211CentroidRefresh)
 }

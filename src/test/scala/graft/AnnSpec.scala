@@ -379,4 +379,40 @@ class AnnSpec extends AnyFunSuite {
       "changed vector kept its stale posting list")
   }
 
+  test("refreshCentroidState: all statuses, label birth and death, == full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // rounding-sensitive components (1/3, 1/7) so a float-subtraction
+    // shortcut — instead of subtracting the QUANTIZED old contribution —
+    // would miss the rebuild by a few micro-units
+    val third = 1.0 / 3.0
+    val seventh = 1.0 / 7.0
+    val gen1 = Seq(("A", Seq(1.0, third)), ("A", Seq(3.0, -1.0)), ("B", Seq(0.5, seventh)))
+      .toDF("label", "v")
+    // v2 changed in place; B's only vector removed (label dies);
+    // one add to A; one add to a label unseen in gen 1 (label born)
+    val delta = Seq(
+      (2L, "changed", "A", Seq(3.0, -1.0), Seq(2.0, 2.0)),
+      (3L, "removed", "B", Seq(0.5, seventh), Seq(0.5, seventh)),
+      (4L, "added", "A", Seq(0.0, 0.0), Seq(-1.0, 0.25)),
+      (5L, "added", "C", Seq(0.0, 0.0), Seq(7.0, third)))
+      .toDF("vec_id", "status", "label", "v_old", "v_new")
+    val gen2 = Seq(("A", Seq(1.0, third)), ("A", Seq(2.0, 2.0)),
+      ("A", Seq(-1.0, 0.25)), ("C", Seq(7.0, third))).toDF("label", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val refreshed = Graft.refreshCentroidState(Graft.centroidState(gen1), delta)
+      .select(col("label"), col("pos"), col("s_micro"), col("n"))
+    assert(rows(refreshed) == rows(Graft.centroidState(gen2)
+      .select(col("label"), col("pos"), col("s_micro"), col("n"))),
+      "refreshed centroid state differs from the from-scratch rebuild")
+    assert(refreshed.filter(col("label") === "B").isEmpty, "emptied label survived")
+    assert(!refreshed.filter(col("label") === "C").isEmpty, "born label missing")
+    // finalize: mu is the exact fixed-point mean
+    val muA1 = Graft.centroidsFromState(refreshed)
+      .filter(col("label") === "A" && col("pos") === 1).head.getDouble(3)
+    assert(muA1 == (math.round(1.0 * 1048576) + math.round(2.0 * 1048576) +
+      math.round(-1.0 * 1048576)) / (3 * 1048576.0))
+  }
+
 }

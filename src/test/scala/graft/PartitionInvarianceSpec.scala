@@ -39,7 +39,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // r10: incremental band-index refresh — the anti-join + re-band +
     // union composition must not depend on how the delta or the stored
     // index happens to be partitioned
-    "q207_band_index_refresh")
+    "q207_band_index_refresh",
+    // r10: priority sampling — exact u, one rounded division, top-(k+1)
+    // with doc_id tiebreak; a partition-dependent priority or a
+    // non-total merge order would reorder the kept set
+    "q210_priority_sample",
+    // r10: centroid-state refresh — int64 state sums plus a full-outer
+    // state join; order-dependence anywhere would shift s_micro
+    "q211_centroid_refresh",
+    // r10: the per-stratum rank + tau windows must not depend on how
+    // strata are spread across input partitions
+    "q212_strat_priority_sample")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf

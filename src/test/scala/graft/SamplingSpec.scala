@@ -87,4 +87,59 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.values.sum == total)
     assert(counts("1_train") > counts("3_test"))
   }
+
+  test("priority sample: without replacement, estimator = max(w, tau), exact when k >= N") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    val k = 37
+    val rows = Graft.prioritySample(docs, col("n_chars"), k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // fixed size, no replacement
+    assert(rows.length == k)
+    assert(rows.map(_._1).distinct.length == k, "a doc_id was sampled twice")
+    // the DLT estimator never shrinks a kept weight, and tau is the
+    // SAME threshold for every kept row: each w_est is either w itself
+    // (w >= tau) or tau (one shared value)
+    assert(rows.forall { case (_, w, est) => est >= w.toDouble })
+    val lifted = rows.collect { case (_, w, est) if est > w.toDouble => est }.distinct
+    assert(lifted.length <= 1, s"more than one distinct tau: ${lifted.toSeq}")
+    // k >= N: no (k+1)-th priority exists, tau = 0, every estimate is
+    // exactly its weight and every doc is kept
+    val n = total.toInt
+    val all = Graft.prioritySample(docs, col("n_chars"), k = n + 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.length == n)
+    assert(all.forall { case (_, w, est) => est == w.toDouble })
+    // membership is a pure function of (doc_id, w): a different salt
+    // draws a genuinely different sample (not a degenerate top-k by w)
+    val other = Graft.prioritySample(docs, col("n_chars"), k = k, salt = "prio2")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != rows.map(_._1).toSet, "salt does not change the draw")
+  }
+
+  test("stratified priority sample: per-stratum k, per-stratum tau, exact small strata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A has FEWER rows than k (all kept, tau = 0, est exact);
+    // B has more (exactly k kept, one shared tau per stratum)
+    val docs = (Seq((1L, "A", 100L), (2L, "A", 300L)) ++
+      (10L to 19L).map(i => (i, "B", 50L + i))).toDF("doc_id", "lang", "n_chars")
+    val rows = Graft.stratPrioritySample(docs, "lang", col("n_chars"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang("A").length == 2 && byLang("B").length == 3)
+    assert(rows.map(_._2).distinct.length == rows.length, "a doc sampled twice")
+    // A is exhaustive: tau = 0, estimates are the raw weights
+    assert(byLang("A").forall { case (_, _, w, est) => est == w.toDouble })
+    // B: est = max(w, tau) with ONE tau for the stratum
+    assert(byLang("B").forall { case (_, _, w, est) => est >= w.toDouble })
+    val bTaus = byLang("B").collect { case (_, _, w, est) if est > w.toDouble => est }.distinct
+    assert(bTaus.length <= 1, s"more than one tau inside stratum B: ${bTaus.toSeq}")
+    // strata draw independently: B's kept set must not depend on A's
+    // presence (a global-k implementation would couple them)
+    val bOnly = Graft.stratPrioritySample(docs.filter(col("lang") === "B"),
+      "lang", col("n_chars"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(bOnly.toSet == byLang("B").toSet, "stratum draw depends on other strata")
+  }
 }
