@@ -243,6 +243,21 @@ object Graft {
                     minFrac: Double = 0.1): DataFrame =
     ops.Decontam.decontaminate(corpus, evalSet, minFrac)
 
+  /** [[decontaminate]]'s form for eval suites too large to broadcast
+    * exactly: a `bloomBits`-bit Bloom bitmap pre-filter (broadcast
+    * state = m/8 bytes REGARDLESS of eval cardinality; fp ≈
+    * (1 − e^(−k·n/m))^k) followed by an exact verification equi-join
+    * over only the surviving candidates — the report is bit-identical
+    * to the exact path (no false negatives; false positives die in the
+    * verify join; q213 hash-gates this against q101's exact oracle).
+    * The corpus side never shuffles until the verify join, whose grain
+    * is true hits + fp·|corpus shingles|, not the corpus. */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                         minFrac: Double = 0.1,
+                         bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                         bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    ops.Decontam.bloomDecontaminate(corpus, evalSet, minFrac, bloomBits, bloomHashes)
+
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
     * Dequantize as codes[i]·scale/127 (max error scale/254). */
@@ -786,6 +801,16 @@ object Graft {
   def mergeDistinctSketches(state: DataFrame, group: Column,
                             sketch: Column): DataFrame =
     ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
+
+  /** Pairwise overlap-estimate matrix between groups from per-group HLL
+    * sketches only (inclusion–exclusion over register-max unions): one
+    * linear scan, shuffle = |groups| 4 KB sketches, pair grain =
+    * |groups|² — the screening pass that decides which group pairs
+    * deserve [[sourceOverlap]]'s exact pair-graph treatment. Returns
+    * (group_a, group_b, est_a, est_b, est_union, est_inter,
+    * jaccard_est, overlap_est). */
+  def sketchOverlap(df: DataFrame, group: Column, value: Column): DataFrame =
+    ops.HeavyHitters.sketchOverlap(df, group, value)
 
   /** Streaming twin of [[chatStats]]: incremental per-conversation
     * shape state via mapGroupsWithState — one fixed-size record per

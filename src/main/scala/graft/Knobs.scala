@@ -49,6 +49,12 @@ object Knobs {
     Knob("maxBatch", "bpeMergesBatched",
       "16",
       "disjoint merges learned per BPE recount round (jobs ∝ rounds, not merges)"),
+    Knob("bloomBits", "bloomDecontaminate",
+      ops.Decontam.DefaultBloomBits.toString,
+      "Bloom pre-filter bitmap bits: broadcast state = m/8 bytes regardless of eval cardinality, fp ≈ (1−e^(−k·n/m))^k"),
+    Knob("bloomHashes", "bloomDecontaminate",
+      ops.Decontam.DefaultBloomHashes.toString,
+      "Bloom hash count k: pre-filter probe joins per shingle"),
     Knob("reliable", "connectedComponents (+ spark.graft.reliableCheckpoint)",
       "false",
       "iterative-loop checkpoint durability: reliable HDFS-grade vs executor-local"))

@@ -157,5 +157,147 @@ object Decontam {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment)
+  /** Default Bloom bitmap size in bits (2^22 = 512 KiB of bitmap,
+    * 65 536 bitmap rows). With k = 3 hashes this holds ~300k eval
+    * shingles at ≲1.5% false-positive rate; size m ∝ the eval suite
+    * (fp ≈ (1 − e^(−k·n/m))^k), never the corpus. */
+  val DefaultBloomBits: Long = 1L << 22
+
+  /** Default Bloom hash count (k). */
+  val DefaultBloomHashes: Int = 3
+
+  /** Bloom bitmap over `evalHashed`'s distinct shingle hashes, as
+    * (word: long, bits: long) rows — at most `mBits`/64 of them,
+    * independent of the eval set's cardinality. Bit positions are k
+    * seeded xxhash64 mixes of the 60-bit shingle hash mod m; words
+    * OR-combine via `bit_or`, which is associative/commutative, so the
+    * bitmap is partition-order-invariant by construction (no float, no
+    * first(), no ordering anywhere). */
+  private[graft] def bloomBitmap(evalHashed: DataFrame, mBits: Long,
+                                 kHashes: Int): DataFrame = {
+    val idxs = (0 until kHashes).map(j =>
+      pmod(xxhash64(col("h"), lit(j)), lit(mBits)))
+    evalHashed
+      .select(explode(col("hs")).as("h")).distinct()
+      .select(explode(array(idxs: _*)).as("idx"))
+      .select(shiftright(col("idx"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx & 63 AS INT))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** [[decontaminateHashed]]'s 100 TB form for eval suites too large to
+    * broadcast EXACTLY: a fixed-size Bloom bitmap pre-filter, then an
+    * exact verification join over only the surviving candidates. The
+    * final report is bit-identical to the exact path — Bloom filters
+    * have no false negatives, so every true hit survives the
+    * pre-filter, and the verify join removes every false positive
+    * (q213 hash-gates this against q101's exact oracle; BloomSpec
+    * additionally pins equality under a deliberately fp-heavy 1 Ki-bit
+    * bitmap).
+    *
+    * Why this beats the exact broadcast at scale: [[decontaminateHashed]]
+    * ships the eval set's DISTINCT shingle hashes to every executor —
+    * ~8 B/shingle, fine for MB-scale suites but a multi-GB broadcast
+    * once the "eval set" is itself corpus-sized (e.g. decontaminating
+    * against an entire held-out dump). Here the broadcast state is
+    * `mBits`/8 bytes REGARDLESS of eval cardinality (the `bloomBits`
+    * knob; fp ≈ (1 − e^(−k·n/m))^k), the pre-filter is k broadcast
+    * hash joins against a ≤ mBits/64-row bitmap — map-side, inside
+    * whole-stage codegen, no shuffle of the corpus — and the only
+    * shuffle grain left is the verify equi-join over true hits +
+    * fp·|corpus shingles| candidate rows vs the eval shingles: work ∝
+    * overlap + fp-noise, never ∝ corpus. The verify join carries NO
+    * broadcast hint — its eval side is presumed big (that's the
+    * operator's premise); AQE still picks broadcast when it measures
+    * small (same rationale as the q72/q73 map-backs). */
+  private[graft] def bloomDecontaminateHashed(corpusHashed: DataFrame,
+                                              evalHashed: DataFrame,
+                                              minFrac: Double,
+                                              mBits: Long,
+                                              kHashes: Int): DataFrame = {
+    require(mBits >= 1024 && mBits <= (1L << 31),
+      s"bloomBits must be in [1024, 2^31], got $mBits")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"bloomHashes must be in [1, 8], got $kHashes")
+    val bitmap = bloomBitmap(evalHashed, mBits, kHashes)
+    // pre-filter: k broadcast joins, one per hash — each a map-side
+    // BroadcastHashJoin probing the ≤ mBits/64-row bitmap; a left-join
+    // miss means the word holds no eval bits at all (bits_j null → no hit)
+    val probed = (0 until kHashes).foldLeft(
+      corpusHashed.select(col("doc_id"), explode(col("hs")).as("h"))) {
+      case (df, j) =>
+        df.withColumn(s"__graft_i$j", pmod(xxhash64(col("h"), lit(j)), lit(mBits)))
+          .withColumn(s"__graft_w$j", shiftright(col(s"__graft_i$j"), 6))
+          .withColumn(s"__graft_m$j",
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__graft_i$j & 63 AS INT))"))
+          .join(broadcast(bitmap.select(col("word").as(s"__graft_w$j"),
+            col("bits").as(s"__graft_b$j"))), Seq(s"__graft_w$j"), "left")
+    }
+    val candidate = (0 until kHashes)
+      .map(j => coalesce(col(s"__graft_b$j").bitwiseAND(col(s"__graft_m$j")),
+        lit(0L)) =!= 0L)
+      .reduce(_ && _)
+    val evalShingles = evalHashed.select(explode(col("hs")).as("h")).distinct()
+    // exact verification: only candidate shingles reach the equi-join
+    val verified = probed.filter(candidate).select(col("doc_id"), col("h"))
+      .join(evalShingles, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // non-candidates are DEFINITE misses (no false negatives): docs with
+    // zero verified hits re-enter the report via the left join, n_hit = 0
+    corpusHashed
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("frac"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles")
+          >= minFrac).as("contaminated"))
+  }
+
+  /** [[bloomDecontaminateHashed]] from raw (doc_id, text) frames. */
+  private[graft] def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                                        minFrac: Double = 0.1,
+                                        mBits: Long = DefaultBloomBits,
+                                        kHashes: Int = DefaultBloomHashes): DataFrame =
+    bloomDecontaminateHashed(
+      Dedup.hashedShinglesOf(corpus), Dedup.hashedShinglesOf(evalSet),
+      minFrac, mBits, kHashes)
+
+  /** q213: the Bloom-pre-filtered decontamination path, hash-gated
+    * against the SAME exact oracle as q101 — DuckDB computes the exact
+    * left-join answer; the engine must reproduce it bit-for-bit through
+    * bitmap build → k-probe pre-filter → exact verify, proving the
+    * Bloom stage admits every true hit and the verify stage removes
+    * every false positive. Same eval split convention as q101
+    * (doc_id % 20 = 0). */
+  val q213BloomDecontam: Q = Q.sql(
+    "q213_bloom_decontam",
+    s"""WITH
+       |${Dedup.oracleDocs},
+       |${Dedup.oracleHashed},
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 20 = 0),
+       |corp AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+       |  FROM hashed WHERE doc_id % 20 != 0),
+       |agg AS (
+       |  SELECT corp.doc_id, corp.n_shingles,
+       |    CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM corp LEFT JOIN ev ON corp.h = ev.h
+       |  GROUP BY corp.doc_id, corp.n_shingles)
+       |SELECT doc_id, n_shingles, n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_shingles AS frac,
+       |  CAST(n_hit AS DOUBLE) / n_shingles >= 0.1 AS contaminated
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    bloomDecontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment, q213BloomDecontam)
 }

@@ -115,5 +115,73 @@ object HeavyHitters {
     state.groupBy(group)
       .agg(graft.functions.HllDistinct.unionUdaf(sketch).as("est_distinct"))
 
-  val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct, q193HllStateMerge)
+  /** Pairwise overlap-ESTIMATE matrix between groups, from per-group
+    * HLL sketches only — the no-pair-join form of cross-group
+    * duplication measurement. q204 answers "how much do sources share?"
+    * exactly, but at pair-join cost: its input is the verified near-dup
+    * pair graph. At 100 TB a curation pass often wants the overlap
+    * picture FIRST, to decide which source pairs are worth an exact
+    * pass — this gives it in one linear scan: one 4 KB register sketch
+    * per group (map-side combined, shuffle = |groups| rows), then all
+    * pairwise statistics from the sketches alone via inclusion–
+    * exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with est(A∪B) from
+    * the register-max union ([[graft.functions.HllUnion]] — the union
+    * sketch of A and B is byte-identical to a direct pass over A∪B, so
+    * the union estimate carries NO extra approximation; only the ±1.6%
+    * per-term HLL error enters, ≤ ~5% of the union after the 3-term
+    * sum). The pair grain is |groups|² sketch rows — constant, never
+    * corpus — so the non-equi self-join below is a deliberate
+    * BroadcastNestedLoopJoin (RegistrySpec whitelists it).
+    *
+    * Output per unordered group pair: (group_a, group_b, est_a, est_b,
+    * est_union, est_inter, jaccard_est, overlap_est) where overlap_est
+    * = est_inter / min(est_a, est_b) (the containment-style overlap
+    * coefficient). Estimates are pure functions of the input SETS
+    * (seeded md5 hashing, register-max merges) — partition-invariant,
+    * but sketch-approximate ⇒ no SQL oracle; HllSpec pins the error
+    * bound against an exact intersection pass and the union-dominance
+    * monotonicity. */
+  def sketchOverlap(df: DataFrame, group: org.apache.spark.sql.Column,
+                    value: org.apache.spark.sql.Column): DataFrame = {
+    val state = distinctSketch(df, group.as("g"), value)
+    val ests = mergeDistinctSketches(state, col("g"), col("sketch"))
+    val enriched = state.join(ests, Seq("g"))
+    val pairs = enriched
+      .select(col("g").as("group_a"), col("sketch").as("sk_a"),
+        col("est_distinct").as("est_a"))
+      .join(enriched.select(col("g").as("group_b"), col("sketch").as("sk_b"),
+        col("est_distinct").as("est_b")), col("group_a") < col("group_b"))
+    pairs
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        explode(array(col("sk_a"), col("sk_b"))).as("sk"))
+      .groupBy(col("group_a"), col("group_b"), col("est_a"), col("est_b"))
+      .agg(graft.functions.HllDistinct.unionUdaf(col("sk")).as("est_union"))
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_inter"),
+        (greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .cast("double") / col("est_union")).as("jaccard_est"),
+        (greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .cast("double") / least(col("est_a"), col("est_b")))
+          .as("overlap_est"))
+  }
+
+  /** q214: the sketch-overlap matrix over per-source distinct 5-gram
+    * shingle sets — the linear-cost screening pass in front of q204's
+    * exact pair-graph matrix (shingle hashes shared with the dedup
+    * family, so the sketched sets are EXACTLY the sets the exact pass
+    * would intersect). */
+  val q214SketchOverlap: Q = Q.noOracle("q214_sketch_overlap") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val shingles = Dedup.hashedShinglesOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("hs")).as("h"))
+    sketchOverlap(shingles, col("source"), col("h"))
+      .withColumnsRenamed(Map("group_a" -> "source_a", "group_b" -> "source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct, q193HllStateMerge,
+    q214SketchOverlap)
 }

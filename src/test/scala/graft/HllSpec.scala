@@ -92,4 +92,37 @@ class HllSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a graft HLL sketch") ||
       Option(ex.getCause).exists(_.getMessage.contains("not a graft HLL sketch")))
   }
+
+  test("q214 sketch-overlap matrix: error bound vs exact intersections, union dominance") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val shingles = ops.Dedup.hashedShinglesOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("hs")).as("h")).distinct()
+    // exact per-pair |A|, |B|, |A∩B|, |A∪B| via a self-join on h
+    val exact = shingles.select(col("source").as("sa"), col("h"))
+      .join(shingles.select(col("source").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = shingles.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q214_sketch_overlap")(spark, Sf0001).collect()
+    assert(est.length == sizes.size * (sizes.size - 1) / 2,
+      s"expected all ${sizes.size * (sizes.size - 1) / 2} unordered pairs, got ${est.length}")
+    est.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (estA, estB, estU, estI) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // register-max union is monotone: the union estimate can never
+      // fall below either side's own estimate
+      assert(estU >= math.max(estA, estB), s"($a,$b): union $estU < max($estA,$estB)")
+      val exactI = exact.getOrElse((a, b), 0L)
+      val exactU = sizes(a) + sizes(b) - exactI
+      // inclusion–exclusion sums three ±1.6% terms, each ≤ the union:
+      // the intersection error is bounded by a few percent OF THE UNION
+      assert(math.abs(estI - exactI) <= math.max(3L, (0.08 * exactU).toLong),
+        s"($a,$b): est_inter=$estI exact=$exactI union=$exactU")
+    }
+  }
 }

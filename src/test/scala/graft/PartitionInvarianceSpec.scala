@@ -49,7 +49,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q211_centroid_refresh",
     // r10: the per-stratum rank + tau windows must not depend on how
     // strata are spread across input partitions
-    "q212_strat_priority_sample")
+    "q212_strat_priority_sample",
+    // r10: Bloom bitmap built via bit_or (associative/commutative) and
+    // probed via seeded xxhash64 — neither may pick up partition order
+    "q213_bloom_decontam",
+    // r10: inclusion–exclusion over register-max unions — sketches are
+    // pure functions of the input sets, so the whole matrix must be too
+    "q214_sketch_overlap")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf

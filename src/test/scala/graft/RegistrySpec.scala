@@ -67,6 +67,7 @@ class RegistrySpec extends AnyFunSuite {
       Graft.topTerms(docs, k = 1, width = 4)
       Graft.windowedHeavyHitters(docs, width = 4)
       Graft.bpeMergesBatched(docs, 2, maxBatch = 2)
+      Graft.bloomDecontaminate(docs, docs, bloomBits = 1024L, bloomHashes = 2)
       Graft.connectedComponents(docs, reliable = false)
       ()
     }
@@ -128,7 +129,8 @@ class RegistrySpec extends AnyFunSuite {
     "q185_chi2_assoc",         // 1-row totals cross join onto the cell frame
     "q187_phash_groups",       // dense-axis grid: doc ids × 65-row code-slot dim
     "q202_token_budget",       // 1-row budget/weight-total cross join
-    "q209_ivf_refresh")        // 1-row sorted-centroid-array cross join (row-local argmin)
+    "q209_ivf_refresh",        // 1-row sorted-centroid-array cross join (row-local argmin)
+    "q214_sketch_overlap")     // |sources|²-grain sketch-table self-join (< condition)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
