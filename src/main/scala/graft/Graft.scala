@@ -802,6 +802,27 @@ object Graft {
                             sketch: Column): DataFrame =
     ops.HeavyHitters.mergeDistinctSketches(state, group, sketch)
 
+  /** Point-frequency estimates for a bounded probe set from one
+    * Count-Min pass over `values` (4·width longs of state, constant):
+    * (probes..., est_freq) with est_freq ≥ the true count always and
+    * overshoot ≤ e·N/width w.h.p. — the point-query complement of
+    * [[topTerms]]' exact top-k. */
+  def cmsFrequencies(values: DataFrame, value: Column,
+                     probes: DataFrame, probe: Column,
+                     width: Int = ops.HeavyHitters.DefaultCmsWidth): DataFrame =
+    ops.HeavyHitters.cmsFrequencies(values, value, probes, probe, width)
+
+  /** Incremental [[distinctSketch]] state maintenance: sketch only the
+    * `delta` rows (work ∝ |delta|), register-max union with the
+    * standing state at state grain — byte-identical to a from-scratch
+    * rebuild over base ∪ delta (idempotent: re-observed values move
+    * nothing). HLL registers only grow; deletions need a rebuild (the
+    * standard sketch contract — q211's exact int64 state is the
+    * subtractable alternative). */
+  def refreshDistinctSketch(state: DataFrame, delta: DataFrame,
+                            group: Column, value: Column): DataFrame =
+    ops.HeavyHitters.refreshDistinctSketch(state, delta, group, value)
+
   /** Pairwise overlap-estimate matrix between groups from per-group HLL
     * sketches only (inclusion–exclusion over register-max unions): one
     * linear scan, shuffle = |groups| 4 KB sketches, pair grain =

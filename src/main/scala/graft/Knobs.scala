@@ -43,9 +43,9 @@ object Knobs {
     Knob("nPlanes", "knnGraph, embedClusters, semanticDecontam",
       "8",
       "LSH bucket bits — bucket population ≈ N/2^nPlanes, grow ∝ log₂N"),
-    Knob("width", "topTerms (64), windowedHeavyHitters (8)",
-      "64 / 8",
-      "Misra-Gries sketch state per group; exactness proven above N/(width+1)"),
+    Knob("width", "topTerms (64), windowedHeavyHitters (8), cmsFrequencies (4096)",
+      "64 / 8 / 4096",
+      "frequency-sketch state per group: MG counters (exact above N/(width+1)) / CMS row cells (overshoot ≤ e·N/width)"),
     Knob("maxBatch", "bpeMergesBatched",
       "16",
       "disjoint merges learned per BPE recount round (jobs ∝ rounds, not merges)"),

@@ -56,6 +56,26 @@ final class HllSketch
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Union stored sketches back into a SKETCH (state in, state out) —
+  * the aggregate [[graft.ops.HeavyHitters.refreshDistinctSketch]] runs
+  * at state grain: standing + delta sketches per group collapse to the
+  * refreshed register state. Same loud wrong-size rejection as
+  * [[HllUnion]]. */
+final class HllUnionSketch
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]]
+    with Serializable {
+  import HllDistinct.{M, mergeInto}
+  override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+    require(sk.length == M, s"not a graft HLL sketch: ${sk.length} registers, want $M")
+    mergeInto(b, sk)
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /** Union stored sketches back into one estimate: the refresh side of
   * the sketch-state pattern. Rejects wrong-sized blobs loudly. */
 final class HllUnion
@@ -123,4 +143,9 @@ object HllDistinct {
   /** Sketch-union form (binary registers → estimate). */
   val unionUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new HllUnion, Encoders.BINARY)
+
+  /** Sketch-union form keeping the STATE (binary registers → binary
+    * registers) — the refresh aggregate. */
+  val unionSketchUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllUnionSketch, Encoders.BINARY)
 }

@@ -115,6 +115,32 @@ object HeavyHitters {
     state.groupBy(group)
       .agg(graft.functions.HllDistinct.unionUdaf(sketch).as("est_distinct"))
 
+  /** Incremental sketch-STATE maintenance — the q207/q208/q209/q211
+    * refresh discipline applied to stored [[distinctSketch]] state:
+    * sketch the DELTA rows only (work ∝ |delta|), then register-max
+    * union with the standing state at state grain (|groups| rows).
+    * Because register-max is associative/commutative/idempotent, the
+    * refreshed state is BYTE-IDENTICAL to a from-scratch rebuild over
+    * base ∪ delta — re-observing a value the state already holds moves
+    * nothing (HllSpec asserts refreshed == rebuilt, bytes and
+    * estimates). Groups first seen in the delta enter with the delta
+    * sketch alone; standing groups absent from the delta pass through
+    * untouched (full-outer at state grain).
+    *
+    * HLL registers only grow: DELETIONS CANNOT BE SUBTRACTED (unlike
+    * q211's exact int64 sufficient statistics) — a shrinking corpus
+    * needs a rebuild from the surviving rows. That is the standard
+    * sketch contract, stated here rather than hidden. */
+  def refreshDistinctSketch(state: DataFrame, delta: DataFrame,
+                            group: org.apache.spark.sql.Column,
+                            value: org.apache.spark.sql.Column): DataFrame = {
+    val deltaState = distinctSketch(delta, group.as("g"), value)
+    state.select(group.as("g"), col("sketch"))
+      .unionByName(deltaState)
+      .groupBy(col("g"))
+      .agg(graft.functions.HllDistinct.unionSketchUdaf(col("sketch")).as("sketch"))
+  }
+
   /** Pairwise overlap-ESTIMATE matrix between groups, from per-group
     * HLL sketches only — the no-pair-join form of cross-group
     * duplication measurement. q204 answers "how much do sources share?"
@@ -182,6 +208,46 @@ object HeavyHitters {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Default Count-Min row width: 4 × 4096 longs = 128 KB of state,
+    * per-probe overshoot ≤ e·N/4096 with probability ≥ 1 − e⁻⁴. */
+  val DefaultCmsWidth = 4096
+
+  /** Point-frequency estimates for a bounded `probes` set against one
+    * linear pass over `values` — the sketch that answers "how often
+    * does THIS key occur?" for keys [[topTerms]]' Misra-Gries width
+    * can't hold. One [[graft.functions.CountMin]] state (4·width longs,
+    * constant) aggregates map-side; probes cross-join the 1-row state
+    * (broadcast, deliberate BNLJ) and read their 4 cells row-local.
+    * est_freq ≥ the true count ALWAYS; overshoot ≤ e·N/width w.h.p.
+    * State updates/merges are element-wise long sums — exactly
+    * associative/commutative, so the state (and every estimate) is a
+    * pure function of the input multiset (CmsSpec gates bytes under
+    * repartitioning; deletions subtract exactly, the q211 property,
+    * unlike HLL's grow-only registers). */
+  def cmsFrequencies(values: DataFrame, value: org.apache.spark.sql.Column,
+                     probes: DataFrame, probe: org.apache.spark.sql.Column,
+                     width: Int = DefaultCmsWidth): DataFrame = {
+    val state = values.filter(value.isNotNull)
+      .agg(graft.functions.CountMin.udaf(width)(
+        Hashes.hexLong(value.cast("string"))).as("__graft_cms"))
+    probes.crossJoin(broadcast(state))
+      .withColumn("est_freq", graft.functions.CountMin.estimateCol(
+        col("__graft_cms"), Hashes.hexLong(probe.cast("string")), width))
+      .drop("__graft_cms")
+  }
+
+  /** q215: CMS point estimates for the exact top-10 terms, side by side
+    * with their [[topTerms]] recounted truth — est_freq must dominate
+    * cnt on every row (CmsSpec asserts the sandwich: cnt ≤ est ≤ cnt +
+    * e·N/width). Sketch (md5-seeded positions, no oracle-able SQL twin)
+    * → no-oracle. */
+  val q215CmsFreq: Q = Q.noOracle("q215_cms_freq") { (s, dir) =>
+    val terms = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    cmsFrequencies(terms, col("term"), topTerms(terms, k = 10), col("term"))
+      .orderBy(col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q90HeavyHitters, q182HllDistinct, q193HllStateMerge,
-    q214SketchOverlap)
+    q214SketchOverlap, q215CmsFreq)
 }

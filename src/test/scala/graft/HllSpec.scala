@@ -93,6 +93,32 @@ class HllSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("not a graft HLL sketch")))
   }
 
+  test("refreshDistinctSketch: delta refresh is byte-identical to a from-scratch rebuild") {
+    import spark.implicits._
+    val base = (0 until 900).map(i => (s"g${i % 3}", s"v_$i")).toDF("g", "v")
+    // delta overlaps base (idempotence must hold), adds new values to
+    // standing groups, AND introduces a brand-new group
+    val delta = ((800 until 1100).map(i => (s"g${i % 3}", s"v_$i")) ++
+      (0 until 50).map(i => ("g_new", s"w_$i"))).toDF("g", "v")
+    val standing = Graft.distinctSketch(base, col("g"), col("v"))
+    val refreshed = Graft.refreshDistinctSketch(standing, delta, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    val rebuilt = Graft.distinctSketch(base.union(delta), col("g").as("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(refreshed.keySet == rebuilt.keySet)
+    refreshed.foreach { case (g, sk) =>
+      assert(sk == rebuilt(g), s"group $g: refreshed state != rebuilt state")
+    }
+    // estimates agree too (same bytes ⇒ same estimate, spot-check the API)
+    val estRefreshed = Graft.mergeDistinctSketches(
+      Graft.refreshDistinctSketch(standing, delta, col("g"), col("v")),
+      col("g"), col("sketch"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estDirect = Graft.approxDistinct(base.union(delta), col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estRefreshed == estDirect)
+  }
+
   test("q214 sketch-overlap matrix: error bound vs exact intersections, union dominance") {
     val docs = graft.Tables.documents(spark, Sf0001)
     val shingles = ops.Dedup.hashedShinglesOf(docs)

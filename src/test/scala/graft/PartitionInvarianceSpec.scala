@@ -55,7 +55,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q213_bloom_decontam",
     // r10: inclusion–exclusion over register-max unions — sketches are
     // pure functions of the input sets, so the whole matrix must be too
-    "q214_sketch_overlap")
+    "q214_sketch_overlap",
+    // r10: CMS state is element-wise long sums (exactly associative);
+    // the probe must read identical cells whatever wrote them
+    "q215_cms_freq")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf

@@ -66,6 +66,7 @@ class RegistrySpec extends AnyFunSuite {
       Graft.semanticDecontam(vecs, vecs, nPlanes = 4)
       Graft.topTerms(docs, k = 1, width = 4)
       Graft.windowedHeavyHitters(docs, width = 4)
+      Graft.cmsFrequencies(docs, col("v"), docs, col("v"), width = 64)
       Graft.bpeMergesBatched(docs, 2, maxBatch = 2)
       Graft.bloomDecontaminate(docs, docs, bloomBits = 1024L, bloomHashes = 2)
       Graft.connectedComponents(docs, reliable = false)
@@ -130,7 +131,8 @@ class RegistrySpec extends AnyFunSuite {
     "q187_phash_groups",       // dense-axis grid: doc ids × 65-row code-slot dim
     "q202_token_budget",       // 1-row budget/weight-total cross join
     "q209_ivf_refresh",        // 1-row sorted-centroid-array cross join (row-local argmin)
-    "q214_sketch_overlap")     // |sources|²-grain sketch-table self-join (< condition)
+    "q214_sketch_overlap",     // |sources|²-grain sketch-table self-join (< condition)
+    "q215_cms_freq")           // 1-row CMS-state cross join (probes read cells row-local)
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
