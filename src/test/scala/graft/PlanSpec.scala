@@ -279,4 +279,42 @@ class PlanSpec extends AnyFunSuite {
       l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(pid"))
     assert(globalWindows <= 1, plan)
   }
+
+  test("q213 Bloom pre-filter: bitmap probes are all BroadcastHashJoins; the corpus never exchanges before the candidate filter") {
+    val plan = formatted(q("q213_bloom_decontam"))
+    // the k probe joins on __graft_wN keys must be broadcast hash joins
+    // (map-side, inside codegen), never shuffle joins of the corpus —
+    // formatted mode lists keys in per-operator detail blocks, so find
+    // every join block whose keys mention a probe word column
+    val probeBlocks = plan.split("\n\n").filter(b =>
+      b.contains("keys") && b.contains("__graft_w")).toSeq
+    assert(probeBlocks.nonEmpty, plan)
+    probeBlocks.foreach(b =>
+      assert(b.linesIterator.next().contains("BroadcastHashJoin"),
+        s"bitmap probe is not a broadcast hash join:\n$b"))
+    // the exact verify join carries NO static broadcast hint (its eval
+    // side is presumed big — the operator's premise; AQE may still pick
+    // broadcast at runtime from observed sizes)
+    val logical = q("q213_bloom_decontam").queryExecution.optimizedPlan.toString
+    val hinted = logical.linesIterator
+      .filter(_.contains("strategy=broadcast")).mkString("\n")
+    // hints exist only for the bitmap sides (word/bits), never for the
+    // eval shingle set the verify join probes
+    assert(!hinted.contains("__graft_hit") && !hinted.toLowerCase.contains("left_semi"),
+      s"verify join must not be statically broadcast-hinted:\n$hinted")
+  }
+
+  test("q215 CMS probe is one 1-row-build BNLJ; the term stream aggregates map-side into a single state row") {
+    val plan = formatted(q("q215_cms_freq"))
+    // at most two nested-loop joins, both 1-row builds: the probe set
+    // against the 1-row CMS state, and topTerms' 1-row MG sketch —
+    // the deliberate constant-build pattern, nothing corpus-sized
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj >= 1 && bnlj <= 2, s"expected 1-2 constant-build BNLJs, got $bnlj:\n$plan")
+    // the sketch aggregates (MG + CMS, typed buffers) must keep their
+    // partial stage (map-side combine of the token stream, one state
+    // row to the final) — ObjectHashAggregate partial+final pairs
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"sketch aggregates lost their partial stage:\n$plan")
+  }
 }
