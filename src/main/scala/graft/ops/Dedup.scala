@@ -141,6 +141,40 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Canonical text for formatting-insensitive exact dedup: casefold,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Row-local (codegen'd lower/regexp_replace/trim — no shuffle, no
+    * UDF); the regexes stay inside the ASCII subset where Java (engine)
+    * and RE2 (oracle) semantics agree, so the chain replays bit-for-bit
+    * in SQL. */
+  private[graft] def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** q216: exact dedup MODULO FORMATTING — q24 catches only byte-equal
+    * copies, but real mirrors differ in case, punctuation, and
+    * whitespace (markdown vs plain-text renders of one page). Group by
+    * md5 of the canonical text instead: same scale shape as q24 (one
+    * map-side-combined hash aggregate, shuffle ∝ distinct canonical
+    * docs), the normalization chain fused into the scan projection.
+    * The oracle replays the identical chain, so the gate checks the
+    * canonicalization semantics, not just the grouping. */
+  val q216DedupCanonical: Q = Q.sql(
+    "q216_dedup_canonical",
+    """SELECT md5(trim(regexp_replace(
+      |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |         AS canon_hash,
+      |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(canonicalText(col("text"))).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Doc-frequency cap for the inverted-index candidate join: a shingle
     * occurring in more than this many documents is dropped from CANDIDATE
     * GENERATION (never from verification). A df-f shingle alone yields
@@ -1139,7 +1173,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
-    q24DedupExact, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
+    q24DedupExact, q216DedupCanonical, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
     q197LshRecall, q201JaccardSweep, q204SourceOverlap)

@@ -20,6 +20,27 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == rows.length) // hash unique
   }
 
+  test("canonical dedup collapses case/punct/whitespace variants q24 must keep apart") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+    // three renders of one page + one genuinely different doc
+    val docs = Seq(
+      (1L, "Hello, World!  This is   a TEST."),
+      (2L, "hello world this is a test"),
+      (3L, "HELLO *** world --- this is a test"),
+      (4L, "a different document")).toDF("doc_id", "text")
+    val canon = docs
+      .groupBy(md5(ops.Dedup.canonicalText(col("text"))).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(canon == Map(1L -> 3L, 4L -> 1L),
+      s"canonicalization must merge docs 1-3 and keep doc 4 apart: $canon")
+    // q24's byte-exact grouping keeps all four apart — the two operators
+    // answer different questions and must not converge
+    val exact = docs.groupBy(md5(col("text"))).count().count()
+    assert(exact == 4)
+  }
+
   test("near-dup pairs respect i<j ordering and the 0.8 threshold") {
     Seq("q25_neardup_jaccard", "q26_neardup_minhash").foreach { name =>
       val ps = pairs(name)
