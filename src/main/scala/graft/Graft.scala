@@ -258,6 +258,24 @@ object Graft {
                          bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
     ops.Decontam.bloomDecontaminate(corpus, evalSet, minFrac, bloomBits, bloomHashes)
 
+  /** [[bloomDecontaminate]]'s bitmap as STORED state: (word, bits) rows
+    * to persist once per eval-suite release. `bloomBits`/`bloomHashes`
+    * are the index FORMAT — refresh and probe must match them. */
+  def bloomEvalIndex(evalSet: DataFrame,
+                     bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                     bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    ops.Decontam.bloomEvalIndex(evalSet, bloomBits, bloomHashes)
+
+  /** Incremental [[bloomEvalIndex]] refresh from ADDED eval docs only
+    * (work ∝ delta; byte-identical to a rebuild — bit_or is
+    * idempotent). Add-only: eval-doc removals need a rebuild, though a
+    * stale bit only costs a false positive the exact verify join
+    * removes — never a wrong answer. */
+  def refreshBloomIndex(index: DataFrame, deltaEval: DataFrame,
+                        bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                        bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    ops.Decontam.refreshBloomIndex(index, deltaEval, bloomBits, bloomHashes)
+
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
     * Dequantize as codes[i]·scale/127 (max error scale/254). */

@@ -215,12 +215,29 @@ object Decontam {
                                               evalHashed: DataFrame,
                                               minFrac: Double,
                                               mBits: Long,
-                                              kHashes: Int): DataFrame = {
+                                              kHashes: Int): DataFrame =
+    bloomDecontaminateWithIndex(corpusHashed, evalHashed,
+      bloomBitmap(evalHashed, mBits, kHashes), minFrac, mBits, kHashes)
+
+  /** [[bloomDecontaminateHashed]] over a PREBUILT (possibly stored,
+    * possibly stale-superset) bitmap — the index-reuse entry point.
+    * Correctness only needs the bitmap to be a SUPERSET of the eval
+    * set's bits (no false negatives); extra bits — from a stale index
+    * whose eval docs were since removed, or any over-wide build — cost
+    * only false positives the exact verify join removes (BloomSpec
+    * proves the report through a whole-corpus superset bitmap equals
+    * the exact path). `mBits`/`kHashes` must match the index's build
+    * parameters — they are the index format. */
+  private[graft] def bloomDecontaminateWithIndex(corpusHashed: DataFrame,
+                                                 evalHashed: DataFrame,
+                                                 bitmap: DataFrame,
+                                                 minFrac: Double,
+                                                 mBits: Long,
+                                                 kHashes: Int): DataFrame = {
     require(mBits >= 1024 && mBits <= (1L << 31),
       s"bloomBits must be in [1024, 2^31], got $mBits")
     require(kHashes >= 1 && kHashes <= 8,
       s"bloomHashes must be in [1, 8], got $kHashes")
-    val bitmap = bloomBitmap(evalHashed, mBits, kHashes)
     // pre-filter: k broadcast joins, one per hash — each a map-side
     // BroadcastHashJoin probing the ≤ mBits/64-row bitmap; a left-join
     // miss means the word holds no eval bits at all (bits_j null → no hit)
@@ -264,6 +281,39 @@ object Decontam {
     bloomDecontaminateHashed(
       Dedup.hashedShinglesOf(corpus), Dedup.hashedShinglesOf(evalSet),
       minFrac, mBits, kHashes)
+
+  /** The Bloom bitmap as STORED state: (word, bits) rows a pipeline
+    * persists once per eval-suite release and reuses across every
+    * decontamination run — the q207/q208/q209/q211 stored-artifact
+    * discipline applied to the pre-filter index. */
+  private[graft] def bloomEvalIndex(evalSet: DataFrame,
+                                    mBits: Long = DefaultBloomBits,
+                                    kHashes: Int = DefaultBloomHashes): DataFrame = {
+    require(mBits >= 1024 && mBits <= (1L << 31),
+      s"bloomBits must be in [1024, 2^31], got $mBits")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"bloomHashes must be in [1, 8], got $kHashes")
+    bloomBitmap(Dedup.hashedShinglesOf(evalSet), mBits, kHashes)
+  }
+
+  /** Incremental [[bloomEvalIndex]] maintenance: band only the ADDED
+    * eval docs (work ∝ |delta|), OR the delta words into the standing
+    * bitmap at word grain (≤ mBits/64 rows). bit_or is associative /
+    * commutative / idempotent, so the refreshed index is BYTE-IDENTICAL
+    * to a rebuild over base ∪ delta — re-observed shingles move nothing
+    * (BloomSpec asserts bytes). Bits only turn ON: REMOVING an eval doc
+    * needs a rebuild from the surviving suite (the HLL-register
+    * contract, stated not hidden) — though a STALE bit is only a false
+    * positive the exact verify join removes anyway, so a too-big index
+    * degrades cost, never correctness. `mBits`/`kHashes` must match the
+    * standing index's build parameters — they are the index FORMAT. */
+  private[graft] def refreshBloomIndex(index: DataFrame, deltaEval: DataFrame,
+                                       mBits: Long = DefaultBloomBits,
+                                       kHashes: Int = DefaultBloomHashes): DataFrame =
+    index.select(col("word"), col("bits"))
+      .unionByName(bloomEvalIndex(deltaEval, mBits, kHashes))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
 
   /** q213: the Bloom-pre-filtered decontamination path, hash-gated
     * against the SAME exact oracle as q101 — DuckDB computes the exact

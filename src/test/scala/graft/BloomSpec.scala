@@ -65,6 +65,31 @@ class BloomSpec extends AnyFunSuite {
       s"pre-filter admitted every shingle ($candidates of $totalShingles) — no pruning at default size")
   }
 
+  test("refreshBloomIndex: delta refresh is byte-identical to a rebuild; stale bits stay harmless") {
+    val base = evalSet.filter(col("doc_id") % 2 === 0)
+    val delta = evalSet.filter(col("doc_id") % 2 =!= 0)
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refreshed = bits(Graft.refreshBloomIndex(Graft.bloomEvalIndex(base), delta))
+    val rebuilt = bits(Graft.bloomEvalIndex(evalSet))
+    assert(refreshed == rebuilt, "refreshed bitmap != rebuilt bitmap")
+    // idempotence: re-applying the same delta moves nothing
+    val again = bits(Graft.refreshBloomIndex(Graft.bloomEvalIndex(evalSet), delta))
+    assert(again == rebuilt, "re-observed shingles must not move the bitmap")
+    // a deliberately stale SUPERSET index (whole-corpus bits) still
+    // yields the EXACT report through the index-reuse entry point:
+    // extra bits are false positives the verify join removes
+    val exact = collected(ops.Decontam.decontaminate(corpus, evalSet))
+    val staleBitmap = ops.Decontam.bloomBitmap(
+      ops.Dedup.hashedShinglesOf(docs), // every doc's shingles — superset
+      ops.Decontam.DefaultBloomBits, ops.Decontam.DefaultBloomHashes)
+    val viaStale = collected(ops.Decontam.bloomDecontaminateWithIndex(
+      ops.Dedup.hashedShinglesOf(corpus), ops.Dedup.hashedShinglesOf(evalSet),
+      staleBitmap, 0.1, ops.Decontam.DefaultBloomBits, ops.Decontam.DefaultBloomHashes))
+    assert(viaStale == exact)
+    assert(staleBitmap.count() >= Graft.bloomEvalIndex(evalSet).count())
+  }
+
   test("bitmap is bounded by mBits/64 rows and knob guards reject bad values") {
     val evalHashed = ops.Dedup.hashedShinglesOf(evalSet)
     val rows = ops.Decontam.bloomBitmap(evalHashed, 1024L, 3).count()
