@@ -898,6 +898,29 @@ object Graft {
   def refreshBandIndex(index: DataFrame, delta: DataFrame): DataFrame =
     streaming.Streaming.refreshBandIndex(index, delta)
 
+  /** Streaming ingest decontamination gate: Bloom pre-filter + exact
+    * stream-static verify, emitting one (doc_id, n_shingles, h) alert
+    * per verified contaminated shingle — stateless, append-mode-safe
+    * (per-doc rollup left to the consumer; the alert multiset equals
+    * the batch report's n_hit exactly). Convenience form deriving the
+    * index frames from `evalSet`; at scale use
+    * [[decontamStreamIndexed]] over persisted state. */
+  def decontamStream(incoming: DataFrame, evalSet: DataFrame,
+                     bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                     bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    streaming.Streaming.decontamStream(incoming, evalSet, bloomBits, bloomHashes)
+
+  /** [[decontamStream]] over the persisted index pair —
+    * [[bloomEvalIndex]]'s bitmap + the distinct eval shingle table —
+    * so the standing eval suite is never re-shingled per micro-batch;
+    * `bloomBits`/`bloomHashes` must match the index build. */
+  def decontamStreamIndexed(incoming: DataFrame, bloomIndex: DataFrame,
+                            evalShingles: DataFrame,
+                            bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                            bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    streaming.Streaming.decontamStreamIndexed(
+      incoming, bloomIndex, evalShingles, bloomBits, bloomHashes)
+
   /** Windowed heavy hitters over a (ts, user_id) event frame: per
     * tumbling hour, the users with frequency strictly above
     * N_hour/(width+1) and their EXACT counts — two-pass (Misra-Gries

@@ -241,23 +241,11 @@ object Decontam {
     // pre-filter: k broadcast joins, one per hash — each a map-side
     // BroadcastHashJoin probing the ≤ mBits/64-row bitmap; a left-join
     // miss means the word holds no eval bits at all (bits_j null → no hit)
-    val probed = (0 until kHashes).foldLeft(
-      corpusHashed.select(col("doc_id"), explode(col("hs")).as("h"))) {
-      case (df, j) =>
-        df.withColumn(s"__graft_i$j", pmod(xxhash64(col("h"), lit(j)), lit(mBits)))
-          .withColumn(s"__graft_w$j", shiftright(col(s"__graft_i$j"), 6))
-          .withColumn(s"__graft_m$j",
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__graft_i$j & 63 AS INT))"))
-          .join(broadcast(bitmap.select(col("word").as(s"__graft_w$j"),
-            col("bits").as(s"__graft_b$j"))), Seq(s"__graft_w$j"), "left")
-    }
-    val candidate = (0 until kHashes)
-      .map(j => coalesce(col(s"__graft_b$j").bitwiseAND(col(s"__graft_m$j")),
-        lit(0L)) =!= 0L)
-      .reduce(_ && _)
     val evalShingles = evalHashed.select(explode(col("hs")).as("h")).distinct()
     // exact verification: only candidate shingles reach the equi-join
-    val verified = probed.filter(candidate).select(col("doc_id"), col("h"))
+    val verified = bloomFilterCandidates(
+        corpusHashed.select(col("doc_id"), explode(col("hs")).as("h")),
+        bitmap, mBits, kHashes)
       .join(evalShingles, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     // non-candidates are DEFINITE misses (no false negatives): docs with
@@ -281,6 +269,33 @@ object Decontam {
     bloomDecontaminateHashed(
       Dedup.hashedShinglesOf(corpus), Dedup.hashedShinglesOf(evalSet),
       minFrac, mBits, kHashes)
+
+  /** The shared probe: keep only the rows of `df` (which must carry the
+    * 60-bit shingle hash as `h`) whose k Bloom positions are ALL set in
+    * `bitmap` — k broadcast hash joins against the ≤ mBits/64-row word
+    * table, map-side, inside whole-stage codegen; rows from words the
+    * bitmap never touched miss the left join (bits null → no hit).
+    * Emits `df`'s own columns. Row-local + broadcast-only ⇒ usable
+    * unchanged on a STREAMING frame (the [[graft.streaming.Streaming]]
+    * ingest gate), append-mode-safe — no aggregation, no watermark. */
+  private[graft] def bloomFilterCandidates(df: DataFrame, bitmap: DataFrame,
+                                           mBits: Long, kHashes: Int): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    val probed = (0 until kHashes).foldLeft(df) {
+      case (d, j) =>
+        d.withColumn(s"__graft_i$j", pmod(xxhash64(col("h"), lit(j)), lit(mBits)))
+          .withColumn(s"__graft_w$j", shiftright(col(s"__graft_i$j"), 6))
+          .withColumn(s"__graft_m$j",
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__graft_i$j & 63 AS INT))"))
+          .join(broadcast(bitmap.select(col("word").as(s"__graft_w$j"),
+            col("bits").as(s"__graft_b$j"))), Seq(s"__graft_w$j"), "left")
+    }
+    val candidate = (0 until kHashes)
+      .map(j => coalesce(col(s"__graft_b$j").bitwiseAND(col(s"__graft_m$j")),
+        lit(0L)) =!= 0L)
+      .reduce(_ && _)
+    probed.filter(candidate).select(cols: _*)
+  }
 
   /** The Bloom bitmap as STORED state: (word, bits) rows a pipeline
     * persists once per eval-suite release and reuses across every

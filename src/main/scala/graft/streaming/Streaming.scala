@@ -589,6 +589,53 @@ object Streaming {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Streaming ingest DECONTAMINATION gate — q213's Bloom-pre-filtered
+    * membership probe as a stream-static flow: each arriving (doc_id,
+    * text) micro-batch is shingled ROW-LOCALLY (append-mode-safe, no
+    * watermark), pre-filtered against the broadcast Bloom bitmap (the
+    * same k map-side probe joins as the batch path — streaming-legal:
+    * broadcast joins only), and the survivors exact-verified with a
+    * stream-static left-semi join against the stored eval shingle
+    * table. Emits one ALERT ROW per verified contaminated shingle:
+    * (doc_id, n_shingles, h) — shingle grain, STATELESS. Per-doc
+    * fraction thresholding is an aggregation (needs a watermark in
+    * append mode), deliberately left to the consumer: roll up
+    * `sum(1)/first(n_shingles)` per doc downstream, or compare against
+    * the batch report offline (StreamingSpec proves the alert multiset
+    * equals q101's per-doc n_hit counts exactly).
+    *
+    * The stored-state pair is [[graft.Graft.bloomEvalIndex]] (the
+    * bitmap) + the distinct eval shingle table — both persisted once
+    * per eval-suite release, refreshed via
+    * [[graft.Graft.refreshBloomIndex]]; a STALE superset bitmap only
+    * costs false-positive probes the verify join removes (BloomSpec).
+    * `bloomBits`/`bloomHashes` must match the index build — the index
+    * format. */
+  def decontamStreamIndexed(incoming: DataFrame, bloomIndex: DataFrame,
+                            evalShingles: DataFrame,
+                            bloomBits: Long = graft.ops.Decontam.DefaultBloomBits,
+                            bloomHashes: Int = graft.ops.Decontam.DefaultBloomHashes): DataFrame =
+    graft.ops.Decontam.bloomFilterCandidates(
+        graft.ops.Dedup.hashedShinglesRowLocal(incoming)
+          .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+            explode(col("hs")).as("h")),
+        bloomIndex, bloomBits, bloomHashes)
+      .join(evalShingles.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("n_shingles"), col("h"))
+
+  /** Convenience form of [[decontamStreamIndexed]] deriving both stored
+    * frames from a static (doc_id, text) eval set — fine for tests and
+    * small suites; at scale persist the two index frames and pass them
+    * to the indexed form. */
+  def decontamStream(incoming: DataFrame, evalSet: DataFrame,
+                     bloomBits: Long = graft.ops.Decontam.DefaultBloomBits,
+                     bloomHashes: Int = graft.ops.Decontam.DefaultBloomHashes): DataFrame =
+    decontamStreamIndexed(incoming,
+      graft.ops.Decontam.bloomEvalIndex(evalSet, bloomBits, bloomHashes),
+      graft.ops.Dedup.hashedShinglesOf(evalSet)
+        .select(explode(col("hs")).as("h")).distinct(),
+      bloomBits, bloomHashes)
+
   /** (doc_id, hs) → one row per LSH band: (doc_id, hs, bkeys, b, bkey),
     * the full 4-slot key array carried for the first-match filter.
     * Same signatures/banding as the batch q26/q83 path. */

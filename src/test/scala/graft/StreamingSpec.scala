@@ -652,4 +652,50 @@ class StreamingSpec extends AnyFunSuite {
       "gate missed the exact dup of the changed doc's NEW text")
     assert(!viaRefreshed.exists(_._2 == 2L), "gate matched a removed doc")
   }
+
+  test("streaming decontamination gate: alert rollup == the batch report, convenience == indexed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val incoming = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the 100 TB shape: both index frames persisted once, gate reads
+    // stored scans — the eval suite is never re-shingled per batch
+    val idxDir = java.nio.file.Files.createTempDirectory("bloom_idx").toString
+    Graft.bloomEvalIndex(evalSet).write.mode("overwrite").parquet(s"$idxDir/bitmap")
+    ops.Dedup.hashedShinglesOf(evalSet)
+      .select(org.apache.spark.sql.functions.explode(col("hs")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$idxDir/shingles")
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.decontamStreamIndexed(
+      stream.toDF().toDF("doc_id", "text"),
+      spark.read.parquet(s"$idxDir/bitmap"),
+      spark.read.parquet(s"$idxDir/shingles"))
+      .writeStream.format("memory").queryName("decontam_alerts")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(half1: _*); q.processAllAvailable()
+      stream.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("decontam_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one alert per verified contaminated shingle: the per-doc
+    // rollup must equal q101's exact n_hit, with n_shingles agreeing
+    val rolled = alerts.groupBy(_._1)
+      .map { case (id, rows) => (id, rows.head._2, rows.length.toLong) }
+    val batch = SparkEntry.queries("q101_decontaminate")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0).toSet
+    assert(rolled.toSet == batch,
+      "streamed alert rollup diverged from the batch contamination report")
+    // convenience form (derives both frames from the eval set) agrees
+    val direct = Streaming.decontamStream(
+      incoming.toDF("doc_id", "text"), evalSet)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(direct.sorted.toSeq == alerts.sorted.toSeq)
+  }
 }
