@@ -287,8 +287,10 @@ object Components {
     * picks broadcast when the set is actually small (a forced
     * `broadcast()` hint would override Spark's size threshold and
     * OOM the driver in the heavy-dup case). */
-  val q73DedupSurvivors: Q = Q.sql(
-    "q73_dedup_survivors",
+  /** Full-rebuild SURVIVORS oracle over the entire corpus — shared by
+    * q73 (from-scratch engine path) and q217 (the INCREMENTAL capstone):
+    * both must reproduce this exact survivor set. */
+  private[graft] lazy val oracleFullSurvivors: String =
     s"""WITH RECURSIVE
        |np AS (
        |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
@@ -303,12 +305,57 @@ object Components {
        |SELECT d.doc_id, d.lang, d.n_chars
        |FROM documents d ANTI JOIN dropped ON d.doc_id = dropped.id
        |ORDER BY d.doc_id""".stripMargin
+
+  val q73DedupSurvivors: Q = Q.sql(
+    "q73_dedup_survivors",
+    oracleFullSurvivors
   ) { (s, dir) =>
     val dropped = connectedComponents(Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
     graft.Tables.documents(s, dir)
       .join(dropped, col("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q217: the incremental-ingest CAPSTONE — the refresh family
+    * composed end to end, hash-gated against the SAME full-rebuild
+    * oracle as q73. The engine path touches the standing corpus only
+    * through its STORED artifacts: the standing closure (gen-1
+    * components, the stored (doc_id, component) table — derived inline
+    * here from the q208 generation convention, read-not-recomputed in
+    * production), plus the added batch's new pairs (q83's two-sided
+    * band join + a within-batch pass, work ∝ batch). The closure is
+    * refreshed with [[refreshComponents]] (contracted graph ∝
+    * |newPairs|), non-survivors drop by the refreshed labels, and the
+    * emitted corpus must equal — row for row, hash for hash — what a
+    * FULL rebuild over the grown corpus produces (q73's recursive-CTE
+    * oracle replays exactly that). Any error anywhere in the chain — a
+    * pair the incremental matcher misses, a label the contraction gets
+    * wrong, a stale standing label surviving the relabel — changes the
+    * survivor set and breaks the compare. This is the end-state the
+    * incremental trio (q205 delta / q207 band index / q208 closure)
+    * exists to serve: ingest a batch, refresh the stored state, emit
+    * the deduplicated corpus, never re-scan the standing 100 TB. */
+  val q217IncrementalIngest: Q = Q.sql(
+    "q217_incremental_ingest",
+    oracleFullSurvivors
+  ) { (s, dir) =>
+    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    val standing = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val comps = connectedComponents(
+        Dedup.minhashPairsOf(standing).select(col("i"), col("j")))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    val newPairs = Dedup.crossVerifiedPairs(standing, incoming)
+      .select(col("i"), col("j"))
+      .unionByName(Dedup.minhashPairsOf(incoming).select(col("i"), col("j")))
+    val dropped = refreshComponents(comps, newPairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__graft_drop"))
+    graft.Tables.documents(s, dir)
+      .join(dropped, col("doc_id") === col("__graft_drop"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -743,5 +790,5 @@ object Components {
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
     q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff,
-    q192CvFolds, q208ComponentRefresh)
+    q192CvFolds, q208ComponentRefresh, q217IncrementalIngest)
 }
