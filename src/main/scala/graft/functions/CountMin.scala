@@ -85,7 +85,7 @@ object CountMin {
 
   /** JVM-side cell position of `hash` in row `row` — MUST stay the twin
     * of [[positionCol]]. */
-  private[functions] def position(hash: Long, row: Int, width: Int): Int =
+  private[graft] def position(hash: Long, row: Int, width: Int): Int =
     ((((hash % P) * A(row) + B(row)) % P) % width).toInt
 
   /** Column-side twin of [[position]]: the 0-based cell position within
