@@ -27,8 +27,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned JVM sizing (VERDICT r10 item 3): the r10 plan audit measured
+// bench totals floating 20-30% with JVM state alone. Fix the levers:
+//  - ReservedCodeCacheSize: JDK 17 defaults to 240 MB; 217 queries'
+//    whole-stage codegen + JIT output overflows it mid-run, and a full
+//    code cache silently stops JIT compilation — a cliff that hits
+//    whichever queries run late in the suite.
+//  - Xms = Xmx: no heap-growth pauses mid-run; G1 region sizing is
+//    fixed from the first query instead of drifting with expansion.
+//  - Explicit G1 so the collector never depends on JDK ergonomics.
+val pinnedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$pinnedMem",
+  s"-Xms$pinnedMem",
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseG1GC",
 )

@@ -32,6 +32,23 @@ object Bench {
       q.fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // SESSION-STATE HYGIENE (round 11). The r10 driver bench measured
+    // q160 at 11.3s vs 1.1s in a fresh session — checkpoint-heavy
+    // queries degrading as 207 queries × 4 runs accumulated pinned
+    // localCheckpoint blocks. The loops now release superseded rounds
+    // themselves (Components.releaseBlocks); each query's FINAL
+    // checkpointed frame is released here, between bursts, where no
+    // plan can still reference it. Diagnosability fields ride along so
+    // the next cross-session dispute is resolvable from the artifact
+    // alone: per-burst GC time, the storage high-water mark across the
+    // run, and the JVM sizing flags build.sbt pinned.
+    import scala.jdk.CollectionConverters._
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    def gcMsNow(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
     // Best-of-N (VERDICT r3 item 6): single-pass timings carry ~±15%
     // process noise at sf0.1 (GC, page cache, 200 queries sharing one JVM),
     // which is the same magnitude as a real regression. The headline
@@ -61,20 +78,39 @@ object Bench {
     // sits right after its own hot paths compiled — where another
     // query's presence moves its ramp position by that query's runtime
     // share only, not by a whole-suite re-interleaving.
-    benched.foreach(q => try runOnce(q) catch { case _: Throwable => () })
+    benched.foreach { q =>
+      try runOnce(q) catch { case _: Throwable => () }
+      sweepBlocks()
+    }
     val errorsB = Seq.newBuilder[(String, String)]
+    var storagePeakMb = 0L
+    val gcB = Seq.newBuilder[(String, Long)]
     val results = benched.map { q =>
-      try {
-        runOnce(q) // per-query warm: its own codegen + JIT burst
-        val ts = Seq.fill(Passes)(runOnce(q)).sorted
-        (q.name, ts.head, if (ts.size >= 2) ts(1) - ts.head else 0.0)
-      } catch {
-        case e: Throwable =>
-          errorsB += q.name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          (q.name, -1.0, 0.0)
-      }
+      val out =
+        try {
+          runOnce(q) // per-query warm: its own codegen + JIT burst
+          val gc0 = gcMsNow()
+          val ts = Seq.fill(Passes)(runOnce(q)).sorted
+          gcB += q.name -> (gcMsNow() - gc0)
+          (q.name, ts.head, if (ts.size >= 2) ts(1) - ts.head else 0.0)
+        } catch {
+          case e: Throwable =>
+            errorsB += q.name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            (q.name, -1.0, 0.0)
+        }
+      // storage high-water sampled at burst end, BEFORE the sweep —
+      // catches any query whose final frames would otherwise accumulate
+      storagePeakMb = math.max(storagePeakMb, storageMb())
+      sweepBlocks()
+      out
     }
     val errors = errorsB.result().distinctBy(_._1)
+    val gcPairs = gcB.result()
+    val gcTotalMs = gcPairs.map(_._2).sum
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("-Xm") || a.startsWith("-XX:"))
+      .mkString(" ")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -93,9 +129,11 @@ object Bench {
     val head =
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Passes,"sf":"$sfDir",""" +
         s""""n_failed":${errors.size},"errors":$errs,""" +
-        s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)}"""
+        s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)},""" +
+        s""""gc_ms":$gcTotalMs,"storage_peak_mb":$storagePeakMb,"jvm_opts":${jstr(jvmOpts)}"""
+    val gcJson = gcPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     Files.writeString(Paths.get("/root/repo/bench_out.json"),
-      s"""{$head,"spread":$spreads,"queries":$qs}""")
+      s"""{$head,"gc_ms_per_query":$gcJson,"spread":$spreads,"queries":$qs}""")
     // The driver snapshots only the LAST 2000 chars of stdout (measured:
     // BENCH_r06/r07 "tail" is exactly 2000 and front-truncated → "parsed":
     // null — VERDICT r7 item 8). A full-name 0.1-ms map over 170 queries

@@ -46,6 +46,15 @@ object Sessions {
       "existing SparkSession was built without GraftExtensions (graft_md5long64 " +
         "unresolved); build sessions via Sessions.local first")
     spark.sparkContext.setLogLevel("WARN")
+    // Components.releaseBlocks unpersists superseded localCheckpoint
+    // frames by design (they are provably never re-read); every release
+    // logs a per-RDD "cannot be recomputed after unpersisting" WARN from
+    // the concrete RDD class's logger — hundreds of lines per bench run
+    // that would drown the driver-parsed stdout tail. Silence the rdd
+    // package's warnings; a release that actually breaks the guarantee
+    // fails loudly as an exception, not a log line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

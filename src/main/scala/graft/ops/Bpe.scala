@@ -104,12 +104,18 @@ object Bpe {
              |    WHEN st.pend = '' THEN named_struct('out', st.out, 'pend', s)
              |    ELSE named_struct('out', concat(st.out, array(st.pend)), 'pend', s)
              |  END)""".stripMargin)
-        state = Components.materialize(
+        val next = Components.materialize(
           state.withColumn("x", folded)
             .select(col("word"), col("n"), mergedSyms.as("syms")), rel)
+        // next is materialized: the superseded round's blocks are dead
+        Components.releaseBlocks(state)
+        state = next
         step += 1
       }
     }
+    // the merge table lives in driver memory — the final state frame is
+    // never read again; leaving it pinned leaks blocks per training call
+    Components.releaseBlocks(state)
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "left", "right", "pair_count")
       .orderBy(col("step"))
@@ -172,10 +178,14 @@ object Bpe {
         val folded = accepted.foldLeft("syms") {
           case (acc, (l, r, _)) => foldOnceExpr(acc, l, r)
         }
-        state = Components.materialize(
+        val next = Components.materialize(
           state.select(col("word"), col("n"), expr(folded).as("syms")), rel)
+        Components.releaseBlocks(state)
+        state = next
       }
     }
+    // same as [[trainMerges]]: the final state frame is never read again
+    Components.releaseBlocks(state)
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "left", "right", "pair_count")
       .orderBy(col("step"))

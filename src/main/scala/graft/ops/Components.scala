@@ -53,6 +53,27 @@ object Components {
   private[graft] def materialize(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint() else df.localCheckpoint()
 
+  /** Release the storage blocks a [[materialize]] call pinned, once the
+    * frame is provably never read again (its successor has already
+    * materialized eagerly). Without this every loop round leaks its
+    * superseded round's blocks for the life of the session — measured as
+    * the r10 driver-bench blowup (q160 11.3s vs 1.1s in a fresh session:
+    * 207 queries × 4 runs of checkpoint-heavy loops pinned storage until
+    * eviction pressure poisoned every later query).
+    *
+    * Only frames returned DIRECTLY by [[materialize]] qualify: their
+    * analyzed plan is the bare `LogicalRDD` holding the persisted RDD.
+    * Derived frames (`.drop`/`.select` over one) are deliberately not
+    * matched — releasing through a derived plan could hit a leaf the
+    * caller still shares. Reliable checkpoints keep their data in files,
+    * not blocks, so `unpersist` is a harmless no-op there. */
+  private[graft] def releaseBlocks(ckpted: DataFrame): Unit =
+    ckpted.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Rounds of plain min-propagation before path-doubling kicks in:
     * near-dup graphs (diameter 2-3) converge inside the plain window at
     * one shuffle-join per round; anything still unconverged after it is
@@ -102,9 +123,13 @@ object Components {
     // round 1's min-propagation into it is free — star-shaped near-dup
     // components converge one materialized round earlier (measured at
     // sf0.1: q72 1.76s → 1.4s).
-    var labels = ckpt(sym.groupBy(col("src"))
+    // `labelsCkpt` is always the bare checkpointed frame whose blocks
+    // back `labels` — held so each round can release its predecessor
+    // the moment the successor has materialized (checkpoints are eager)
+    var labelsCkpt = ckpt(sym.groupBy(col("src"))
       .agg(min(col("dst")).as("nbrMin"))
       .select(col("src").as("id"), least(col("src"), col("nbrMin")).as("label")))
+    var labels: DataFrame = labelsCkpt
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -119,6 +144,7 @@ object Components {
         .select(col("id"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
           col("label").as("prev"))
+      var doublingCkpt: DataFrame = null
       val stepped =
         if (it < PlainRounds) merged
         else {
@@ -130,6 +156,7 @@ object Components {
           // labels are component-constant, so the shortcut is a no-op
           // there — the zero-change exit test is unaffected.
           val m = ckpt(merged)
+          doublingCkpt = m
           m.as("l1")
             .join(m.select(col("id").as("lid"), col("label").as("llabel")),
               col("l1.label") === col("lid"))
@@ -143,6 +170,11 @@ object Components {
       // coalesce: sum over an EMPTY staged frame is NULL (zero-pair
       // corpora — the common no-duplicates case must converge, not NPE)
       val changed = staged.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      // `staged` is materialized: the superseded round's blocks (and the
+      // doubling round's intermediate) are dead — release, don't leak
+      releaseBlocks(labelsCkpt)
+      if (doublingCkpt != null) releaseBlocks(doublingCkpt)
+      labelsCkpt = staged
       labels = staged.drop("chg")
       converged = changed == 0
       it += 1
@@ -151,6 +183,9 @@ object Components {
     // halves per round — 30 rounds covers any physically possible
     // diameter, so this is a logic backstop, not a reachable abort
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the returned labels read the final round's blocks only — the
+    // symmetrized edge frame is dead once the loop exits
+    releaseBlocks(sym)
     labels
   }
 
@@ -583,7 +618,12 @@ object Components {
     // pair pipeline would replay end-to-end per reference
     val rel = sessionReliable(edges)
     if (rel) requireCheckpointDir(edges)
-    trianglesOfMaterialized(materialize(edges.select(col("i"), col("j")), rel), rel)
+    val e = materialize(edges.select(col("i"), col("j")), rel)
+    val out = trianglesOfMaterialized(e, rel)
+    // trianglesOfMaterialized eagerly materialized its oriented frame —
+    // the only ancestor `out` references — so e's blocks are dead here
+    releaseBlocks(e)
+    out
   }
 
   /** [[triangles]] body over an ALREADY-materialized edge frame —
@@ -645,18 +685,25 @@ object Components {
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    var ranksCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
       val in = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      ranks = materialize(
+      val next = materialize(
         nodes.join(in, Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) + expr("coalesce(in_rank, 0L) * 85 div 100")).as("rank")),
         rel)
+      // `next` is materialized: the superseded iteration's blocks are dead
+      if (ranksCkpt != null) releaseBlocks(ranksCkpt)
+      ranksCkpt = next
+      ranks = next
     }
+    // the final ranks are checkpointed — the edge frame is dead
+    releaseBlocks(e)
     ranks
   }
 
