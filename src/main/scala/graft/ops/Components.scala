@@ -194,10 +194,15 @@ object Components {
     * closure via a recursive CTE. Shared by q72 (the from-scratch
     * engine path) and q208 (the INCREMENTAL engine path): both must
     * reproduce this exact labeling. */
-  private[graft] val oracleFullClosure: String =
+  private[graft] val oracleFullClosure: String = oracleClosureOver("documents")
+
+  /** [[oracleFullClosure]] over an arbitrary (doc_id, text) relation —
+    * the retirement oracle (q218) rebuilds the closure from scratch over
+    * the corpus MINUS the removed docs. */
+  private[graft] def oracleClosureOver(rel: String): String =
     s"""WITH RECURSIVE
        |np AS (
-       |  ${Dedup.oracleMinhashPairsBody.replace("\n", "\n  ")}),
+       |  ${Dedup.oracleMinhashPairsBodyOver(rel).replace("\n", "\n  ")}),
        |edges AS (SELECT i AS src, j AS dst FROM np UNION SELECT j, i FROM np),
        |reach AS (
        |  SELECT src AS id, src AS r FROM edges
@@ -248,7 +253,18 @@ object Components {
     * maintenance, rows with a changed component are exactly a q103
     * `mergeUpsert` feed — emit `refreshComponents(...).join(comps,
     * Seq("doc_id"), "left_anti")`-style deltas instead of rewriting
-    * the table. */
+    * the table.
+    *
+    * CONTRACT — GROWTH ONLY (same standard as the HLL state's
+    * "registers only grow; deletions need a rebuild"): this handles
+    * added docs and the merges their pairs cause. It CANNOT handle
+    * removals — a removed doc may be a component's min-id label (the
+    * label must change) or a cut vertex (the component must split),
+    * and neither is derivable from `comps` + `newPairs`. Feed a q205
+    * change feed's `removed` rows to [[retireComponents]], which
+    * re-closes exactly the affected components (work ∝ affected, never
+    * corpus) — q218 gates it against a full rebuild that drops the
+    * removed docs. */
   def refreshComponents(comps: DataFrame, newPairs: DataFrame): DataFrame = {
     val c = comps.select(col("doc_id"), col("component"))
     val p = newPairs.select(col("i"), col("j"))
@@ -310,6 +326,88 @@ object Components {
       .select(col("i"), col("j"))
       .unionByName(Dedup.minhashPairsOf(incoming).select(col("i"), col("j")))
     refreshComponents(comps, newPairs)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deletion maintenance for the stored dedup closure — the removal
+    * half of [[refreshComponents]]' growth-only contract: given the
+    * standing labeling `comps`, the `removed` doc ids, and the
+    * remaining corpus's hashed-shingle frame, produce the labeling a
+    * full rebuild over the corpus-minus-removed would — WITHOUT
+    * re-closing anything a removed doc never touched.
+    *
+    * Why whole-component re-closure and not label patching: a removed
+    * doc can be its component's min-id LABEL (every member needs a new
+    * label) or a CUT VERTEX (the component must split into parts that
+    * share no remaining edge) — both need the component's internal
+    * edge structure, which the (doc_id, component) table doesn't
+    * store. So: components containing a removed doc are AFFECTED;
+    * their remaining members re-derive pairs among themselves (LSH
+    * banding is per-doc, so the pair set over a member subset is
+    * exactly the induced subgraph of the standing pair graph) and
+    * re-close with [[connectedComponents]]. Members left with no pair
+    * drop out of the labeling — singletons are unlabeled by the q72
+    * output contract, matching the full rebuild row for row.
+    *
+    * Completeness of the affected set: pair edges only exist inside a
+    * component (transitivity), so a removed doc's influence cannot
+    * cross a component boundary — untouched components pass through
+    * by anti-join, never rescanned.
+    *
+    * Scale: work ∝ affected components' remaining members (the
+    * semi-joins prune `remainingDocs` before any shingle work), never
+    * ∝ corpus. `remainingDocs` can therefore be the full standing
+    * (doc_id, hs) frame — only the affected slice is read. */
+  def retireComponents(comps: DataFrame, removed: DataFrame,
+                       remainingDocs: DataFrame): DataFrame =
+    retireComponentsBy(comps, removed, remainingDocs,
+      memberDocs => Dedup.minhashPairsOf(memberDocs).select(col("i"), col("j")))
+
+  /** [[retireComponents]] with the pair derivation injected — the graph
+    * logic (affected-set pruning, re-closure, pass-through) is testable
+    * on planted topologies (ComponentsSpec's removed-label and
+    * cut-vertex fixtures) independent of LSH banding; `pairsOf` must
+    * return the standing pair graph induced on the docs it is given. */
+  private[graft] def retireComponentsBy(comps: DataFrame, removed: DataFrame,
+                                        remainingDocs: DataFrame,
+                                        pairsOf: DataFrame => DataFrame): DataFrame = {
+    val c = comps.select(col("doc_id"), col("component"))
+    val rm = removed.select(col("doc_id"))
+    val affected = c.join(rm, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val survivors = c.join(affected, Seq("component"), "left_semi")
+      .join(rm, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val memberDocs = remainingDocs.join(survivors, Seq("doc_id"), "left_semi")
+    val reclosed = connectedComponents(pairsOf(memberDocs))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    c.join(affected, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .unionByName(reclosed)
+  }
+
+  /** q218: [[retireComponents]] oracle-gated — the ENGINE maintains the
+    * standing closure under REMOVALS (every 5th doc retired, the q208
+    * convention's deletion twin), while the ORACLE rebuilds the whole
+    * closure from scratch over the corpus minus the removed docs. The
+    * compare breaks on every removal failure mode: a removed min-id
+    * label surviving as a stale component id, a cut-vertex component
+    * not splitting, a member left labeled after its last pair died, or
+    * an untouched component touched. The standing labeling is derived
+    * inline only to keep the query self-contained — in production it is
+    * the stored table, and the incremental cost is the affected-slice
+    * pair pass + contracted closure. */
+  val q218ComponentRetire: Q = Q.sql(
+    "q218_component_retire",
+    oracleClosureOver("(SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0)")
+  ) { (s, dir) =>
+    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    val comps = connectedComponents(
+        Dedup.minhashPairsOf(docs).select(col("i"), col("j")))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    val removed = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val remaining = docs.filter(col("doc_id") % 5 =!= 0)
+    retireComponents(comps, removed, remaining)
       .orderBy(col("doc_id"))
   }
 
@@ -837,5 +935,5 @@ object Components {
 
   val all: Seq[Q] = Seq(q72DedupComponents, q73DedupSurvivors, q145Triangles,
     q158BestSurvivors, q160LeakageSafeSplit, q175PageRank, q186ClusteringCoeff,
-    q192CvFolds, q208ComponentRefresh, q217IncrementalIngest)
+    q192CvFolds, q208ComponentRefresh, q217IncrementalIngest, q218ComponentRetire)
 }

@@ -111,12 +111,18 @@ object Dedup {
   /** Oracle twin of [[docShingles]] — shared CTE text (reused by
     * [[Decontam]] so the contamination oracle replays the exact same
     * shingling). */
-  private[graft] val oracleDocs: String =
-    """docs AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
-      |      i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 5)""".stripMargin
+  private[graft] val oracleDocs: String = oracleDocsOver("documents")
+
+  /** [[oracleDocs]] over an arbitrary relation (a table name or a
+    * parenthesized subquery) exposing (doc_id, text) — lets retirement /
+    * partial-corpus oracles replay the exact same shingling over a
+    * filtered corpus instead of string-patching the CTE. */
+  private[graft] def oracleDocsOver(rel: String): String =
+    s"""docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+       |      i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $rel)
+       |  WHERE len(w) >= 5)""".stripMargin
 
   /** Oracle twin of [[docHashedShingles]] (requires [[oracleDocs]]). */
   private[graft] val oracleHashed: String =
@@ -429,8 +435,14 @@ object Dedup {
        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)""".stripMargin
   }
 
-  private[graft] val oracleMinhashPairsBody: String = {
-    s"""WITH $oracleDocs,
+  private[graft] val oracleMinhashPairsBody: String =
+    oracleMinhashPairsBodyOver("documents")
+
+  /** [[oracleMinhashPairsBody]] over an arbitrary (doc_id, text)
+    * relation — banding is per-doc, so the pair set over a filtered
+    * corpus is exactly the induced subgraph of the full-corpus pairs. */
+  private[graft] def oracleMinhashPairsBodyOver(rel: String): String = {
+    s"""WITH ${oracleDocsOver(rel)},
        |$oracleHashed,
        |$oracleSigsBandsPairs
        |SELECT p.i, p.j,

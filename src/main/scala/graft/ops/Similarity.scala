@@ -1149,7 +1149,105 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** q219: the IVF SEARCH path oracle-gated — q60's probe/rank shape
+    * under a FROZEN deterministic quantizer so DuckDB can replay it
+    * bit-exactly (the q209 move, applied to search: q60 itself stays
+    * the KMeans-trained variant, recall-gated by AnnSpec). Quantizer =
+    * the per-label fixed-point centroids (exact int64 micro-unit sums /
+    * count — both engines derive them bit-identically); every vector is
+    * assigned by [[ivfAssign]]'s c·c − 2·v·c left fold; each query
+    * (vec_id < 10) probes its 2 nearest centroids by the same fold and
+    * ranks exact cosine only within the probed posting lists, top-5
+    * with the (sim desc, neighbor_id) tiebreak. The oracle replays
+    * quantizer → assignment → probe → within-list cosine end to end:
+    * a wrong posting list, a probe ranking drift, or a leaked
+    * out-of-list candidate all break the hash.
+    *
+    * Scale shape (identical to q60): centroids broadcast (k rows),
+    * assignment is map-only, the probe turns the corpus scan into an
+    * equi-join on list_id — cost ∝ probed lists, not corpus. */
+  val q219IvfSearch: Q = Q.sql(
+    "q219_ivf_search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |cents AS (
+       |  SELECT label, pos.pos AS pos,
+       |    CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |      / (COUNT(*) * 1048576.0) AS mu
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS pos) pos
+       |  GROUP BY label, pos.pos),
+       |clists AS (
+       |  SELECT label AS list_id, list(mu ORDER BY pos) AS centroid
+       |  FROM cents GROUP BY label),
+       |ascored AS (
+       |  SELECT e.vec_id, c.list_id,
+       |    ${oracleDot.format("c.centroid", "c.centroid")}
+       |      - 2.0 * ${oracleDot.format("e.v", "c.centroid")} AS d
+       |  FROM e, clists c),
+       |assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |    FROM ascored) WHERE rn = 1),
+       |norms AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |       FROM norms WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, list_id FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${oracleDot.format("c.centroid", "c.centroid")}
+       |          - 2.0 * ${oracleDot.format("q.qv", "c.centroid")}, c.list_id) AS pr
+       |    FROM qs q, clists c) WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    round(${oracleDot.format("p.qv", "n.v")} / (p.qn * n.nrm), 9) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.list_id = p.list_id
+       |  JOIN norms n ON n.vec_id = a.vec_id
+       |  WHERE n.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    // frozen quantizer: per-label fixed-point centroids (q209's derivation)
+    val cents = centroidsFromState(centroidState(emb.select(col("label"), col("v"))))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s2 => s2.getField("mu")).as("centroid"))
+      .select(col("label").cast("int").as("list_id"), col("centroid"))
+    val assigned = ivfAssign(emb.select(col("vec_id"), col("v")), cents)
+      .withColumn("nrm", norm(col("v")))
+    val qSide = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cc = dot(col("centroid"), col("centroid"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d"), col("list_id"))
+    val probes = qSide.crossJoin(broadcast(cents)) // k rows — constant
+      .withColumn("d", cc - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 2)
+      .select(col("query_id"), col("qv"), col("qn"), col("list_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
     q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
-    q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh, q211CentroidRefresh)
+    q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh, q211CentroidRefresh,
+    q219IvfSearch)
 }

@@ -242,4 +242,58 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("retireComponents: removed min-id label, cut vertex, emptied comp, untouched pass-through") {
+    import spark.implicits._
+    // standing graph (each failure mode of naive label patching planted):
+    //  {1,2,3} triangle, label 1        — remove 1 (the LABEL): must relabel to 2
+    //  {10,11,12} path via 11, label 10 — remove 11 (CUT VERTEX): must split
+    //    into singletons 10 and 12, which then DROP from the labeling
+    //    (the q72 contract labels only docs with a pair)
+    //  {20,21}, label 20                — remove both: component vanishes
+    //  {30,31,32} path via 31, label 30 — untouched: passes through as-is
+    val standingEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L))
+    val comps = Components.connectedComponents(standingEdges.toDF("i", "j"))
+      .select($"id".as("doc_id"), $"label".as("component"))
+    val removed = Seq(1L, 11L, 20L, 21L).toDF("doc_id")
+    // remainingDocs stands in for the hashed-shingle frame: only ids
+    // matter to the injected pair derivation (induced standing subgraph)
+    val remaining = Seq(2L, 3L, 10L, 12L, 30L, 31L, 32L).toDF("doc_id")
+    val induced = (docs: org.apache.spark.sql.DataFrame) => {
+      val ids = docs.select($"doc_id")
+      standingEdges.toDF("i", "j")
+        .join(ids.select($"doc_id".as("i")), Seq("i"), "left_semi")
+        .join(ids.select($"doc_id".as("j")), Seq("j"), "left_semi")
+        .select($"i", $"j")
+    }
+    val got = Components.retireComponentsBy(comps, removed, remaining, induced)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full-rebuild truth over the remaining docs' induced graph
+    val rebuilt = Components.connectedComponents(induced(remaining))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rebuilt, "retired labeling differs from the full rebuild")
+    assert(got == Map(2L -> 2L, 3L -> 2L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("retireComponents: removing a non-member or a standing singleton is a no-op") {
+    import spark.implicits._
+    val comps = Components.connectedComponents(Seq((1L, 2L)).toDF("i", "j"))
+      .select($"id".as("doc_id"), $"label".as("component"))
+    // 99 never appears in the pair graph; removing it must touch
+    // nothing. The injected derivation returns the induced standing
+    // edges — over an EMPTY affected-member set here, proving the
+    // re-closure ran on zero rows rather than rescanning the corpus.
+    var sawMembers = -1L
+    val got = Components.retireComponentsBy(comps, Seq(99L).toDF("doc_id"),
+        Seq(1L, 2L).toDF("doc_id"),
+        docs => {
+          sawMembers = docs.count()
+          Seq((1L, 2L)).toDF("i", "j")
+            .join(docs.select($"doc_id".as("i")), Seq("i"), "left_semi")
+        })
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sawMembers == 0L, "no component is affected; pairsOf must see zero members")
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
 }
