@@ -258,9 +258,11 @@ object Graft {
                          bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
     ops.Decontam.bloomDecontaminate(corpus, evalSet, minFrac, bloomBits, bloomHashes)
 
-  /** [[bloomDecontaminate]]'s bitmap as STORED state: (word, bits) rows
-    * to persist once per eval-suite release. `bloomBits`/`bloomHashes`
-    * are the index FORMAT — refresh and probe must match them. */
+  /** [[bloomDecontaminate]]'s bitmap as STORED state: (word, bits,
+    * m_bits, k_hashes) rows to persist once per eval-suite release.
+    * `bloomBits`/`bloomHashes` are the index FORMAT — stamped into the
+    * index itself, and verified at refresh/probe time (a mismatch
+    * raises instead of silently corrupting the index). */
   def bloomEvalIndex(evalSet: DataFrame,
                      bloomBits: Long = ops.Decontam.DefaultBloomBits,
                      bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Guarantee: est(x) ≥ true(x) always (counters only over-count), and
   * per row the overshoot is ≤ N/width in expectation; the min over 4
-  * independently-hashed rows makes est(x) ≤ true(x) + e·N/width with
-  * probability ≥ 1 − e⁻⁴ per probe.
+  * rows makes est(x) ≤ true(x) + e·N/width with probability ≥ 1 − e⁻⁴
+  * per probe. Each row xors a distinct 60-bit seed into the key BEFORE
+  * the mod-p reduction, so two distinct keys congruent mod p do NOT
+  * collide in every row at once (without the seed the shared reduction
+  * would correlate all 4 rows at ~2⁻³¹ per key pair); the row hashes
+  * are md5-seeded members of one universal family, not independent
+  * draws, so the e⁻⁴ bound is the standard heuristic reading.
   *
   * Why next to MisraGries: MG + exact recount answers "what are the
   * top k?" exactly, but cannot answer "how often does THIS key occur?"
@@ -32,12 +37,16 @@ import org.apache.spark.sql.functions._
   * IS the refresh merge; deletions even subtract exactly, unlike HLL).
   *
   * Hashing: row i's position is the [[graft.ops.Hashes]] md5-derived
-  * universal hash ((h mod p)·a_i + b_i mod p) mod width with
-  * p = 2³¹ − 1 and a_i, b_i < 2²⁸ (no intermediate overflow:
-  * (2³¹)(2²⁸) < 2⁶³) — evaluable identically in JVM code (the
-  * aggregator) and as Column arithmetic (the probe side,
+  * universal hash (((h xor s_i) mod p)·a_i + b_i mod p) mod width with
+  * p = 2³¹ − 1, s_i a 60-bit per-row seed, and a_i, b_i < 2²⁸ (no
+  * intermediate overflow: (2³¹)(2²⁸) < 2⁶³) — evaluable identically in
+  * JVM code (the aggregator) and as Column arithmetic (the probe side,
   * [[CountMin.positionCol]]), so probes read exactly the cells updates
-  * wrote.
+  * wrote. Every mod is floorMod/pmod in BOTH twins: the intended input
+  * is the non-negative 60-bit `graft_md5long64` hash, but a caller
+  * feeding `udaf(width)` an arbitrary long column gets well-defined,
+  * twin-identical cells instead of a JVM ArrayIndexOutOfBounds on one
+  * side and a null `element_at` on the other.
   */
 final class CountMin(width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]]
@@ -77,22 +86,31 @@ object CountMin {
   private val P = (1L << 31) - 1
 
   /** md5-derived universal-hash constants, a_i odd and both < 2²⁸ —
-    * small enough that (h mod p)·a_i never overflows a long. */
+    * small enough that ((h xor s) mod p)·a_i never overflows a long. */
   private[functions] val A: Array[Long] = Array.tabulate(Depth)(i =>
     java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-a$i").substring(0, 7), 16) | 1L)
   private[functions] val B: Array[Long] = Array.tabulate(Depth)(i =>
     java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-b$i").substring(0, 7), 16))
 
+  /** Per-row 60-bit xor seeds: decorrelate the rows BEFORE the shared
+    * mod-p reduction (see the class doc's collision note). */
+  private[functions] val S: Array[Long] = Array.tabulate(Depth)(i =>
+    java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-s$i").substring(0, 15), 16))
+
   /** JVM-side cell position of `hash` in row `row` — MUST stay the twin
-    * of [[positionCol]]. */
+    * of [[positionCol]]. floorMod throughout: negative inputs (misuse —
+    * the contract is the non-negative md5 hash) still land in-range and
+    * twin-identical rather than crashing the aggregator. */
   private[graft] def position(hash: Long, row: Int, width: Int): Int =
-    ((((hash % P) * A(row) + B(row)) % P) % width).toInt
+    Math.floorMod(
+      Math.floorMod(Math.floorMod(hash ^ S(row), P) * A(row) + B(row), P),
+      width.toLong).toInt
 
   /** Column-side twin of [[position]]: the 0-based cell position within
-    * row `row` for a 60-bit non-negative hash column (`graft_md5long64`
-    * output — non-negative, so % and pmod agree). */
+    * row `row` (pmod mirrors the JVM side's floorMod on any input). */
   def positionCol(hash: Column, row: Int, width: Int): Column =
-    ((hash % P) * lit(A(row)) + lit(B(row))) % P % width
+    pmod(pmod(pmod(hash.bitwiseXOR(lit(S(row))), lit(P)) * lit(A(row)) + lit(B(row)),
+      lit(P)), lit(width.toLong))
 
   /** 1-based flat index into the stored array<long> state for
     * `element_at`. */

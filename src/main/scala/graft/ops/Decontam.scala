@@ -278,8 +278,29 @@ object Decontam {
     * Emits `df`'s own columns. Row-local + broadcast-only ⇒ usable
     * unchanged on a STREAMING frame (the [[graft.streaming.Streaming]]
     * ingest gate), append-mode-safe — no aggregation, no watermark. */
-  private[graft] def bloomFilterCandidates(df: DataFrame, bitmap: DataFrame,
+  /** Gate a STORED index's persisted (m_bits, k_hashes) format columns
+    * against the caller's parameters: any row with a mismatch raises at
+    * execution time (folded into `bits` itself so column pruning can
+    * never elide the check — the HLL register-count precedent). A raw
+    * (word, bits) bitmap without format columns passes through — that
+    * is the trusted INTERNAL form ([[bloomBitmap]] built and consumed
+    * inside one expression); everything persisted goes through
+    * [[bloomEvalIndex]], which stamps the format. */
+  private def formatGated(index: DataFrame, mBits: Long, kHashes: Int): DataFrame =
+    if (!index.columns.contains("m_bits")) index.select(col("word"), col("bits"))
+    else index.select(col("word"),
+      when(col("m_bits") === mBits && col("k_hashes") === kHashes, col("bits"))
+        .otherwise(raise_error(concat(
+          lit("bloom index format mismatch: stored (m_bits="),
+          col("m_bits").cast("string"), lit(", k_hashes="),
+          col("k_hashes").cast("string"),
+          lit(s") vs caller (m_bits=$mBits, k_hashes=$kHashes); " +
+            "a mismatched probe/refresh would corrupt the no-false-negative invariant"))
+        ).cast("long")).as("bits"))
+
+  private[graft] def bloomFilterCandidates(df: DataFrame, rawBitmap: DataFrame,
                                            mBits: Long, kHashes: Int): DataFrame = {
+    val bitmap = formatGated(rawBitmap, mBits, kHashes)
     val cols = df.columns.map(col).toSeq
     val probed = (0 until kHashes).foldLeft(df) {
       case (d, j) =>
@@ -308,7 +329,12 @@ object Decontam {
       s"bloomBits must be in [1024, 2^31], got $mBits")
     require(kHashes >= 1 && kHashes <= 8,
       s"bloomHashes must be in [1, 8], got $kHashes")
+    // the build parameters persist WITH the index (m_bits, k_hashes
+    // columns — 16 bytes on ≤ mBits/64 rows): refresh and probe verify
+    // them instead of trusting the caller to remember the format
     bloomBitmap(Dedup.hashedShinglesOf(evalSet), mBits, kHashes)
+      .select(col("word"), col("bits"),
+        lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"))
   }
 
   /** Incremental [[bloomEvalIndex]] maintenance: band only the ADDED
@@ -320,15 +346,25 @@ object Decontam {
     * needs a rebuild from the surviving suite (the HLL-register
     * contract, stated not hidden) — though a STALE bit is only a false
     * positive the exact verify join removes anyway, so a too-big index
-    * degrades cost, never correctness. `mBits`/`kHashes` must match the
-    * standing index's build parameters — they are the index FORMAT. */
+    * degrades cost, never correctness. The standing index carries its
+    * build parameters as (m_bits, k_hashes) columns ([[bloomEvalIndex]]
+    * stamps them); a refresh whose `mBits`/`kHashes` disagree raises at
+    * execution — a mismatched kHashes would OR wrong bit positions into
+    * a bitmap whose no-false-negative invariant downstream relies on. */
   private[graft] def refreshBloomIndex(index: DataFrame, deltaEval: DataFrame,
                                        mBits: Long = DefaultBloomBits,
-                                       kHashes: Int = DefaultBloomHashes): DataFrame =
-    index.select(col("word"), col("bits"))
-      .unionByName(bloomEvalIndex(deltaEval, mBits, kHashes))
+                                       kHashes: Int = DefaultBloomHashes): DataFrame = {
+    require(index.columns.contains("m_bits") && index.columns.contains("k_hashes"),
+      "stored bloom index lacks its (m_bits, k_hashes) format columns — " +
+        "persist indexes via bloomEvalIndex, or rebuild")
+    formatGated(index, mBits, kHashes)
+      .unionByName(bloomEvalIndex(deltaEval, mBits, kHashes)
+        .select(col("word"), col("bits")))
       .groupBy(col("word"))
       .agg(expr("bit_or(bits)").as("bits"))
+      .select(col("word"), col("bits"),
+        lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"))
+  }
 
   /** q213: the Bloom-pre-filtered decontamination path, hash-gated
     * against the SAME exact oracle as q101 — DuckDB computes the exact

@@ -147,15 +147,23 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** Canonical text for formatting-insensitive exact dedup: casefold,
-    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
-    * Row-local (codegen'd lower/regexp_replace/trim — no shuffle, no
-    * UDF); the regexes stay inside the ASCII subset where Java (engine)
-    * and RE2 (oracle) semantics agree, so the chain replays bit-for-bit
-    * in SQL. */
+  /** Canonical text for formatting-insensitive exact dedup: strip
+    * non-ASCII, casefold, strip everything outside [a-z0-9 ], collapse
+    * whitespace runs, trim. Row-local (codegen'd lower/regexp_replace/
+    * trim — no shuffle, no UDF).
+    *
+    * Cross-engine parity: non-ASCII is removed BEFORE lower() — Java
+    * and DuckDB disagree on some non-ASCII case mappings (U+0130 and
+    * U+212A fold INTO [a-z] plus combining marks), so lowercasing first
+    * could hash-diverge on a non-ASCII corpus even though every later
+    * regex is ASCII-safe. After the strip the input is pure printable
+    * ASCII, where lower() and the character classes agree exactly.
+    * (Astral codepoints: Java replaces 2 UTF-16 units, RE2 1 codepoint
+    * — both become spaces the `' +'` collapse then equalizes.) */
   private[graft] def canonicalText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+      regexp_replace(lower(regexp_replace(c, "[^\\x20-\\x7E]", " ")),
+        "[^a-z0-9 ]", " "), " +", " "))
 
   /** q216: exact dedup MODULO FORMATTING — q24 catches only byte-equal
     * copies, but real mirrors differ in case, punctuation, and
@@ -168,7 +176,8 @@ object Dedup {
   val q216DedupCanonical: Q = Q.sql(
     "q216_dedup_canonical",
     """SELECT md5(trim(regexp_replace(
-      |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |         regexp_replace(lower(regexp_replace(text, '[^\x20-\x7E]', ' ', 'g')),
+      |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
       |         AS canon_hash,
       |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents

@@ -610,7 +610,7 @@ object Streaming {
     * [[graft.Graft.refreshBloomIndex]]; a STALE superset bitmap only
     * costs false-positive probes the verify join removes (BloomSpec).
     * `bloomBits`/`bloomHashes` must match the index build — the index
-    * format. */
+    * carries them as format columns and the probe raises on mismatch. */
   def decontamStreamIndexed(incoming: DataFrame, bloomIndex: DataFrame,
                             evalShingles: DataFrame,
                             bloomBits: Long = graft.ops.Decontam.DefaultBloomBits,

@@ -90,6 +90,29 @@ class BloomSpec extends AnyFunSuite {
     assert(staleBitmap.count() >= Graft.bloomEvalIndex(evalSet).count())
   }
 
+  test("stored index carries its format; a mismatched refresh or probe fails loudly") {
+    val idx = Graft.bloomEvalIndex(evalSet) // default (m_bits, k_hashes) stamped
+    assert(idx.columns.toSeq == Seq("word", "bits", "m_bits", "k_hashes"))
+    // refresh under different params must raise, not OR wrong positions
+    // into a bitmap the no-false-negative invariant relies on
+    val e1 = intercept[Exception] {
+      Graft.refreshBloomIndex(idx, evalSet, bloomBits = 1L << 20).collect()
+    }
+    assert(e1.getMessage.contains("format mismatch"), e1.getMessage)
+    // probing through the index-reuse entry point with wrong k: same
+    val e2 = intercept[Exception] {
+      ops.Decontam.bloomDecontaminateWithIndex(
+        ops.Dedup.hashedShinglesOf(corpus), ops.Dedup.hashedShinglesOf(evalSet),
+        idx, 0.1, ops.Decontam.DefaultBloomBits, 5).collect()
+    }
+    assert(e2.getMessage.contains("format mismatch"), e2.getMessage)
+    // a raw (word, bits) frame can no longer impersonate stored state
+    val e3 = intercept[IllegalArgumentException] {
+      Graft.refreshBloomIndex(idx.select(col("word"), col("bits")), evalSet)
+    }
+    assert(e3.getMessage.contains("format columns"), e3.getMessage)
+  }
+
   test("bitmap is bounded by mBits/64 rows and knob guards reject bad values") {
     val evalHashed = ops.Dedup.hashedShinglesOf(evalSet)
     val rows = ops.Decontam.bloomBitmap(evalHashed, 1024L, 3).count()

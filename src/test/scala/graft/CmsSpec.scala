@@ -69,4 +69,40 @@ class CmsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new graft.functions.CountMin(8) }
     intercept[IllegalArgumentException] { new graft.functions.CountMin(1 << 23) }
   }
+
+  test("position twins agree in-range on ANY long, including negative misuse") {
+    import spark.implicits._
+    // the contract input is the non-negative md5 hash, but udaf(width)
+    // accepts any long column — floorMod/pmod must keep the twins
+    // identical and in-range rather than AIOOBE on one side and a null
+    // element_at on the other
+    val vals = Seq(Long.MinValue, -1L, -CountMin.Depth.toLong, -987654321L,
+      0L, 1L, (1L << 60) - 1, Long.MaxValue)
+    val w = 256
+    val jvm = for (v <- vals; r <- 0 until CountMin.Depth)
+      yield (v, r, CountMin.position(v, r, w))
+    jvm.foreach { case (v, r, p) =>
+      assert(p >= 0 && p < w, s"JVM position($v, $r) out of range: $p") }
+    val colSide = vals.toDF("h")
+      .select(col("h") +: (0 until CountMin.Depth)
+        .map(r => CountMin.positionCol(col("h"), r, w).as(s"p$r")): _*)
+      .collect().flatMap(row => (0 until CountMin.Depth)
+        .map(r => (row.getLong(0), r, row.getLong(r + 1).toInt))).toSet
+    assert(colSide == jvm.toSet, "Column-side positions diverge from the JVM twin")
+  }
+
+  test("rows are decorrelated: keys congruent mod p do not collide in every row") {
+    // without the per-row xor seed, h and h + p landed in the SAME cell
+    // of all 4 rows (the shared mod-p reduction), collapsing the
+    // min-over-4 guarantee to a single row's for such pairs
+    val p = (1L << 31) - 1
+    val w = 1 << 16
+    val pairs = (1L to 50L).map(i => (i * 12345L + 7L, i * 12345L + 7L + p))
+    val allRowsCollide = pairs.count { case (h1, h2) =>
+      (0 until CountMin.Depth).forall(r =>
+        CountMin.position(h1, r, w) == CountMin.position(h2, r, w))
+    }
+    assert(allRowsCollide == 0,
+      s"$allRowsCollide of ${pairs.size} mod-p-congruent pairs collide in all rows")
+  }
 }

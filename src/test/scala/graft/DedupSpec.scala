@@ -41,6 +41,22 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == 4)
   }
 
+  test("canonicalText strips non-ASCII BEFORE lowercasing (cross-engine case-map hazard)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // U+0130 İ and U+212A K lowercase INTO [a-z] (+ combining marks) in
+    // Java but not identically in DuckDB; an astral emoji is 2 UTF-16
+    // units (Java) vs 1 codepoint (RE2). All must vanish to one space
+    // BEFORE lower() so the canonical form is engine-independent.
+    val got = Seq("İstanbul", "Kelvin scale", "ok 😀 fine",
+        "café au lait", "plain ascii")
+      .toDF("text")
+      .select(ops.Dedup.canonicalText(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("stanbul", "elvin scale", "ok fine", "caf au lait", "plain ascii"),
+      s"non-ASCII canonicalization drifted: $got")
+  }
+
   test("near-dup pairs respect i<j ordering and the 0.8 threshold") {
     Seq("q25_neardup_jaccard", "q26_neardup_minhash").foreach { name =>
       val ps = pairs(name)
