@@ -94,6 +94,20 @@ object Graft {
   def refreshComponents(comps: DataFrame, newPairs: DataFrame): DataFrame =
     ops.Components.refreshComponents(comps, newPairs)
 
+  /** The removal half of [[refreshComponents]]' growth-only contract:
+    * retire `removed` doc ids from the standing labeling. Components
+    * containing a removed doc re-close over their remaining members'
+    * pairs (re-derived from `remainingDocs`' hashed shingles — LSH
+    * banding is per-doc, so the subset pair graph is exactly the
+    * induced standing subgraph); untouched components pass through by
+    * anti-join. Work ∝ affected components, never corpus. q218 proves
+    * the result equals a full rebuild over the corpus minus the
+    * removed docs — including removed min-id labels (relabel) and
+    * removed cut vertices (split). */
+  def retireComponents(comps: DataFrame, removed: DataFrame,
+                       remainingDocs: DataFrame): DataFrame =
+    ops.Components.retireComponents(comps, removed, remainingDocs)
+
   /** The deduplicated corpus: drops every near-dup that is not its
     * component's min doc_id. All non-key columns pass through. The
     * drop set is duplication-bounded but not bounded by construction,

@@ -99,6 +99,67 @@ class SketchLawsSpec extends AnyFunSuite {
     })
   }
 
+  // ---- streaming-replay laws (round 11) ---------------------------------
+  // The streaming paths (hourlyDistinctUsers / hourlyUserSketch) evolve one
+  // state-store buffer per open window across TRIGGERS: each micro-batch's
+  // shuffle partials merge into a batch state, which merges into the
+  // standing state — a left-deep, time-ordered merge chain the batch specs'
+  // single 3-way split never exercises. Decompositions are seeded-random
+  // (reproducible per trial): ordered micro-batches, rows shuffled within a
+  // batch (a repartitioned replay), each batch split into shuffled partials.
+
+  private def randSplit[T](xs: List[T], rnd: scala.util.Random,
+                           maxParts: Int): List[List[T]] = {
+    val k = 1 + rnd.nextInt(maxParts)
+    val cuts = List.fill(k - 1)(rnd.nextInt(xs.length + 1)).sorted
+    ((0 :: cuts) zip (cuts :+ xs.length)).map { case (a, b) => xs.slice(a, b) }
+  }
+
+  test("HLL streaming replay: any micro-batch schedule + repartitioned batches == one batch pass (exact bytes)") {
+    def state(xs: Seq[Long]): Array[Byte] = {
+      val agg = new functions.HllDistinct
+      xs.foldLeft(agg.zero)(agg.reduce)
+    }
+    check("hll-stream-replay", Prop.forAll(hashes, Gen.long) { (xs, seed) =>
+      val agg = new functions.HllDistinct
+      val rnd = new scala.util.Random(seed)
+      var st = agg.zero
+      randSplit(xs, rnd, 5).foreach { batch =>
+        val partials = randSplit(rnd.shuffle(batch), rnd, 4).map(state)
+        val batchState = partials.foldLeft(agg.zero)(agg.merge)
+        st = agg.merge(st, batchState)
+      }
+      (st.toSeq == state(xs).toSeq) :|
+        "streaming-shaped fold produced different sketch bytes than one batch pass"
+    })
+  }
+
+  test("Misra-Gries streaming replay: candidates after any micro-batch fold contain every true heavy hitter") {
+    val width = 8
+    val terms: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf((0 until 40).map(i => s"t$i")))
+    def state(xs: Seq[String]): Map[String, Long] = {
+      val agg = new functions.MisraGries(width)
+      xs.foldLeft(agg.zero)(agg.reduce)
+    }
+    check("mg-stream-replay", Prop.forAll(terms, Gen.long) { (xs, seed) =>
+      val agg = new functions.MisraGries(width)
+      val rnd = new scala.util.Random(seed)
+      var st = agg.zero
+      randSplit(xs, rnd, 5).foreach { batch =>
+        val partials = randSplit(rnd.shuffle(batch), rnd, 4).map(state)
+        val batchState = partials.foldLeft(agg.zero)(agg.merge)
+        st = agg.merge(st, batchState)
+      }
+      val n = xs.length.toLong
+      val mustSurvive = xs.groupBy(identity).collect {
+        case (t, g) if g.size.toLong * (width + 1) > n => t
+      }
+      mustSurvive.forall(st.contains) :|
+        s"streaming-shaped fold lost a guaranteed heavy hitter among $mustSurvive"
+    })
+  }
+
   test("KthSmallest: finish == the k-th order statistic under any split-merge tree") {
     val k = 5
     val pairs: Gen[List[(Long, Long)]] = Gen.listOf(for {
