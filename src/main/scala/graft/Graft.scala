@@ -292,6 +292,17 @@ object Graft {
                         bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
     ops.Decontam.refreshBloomIndex(index, deltaEval, bloomBits, bloomHashes)
 
+  /** Contamination span SPLITTING (q222) — the GPT-3 appendix-C
+    * alternative to [[decontaminate]]'s whole-doc drop flag: remove a
+    * `pad`-word window around every eval-set 5-gram collision, split
+    * each doc at the removals, keep pieces of ≥ `minWords` words →
+    * (doc_id, piece_id, n_words, piece_text). Eval reduces to its
+    * distinct shingle hashes and broadcasts; the only corpus shuffle
+    * is the per-doc collision-position list. */
+  def decontamSpans(corpus: DataFrame, evalSet: DataFrame,
+                    pad: Int = 2, minWords: Int = 3): DataFrame =
+    ops.Decontam.decontamSpans(corpus, evalSet, pad, minWords)
+
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).
     * Dequantize as codes[i]·scale/127 (max error scale/254). */
@@ -373,6 +384,27 @@ object Graft {
     * 60-bit hash; counting is a map-side-combined aggregation. */
   def boilerplateShare(docs: DataFrame, width: Int = 8): DataFrame =
     ops.Dedup.boilerplateShare(docs, width)
+
+  /** Corpus-level duplicated-segment REWRITE (q221) — the removal step
+    * behind [[boilerplateShare]]'s report: `width`-word segments
+    * occurring more than once corpus-wide are dropped from all but
+    * their first (min doc_id, position) occurrence, and each doc is
+    * re-assembled from its survivors plus its short tail →
+    * (doc_id, n_seg, n_removed, clean_text). Segment text never
+    * shuffles — only (doc_id, k, hash) triples and surviving-position
+    * int lists move. */
+  def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame =
+    ops.Dedup.segmentDedup(docs, width)
+
+  /** Content-defined chunking duplicate report (q223) — the
+    * shift-robust dual of [[segmentDedup]]'s fixed grid: chunk
+    * boundaries cut before words whose 60-bit hash ≡ 0 (mod
+    * `divisor`), so an insertion perturbs only its own chunk and every
+    * other chunk still matches its corpus-wide copies →
+    * (doc_id, k, start, n_words, n_occ) at chunk grain. Chunking is
+    * row-local; counting is one hash-grain aggregate. */
+  def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame =
+    ops.Dedup.cdcChunks(docs, divisor)
 
   /** k-anonymity audit over (nat, seg) quasi-identifier rows: per-cell
     * counts with sub-k cells generalized to (nat, '*') and re-flagged
@@ -515,6 +547,15 @@ object Graft {
     * 10 tokens are excluded. */
   def repetitionSignals(docs: DataFrame): DataFrame =
     ops.TextAnalysis.repetitionSignalsOf(docs)
+
+  /** The full Gopher CHAR-weighted repetition battery (q220): per doc,
+    * the most-frequent-{2,3,4}-gram character fractions (capped at 1)
+    * and the duplicated-{5..10}-gram character fractions with
+    * union-of-spans semantics (each covered character counted once).
+    * One row-local projection — zero shuffle, runs at scan speed; docs
+    * under 10 tokens are excluded. */
+  def gopherRepetition(docs: DataFrame): DataFrame =
+    ops.TextAnalysis.gopherRepetitionOf(docs)
 
   /** Quality-aware [[dedup]]: one survivor per near-dup component — the
     * max-(quality, −doc_id) member rather than the min id, so clusters

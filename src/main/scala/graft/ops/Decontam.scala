@@ -400,5 +400,111 @@ object Decontam {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment, q213BloomDecontam)
+  /** Contamination SPAN SPLITTING — the surgical alternative to
+    * q101's whole-document drop flag (the GPT-3 appendix-C discipline:
+    * rather than discarding a contaminated document, remove a window
+    * around each eval-set collision and keep the large clean pieces;
+    * here the window is `pad` words on each side of every colliding
+    * 5-gram, and surviving pieces shorter than `minWords` are dropped
+    * as low-value fragments).
+    *
+    * Output is PIECE-grain: (doc_id, piece_id, n_words, piece_text),
+    * piece_id numbering the surviving pieces of a doc left to right. A
+    * clean document emerges as its own single piece; a document
+    * contaminated end to end emits nothing.
+    *
+    * Scale (100 TB): the eval side reduces to its distinct shingle
+    * hashes (benchmark-sized) and BROADCASTS — the corpus side never
+    * shuffles for the probe; collision POSITIONS come from the same
+    * per-word gram explode the shingle family already budgets for, and
+    * the collision-list aggregate moves only (doc_id, position) ints,
+    * rows ∝ collisions. The map-back join of those lists onto the
+    * corpus is AQE-decided: at realistic contamination rates the hit
+    * side broadcasts; a pathologically contaminated corpus degrades to
+    * one doc-grain shuffle, never a widening. The cut itself is
+    * row-local expression work: mark covered words, join on a
+    * sentinel, split, filter — one WholeStageCodegen span, no UDF. */
+  private[graft] def decontamSpans(corpus: DataFrame, evalSet: DataFrame,
+                                   pad: Int = 2, minWords: Int = 3): DataFrame = {
+    require(pad >= 0, s"pad must be >= 0, got $pad")
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val evalH = Dedup.hashedShinglesOf(evalSet)
+      .select(explode(col("hs")).as("h")).distinct()
+    val base = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val hits = base
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), posexplode(transform(
+        expr("sequence(0, size(w) - 5)"), i =>
+          Hashes.hexLong(concat_ws(" ", get(col("w"), i), get(col("w"), i + 1),
+            get(col("w"), i + 2), get(col("w"), i + 3), get(col("w"), i + 4))))))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("h"))
+      .join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("j"))).as("s"))
+    base.join(hits, Seq("doc_id"), "left")
+      .withColumn("s2", coalesce(col("s"), expr("cast(array() as array<int>)")))
+      // words inside any collision window become a  sentinel; the
+      // sentinel-split then yields the clean pieces between removals
+      .withColumn("pieces", expr(
+        s"""filter(transform(split(array_join(
+           |  transform(w, (x, i) -> if(exists(s2, t -> t - $pad <= i and i <= t + 4 + $pad), chr(1), x)),
+           |  ' '), chr(1)), p -> trim(p)),
+           |  p -> p != '' and size(split(p, ' ')) >= $minWords)""".stripMargin))
+      .select(col("doc_id"), posexplode(col("pieces")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("piece_id"),
+        size(split(col("col"), " ")).cast("long").as("n_words"),
+        col("col").as("piece_text"))
+  }
+
+  /** q222: span splitting over the q101 corpus/eval convention
+    * (doc_id % 20). The oracle replays the window mask, sentinel split,
+    * trim, and both piece filters, so the compare breaks on an
+    * off-by-one window bound, a wrong piece boundary at consecutive
+    * removals, or a mis-numbered surviving piece — not just on piece
+    * counts. */
+  val q222DecontamSpans: Q = Q.sql(
+    "q222_decontam_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> CAST(concat('0x', substr(md5(
+      |           array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE doc_id % 20 = 0 AND len(w) >= 5),
+      |pos AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(w) - 4)) AS j,
+      |    unnest(list_transform(range(0, len(w) - 4),
+      |      j -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[j+1:j+5], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE doc_id % 20 != 0 AND len(w) >= 5),
+      |hits AS (
+      |  SELECT doc_id, list_sort(list(j)) AS s
+      |  FROM pos JOIN ev USING (h) GROUP BY doc_id),
+      |m AS (
+      |  SELECT t.doc_id, w, COALESCE(s, []) AS s
+      |  FROM t LEFT JOIN hits USING (doc_id) WHERE doc_id % 20 != 0),
+      |p AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(array_to_string(
+      |      [CASE WHEN len(list_filter(s, tt -> tt - 2 <= i - 1 AND i - 1 <= tt + 6)) > 0
+      |            THEN chr(1) ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' '),
+      |      chr(1)), x -> trim(x)),
+      |      x -> x != '' AND len(string_split(x, ' ')) >= 3) AS ps
+      |  FROM m)
+      |SELECT doc_id,
+      |  unnest(range(1, len(ps) + 1)) AS piece_id,
+      |  unnest(list_transform(ps, x -> CAST(len(string_split(x, ' ')) AS BIGINT))) AS n_words,
+      |  unnest(ps) AS piece_text
+      |FROM p
+      |ORDER BY doc_id, piece_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    decontamSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      pad = 2, minWords = 3)
+      .orderBy(col("doc_id"), col("piece_id"))
+  }
+
+  val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment, q213BloomDecontam,
+    q222DecontamSpans)
 }

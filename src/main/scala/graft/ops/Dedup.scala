@@ -875,6 +875,177 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_seg"))
   }
 
+  /** Corpus-level duplicated-segment REWRITE — the removal step behind
+    * [[q109Boilerplate]]'s report (the line-dedup stage of the public
+    * web-corpus pipelines — CCNet's per-shard line hashing, RefinedWeb /
+    * Dolma's corpus-level duplicate-line removal — at fixed 8-word
+    * segment grain, since this corpus has no line structure): every
+    * `width`-word segment whose content occurs more than once ANYWHERE
+    * in the corpus is dropped from all but its first occurrence (min
+    * (doc_id, position) — C4 keeps one occurrence of a repeated span,
+    * and a deterministic keeper makes the rewrite reproducible), and
+    * each document is re-assembled from its surviving segments plus its
+    * (< width)-word tail.
+    *
+    * Scale (100 TB): the shuffled rows are (doc_id, k, h) triples —
+    * segment TEXT never moves; the occurrence table is one map-side-
+    * combined aggregate at segment-hash grain whose keeper is a packed
+    * `doc_id·10^6 + k` MIN (no window, no struct ordering), and the
+    * rebuild joins each doc's surviving-position LIST (ints) back to
+    * the original row, slicing the text row-locally. A corpus-wide hot
+    * segment skews one GROUP BY key (absorbed by partial aggregation)
+    * and one join key (AQE skew split) — no doc-doc pairing anywhere.
+    * The packed keeper key requires k < 10^6, i.e. docs under ~8M
+    * words at width 8 — enforced, not assumed. */
+  private[graft] def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val base = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    val segs = base
+      .filter(size(col("w")) >= width)
+      .select(col("doc_id"), posexplode(transform(
+        expr(s"sequence(0, size(w) div $width - 1)"), k =>
+          hexLong(concat_ws(" ", (0 until width).map(o => get(col("w"), k * width + o)): _*)))))
+      .select(col("doc_id"), col("pos").as("k"), col("col").as("h"))
+      // the packed key carries the k-bound guard: computing it for an
+      // oversized doc fails loudly (raise_error inside the expression
+      // that is actually consumed — a standalone assert column would be
+      // pruned away)
+      .withColumn("pk", when(col("k") >= 1000000L, raise_error(lit(
+          "segmentDedup: doc exceeds 10^6 segments — widen the packed keeper key"))
+          .cast("long"))
+        .otherwise(col("doc_id") * 1000000L + col("k")))
+    val occ = segs.groupBy(col("h")).agg(
+      count(lit(1)).as("n"),
+      min(col("pk")).as("keymin"))
+    val kept = segs.join(occ, "h")
+      .filter(col("n") === 1 || col("pk") === col("keymin"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("k"))).as("ks"))
+    base.join(kept, Seq("doc_id"), "left")
+      .withColumn("ks2", coalesce(col("ks"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        expr(s"size(w) div $width").as("n_seg"),
+        (expr(s"size(w) div $width") - size(col("ks2")).cast("long")).as("n_removed"),
+        expr(s"""array_join(concat(
+                |  flatten(transform(ks2, k -> slice(w, k * $width + 1, $width))),
+                |  slice(w, (size(w) div $width) * $width + 1, size(w) % $width)), ' ')"""
+          .stripMargin).as("clean_text"))
+  }
+
+  /** q221: the segment-dedup rewrite, oracle-gated end to end — the
+    * DuckDB twin replays hashing, the packed-min keeper election, and
+    * the slice-based reassembly, so the compare breaks on a wrong
+    * keeper, a dropped survivor, or a mis-sliced tail, not just on
+    * counts. Docs shorter than one segment pass through untouched
+    * (n_seg = 0, clean_text = the rebuilt full text). */
+  val q221SegmentDedup: Q = Q.sql(
+    "q221_segment_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(w) // 8)) AS k,
+      |    unnest(list_transform(range(0, len(w) // 8),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[8*k+1:8*k+8], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE len(w) >= 8),
+      |occ AS (
+      |  SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + k) AS keymin
+      |  FROM segs GROUP BY h),
+      |kept AS (
+      |  SELECT s.doc_id, list_sort(list(s.k)) AS ks
+      |  FROM segs s JOIN occ o USING (h)
+      |  WHERE o.n = 1 OR s.doc_id * 1000000 + s.k = o.keymin
+      |  GROUP BY s.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(w) // 8 AS BIGINT) AS n_seg,
+      |  CAST(len(w) // 8 - COALESCE(len(ks), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    flatten(list_transform(COALESCE(ks, []), k -> w[8*k+1:8*k+8]))
+      |      || w[(len(w) // 8) * 8 + 1 : len(w)], ' '), '') AS clean_text
+      |FROM t LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    segmentDedup(Tables.documents(s, dir), 8).orderBy(col("doc_id"))
+  }
+
+  /** Content-defined chunking (CDC) duplicate report — the SHIFT-ROBUST
+    * dual of [[segmentDedup]]'s fixed grid (the rsync/LBFS boundary
+    * trick: cut where content, not position, says so). A fixed 8-word
+    * grid loses every alignment downstream of a single inserted word;
+    * CDC cuts BEFORE each word whose 60-bit hash ≡ 0 (mod `divisor`),
+    * so boundaries — and therefore chunk contents — are functions of
+    * the words alone: an edit only perturbs its own chunk, and every
+    * other chunk still matches its copies corpus-wide (CdcSpec proves
+    * it by prepending a word and watching all but the first chunk
+    * survive).
+    *
+    * Output is chunk grain: (doc_id, k, start, n_words, n_occ) — k the
+    * doc's chunk ordinal, start its word offset, n_occ the corpus-wide
+    * occurrence count of the chunk's content. Expected chunk length is
+    * `divisor` words (geometric); a downstream rewrite is [[segmentDedup]]'s
+    * election over these hashes instead of the grid's.
+    *
+    * Scale (100 TB): chunking is ONE row-local projection (boundary
+    * scan + slice hashing, no shuffle); the occurrence count is the
+    * same map-side-combined hash-grain aggregate as q109/q221 — the
+    * shuffle moves (doc_id, k, start, nw, h) ints, never chunk text; a
+    * corpus-wide hot chunk (boilerplate) skews one GROUP BY / join key,
+    * absorbed by partial agg + AQE. */
+  private[graft] def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // cut positions: word hash ≡ 0 (mod divisor); guarded for 1-word
+      // docs (Spark sequence() counts DOWN for start > stop)
+      .withColumn("b", expr(
+        s"""concat(array(0),
+           |  if(size(w) < 2, cast(array() as array<int>),
+           |     filter(sequence(1, size(w) - 1),
+           |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
+           |  array(size(w)))""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(b) - 2), k -> named_struct(
+           |  'start', b[k],
+           |  'nw', b[k + 1] - b[k],
+           |  'h', graft_md5long64(array_join(slice(w, b[k] + 1, b[k + 1] - b[k]), ' '))))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("k"),
+        col("col.start").cast("long").as("start"),
+        col("col.nw").cast("long").as("n_words"), col("col.h").as("h"))
+    val occ = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "h")
+      .select(col("doc_id"), col("k"), col("start"), col("n_words"), col("n_occ"))
+  }
+
+  /** q223: the CDC chunk report, oracle-gated — the DuckDB twin replays
+    * the boundary rule, the slice hashing, and the corpus-wide count,
+    * so the compare breaks on a shifted boundary, a mis-sliced chunk,
+    * or a wrong occurrence count. */
+  val q223CdcChunks: Q = Q.sql(
+    "q223_cdc_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    [0] || list_filter(range(1, len(w)),
+      |      i -> CAST(concat('0x', substr(md5(w[i+1]), 1, 15)) AS BIGINT) % 8 = 0)
+      |        || [len(w)] AS b
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(b) - 1)) AS k,
+      |    unnest(list_transform(range(0, len(b) - 1), k -> b[k+1])) AS start,
+      |    unnest(list_transform(range(0, len(b) - 1), k -> b[k+2] - b[k+1])) AS n_words,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[b[k+1]+1 : b[k+2]], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM c),
+      |occ AS (SELECT h, COUNT(*) AS n_occ FROM ch GROUP BY h)
+      |SELECT ch.doc_id, k, start, n_words, n_occ
+      |FROM ch JOIN occ USING (h)
+      |ORDER BY doc_id, k""".stripMargin
+  ) { (s, dir) =>
+    cdcChunks(Tables.documents(s, dir), 8).orderBy(col("doc_id"), col("k"))
+  }
+
   /** Cross-document duplicate-passage detection — the passage-grain dual
     * of [[q109Boilerplate]]'s doc-grain view, and the span-level exact
     * dedup step of a training-data pipeline (find the shared spans, then
@@ -1195,7 +1366,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     q24DedupExact, q216DedupCanonical, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
-    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q128DupPassages,
+    q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q221SegmentDedup,
+    q223CdcChunks, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
     q197LshRecall, q201JaccardSweep, q204SourceOverlap)
 }

@@ -704,6 +704,135 @@ object TextAnalysis {
     repetitionSignalsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 
+  /** Word-position n-gram array for [[gopherRepetitionOf]] — staged as a
+    * real column per n so each is evaluated ONCE per row (CollapseProject
+    * declines to inline non-cheap expressions, and downstream lambdas
+    * only index into the column instead of re-deriving it). */
+  private def gramCol(n: Int): String =
+    s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"
+
+  /** Gopher-style repetition rules (Rae et al. 2021, "Scaling Language
+    * Models: ...Gopher", Table A1), CHAR-weighted — the complement of
+    * [[repetitionSignalsOf]]'s count-weighted q157 signals:
+    *
+    *  - `top{2,3,4}_char_frac`: characters of ALL occurrences of the
+    *    single most frequent n-gram / total word characters (the paper's
+    *    "fraction of characters in the most common n-gram"; occurrences
+    *    may overlap, so the product is capped at 1). The winning gram is
+    *    deterministic: max count, ties to the lexicographically smallest
+    *    (the run-length fold over the SORTED gram array only replaces the
+    *    champion on a strictly longer run).
+    *  - `dup{5..10}_char_frac`: characters covered by AT LEAST ONE
+    *    occurrence of a duplicated n-gram / total word characters (the
+    *    paper's "fraction of characters in duplicate n-grams", counting
+    *    each covered character once — the union-of-spans semantics that
+    *    makes this ≤ 1 by construction, matching the public Gopher-rule
+    *    reimplementations which mask positions rather than sum counts).
+    *
+    * The corpus has no line/paragraph structure (word streams), so the
+    * paper's duplicate-line/paragraph rows have no analog here — q109 /
+    * q221 cover the corpus-level segment grain instead.
+    *
+    * Scale (100 TB): the entire battery is ONE row-local projection —
+    * no shuffle, no UDF, no state; it runs at scan speed and Catalyst
+    * fuses it into the scan's WholeStageCodegen span. Per-row cost is
+    * O(L·n log L) from the array_sorts (duplicate-value detection via
+    * sorted adjacency, never the O(L²) all-pairs count), L = doc words.
+    * Fractions are 6-dp exact-integer half-up (the q161/q157 tie
+    * discipline), so results are partition- and engine-invariant. */
+  private[graft] def gopherRepetitionOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var cur = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .withColumn("tot", expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+    for (n <- 2 to 4)
+      // fold over the sorted grams: longest equal run = max count; 'bg'
+      // replaced only on a STRICTLY longer run → smallest gram wins ties
+      cur = cur.withColumn(s"top$n", expr(
+        s"""aggregate(array_sort(${gramCol(n)}),
+           |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L,
+           |               'bg', cast(null as string)),
+           |  (s, x) -> named_struct(
+           |    'prev', x,
+           |    'run',  if(x <=> s.prev, s.run + 1L, 1L),
+           |    'best', greatest(s.best, if(x <=> s.prev, s.run + 1L, 1L)),
+           |    'bg',   if(if(x <=> s.prev, s.run + 1L, 1L) > s.best, x, s.bg)),
+           |  s -> named_struct('c', s.best, 'g', s.bg))""".stripMargin))
+    for (n <- 5 to 10) {
+      cur = cur
+        .withColumn(s"g$n", expr(gramCol(n)))
+        // duplicated gram VALUES via sorted adjacency (zip_with of the
+        // sorted array against its own tail — no index arithmetic, safe
+        // for single-gram docs where a sequence() would count down)
+        .withColumn(s"dv$n", expr(
+          s"""array_distinct(filter(zip_with(
+             |  slice(array_sort(g$n), 1, size(g$n) - 1),
+             |  slice(array_sort(g$n), 2, size(g$n) - 1),
+             |  (a, b) -> if(a = b, a, cast(null as string))),
+             |  x -> x is not null))""".stripMargin))
+        // union of covered word positions, then their character mass
+        .withColumn(s"dc$n", expr(
+          s"""aggregate(array_distinct(flatten(transform(
+             |  filter(sequence(0, size(g$n) - 1), j -> array_contains(dv$n, g$n[j])),
+             |  j -> sequence(j, j + $n - 1)))),
+             |  0L, (a, i) -> a + length(element_at(w, i + 1)))""".stripMargin))
+    }
+    cur.select(
+      col("doc_id") +:
+        (2 to 4).map(n => (least(lit(1000000L),
+          expr(s"(2000000 * (top$n.c * (length(top$n.g) - ${n - 1})) + tot) DIV (2 * tot)"))
+          / 1e6).as(s"top${n}_char_frac")) ++:
+        (5 to 10).map(n => (expr(s"(2000000 * dc$n + tot) DIV (2 * tot)") / 1e6)
+          .as(s"dup${n}_char_frac")): _*)
+  }
+
+  private def gopherOracle: String = {
+    def gList(n: Int) =
+      s"[array_to_string(w[i:i+${n - 1}], ' ') FOR i IN range(1, len(w) - ${n - 2})] AS g$n"
+    val tops = (2 to 4).map { n =>
+      s"""top$n AS (
+         |  SELECT doc_id, c, gram FROM (
+         |    SELECT doc_id, gram, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
+         |    FROM (SELECT doc_id, unnest(g$n) AS gram FROM g) GROUP BY doc_id, gram)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""p$n AS (SELECT doc_id, unnest(g$n) AS gram, unnest(range(0, len(g$n))) AS j FROM g),
+         |d$n AS (SELECT doc_id, gram FROM p$n GROUP BY doc_id, gram HAVING COUNT(*) > 1),
+         |c$n AS (SELECT DISTINCT p.doc_id, p.j + o.o AS pos
+         |  FROM p$n p JOIN d$n d USING (doc_id, gram)
+         |  CROSS JOIN generate_series(0, ${n - 1}) AS o(o)),
+         |h$n AS (SELECT c.doc_id, SUM(len(b.w[c.pos + 1])) AS dc
+         |  FROM c$n c JOIN b USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+    }
+    val topSel = (2 to 4).map(n =>
+      s"  LEAST(CAST((2000000 * (top$n.c * (len(top$n.gram) - ${n - 1})) + b.tot) // (2 * b.tot) AS BIGINT), 1000000) / 1e6 AS top${n}_char_frac")
+    val dupSel = (5 to 10).map(n =>
+      s"  CAST((2000000 * COALESCE(h$n.dc, 0) + b.tot) // (2 * b.tot) AS BIGINT) / 1e6 AS dup${n}_char_frac")
+    s"""WITH b AS (
+       |  SELECT doc_id, w, list_aggregate(list_transform(w, x -> len(x)), 'sum') AS tot
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 10),
+       |g AS (
+       |  SELECT doc_id, ${(2 to 10).map(gList).mkString(",\n    ")}
+       |  FROM b),
+       |${(tops ++ dups).mkString(",\n")}
+       |SELECT b.doc_id,
+       |${(topSel ++ dupSel).mkString(",\n")}
+       |FROM b JOIN top2 USING (doc_id) JOIN top3 USING (doc_id) JOIN top4 USING (doc_id)
+       |  ${(5 to 10).map(n => s"LEFT JOIN h$n USING (doc_id)").mkString(" ")}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q220: the full Gopher char-weighted repetition battery — the oracle
+    * replays gram construction, tie-breaking, and the covered-position
+    * union relationally (positions × duplicated grams × offset series),
+    * so the compare gates the union semantics, not just the counts. */
+  val q220GopherRepetition: Q = Q.sql("q220_gopher_repetition", gopherOracle) {
+    (s, dir) => gopherRepetitionOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` tokens — the tokenizer-prep question ("how much of
     * the corpus does a K-entry vocab cover, and which docs are OOV
@@ -872,5 +1001,5 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(q30TextStats, q31Langid, q32TokenCount, q76DistinctiveTerms,
     q82Collocations, q85DocChunks, q120BoolSearch, q121RankedSearch, q129Bm25,
     q142LangOverlap, q152BigramRarity, q156LangidKappa, q157Repetition, q159OovRate,
-    q165NgramDiversity, q169CodeSwitch)
+    q165NgramDiversity, q169CodeSwitch, q220GopherRepetition)
 }

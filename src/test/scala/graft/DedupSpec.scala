@@ -233,6 +233,32 @@ class DedupSpec extends AnyFunSuite {
       ("mirrorB", "mirrorB", 1L, 1000000L)))
   }
 
+  test("segmentDedup keeps the first corpus occurrence, drops the rest, and rebuilds text") {
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"w$i").mkString(" ")     // the shared segment
+    val other = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$seg t1 t2"),          // owns the keeper (min doc_id, k=0) + tail
+      (2L, s"$other $seg"),          // unique segment + a stolen copy of seg
+      (3L, "short doc"),             // < 8 words: zero segments, pass-through
+      (4L, s"$seg $seg")             // both copies lose the election → empty
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.segmentDedup(docs, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, s"$seg t1 t2")))
+    assert(out(2L) == ((2L, 1L, other)))
+    assert(out(3L) == ((0L, 0L, "short doc")))
+    assert(out(4L) == ((2L, 2L, "")))
+  }
+
+  test("segmentDedup within-doc duplicates keep exactly the leftmost copy") {
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq((7L, s"$seg $seg tail")).toDF("doc_id", "text")
+    val out = ops.Dedup.segmentDedup(docs, 8).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getString(3)) == ((2L, 1L, s"$seg tail")))
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -58,7 +58,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q214_sketch_overlap",
     // r10: CMS state is element-wise long sums (exactly associative);
     // the probe must read identical cells whatever wrote them
-    "q215_cms_freq")
+    "q215_cms_freq",
+    // r11: segment-dedup keeper election is a packed-long MIN (total
+    // order); reassembly sorts the surviving-position list — neither
+    // may depend on which partition saw a segment first
+    "q221_segment_dedup",
+    // r11: collision positions arrive from a shuffled semi-join and are
+    // sort_array'd before the row-local cut — piece boundaries must not
+    // move with the partitioning of the hit stream
+    "q222_decontam_spans",
+    // r11: CDC chunk boundaries are row-local, but n_occ crosses the
+    // hash-grain aggregate + join — counts must not depend on layout
+    "q223_cdc_chunks")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
