@@ -396,6 +396,31 @@ object Graft {
   def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame =
     ops.Dedup.segmentDedup(docs, width)
 
+  /** STORED segment-occurrence index (h, n) over the standing corpus —
+    * persist once, probe with [[segmentDedupStream]], maintain with
+    * [[refreshSegmentIndex]]. Vocabulary-sized: one row per distinct
+    * `width`-word segment. */
+  def segmentIndex(standing: DataFrame, width: Int = 8): DataFrame =
+    ops.Dedup.segmentIndex(standing, width)
+
+  /** Incremental [[segmentIndex]] maintenance from a change feed
+    * (q224): added docs increment, removed docs decrement, zero rows
+    * drop — the one stored artifact whose REMOVALS are exact (counts
+    * subtract where HLL registers and Bloom bits cannot). A count
+    * driven below zero raise_errors: the removed feed named docs the
+    * index never counted. Work ∝ delta. */
+  def refreshSegmentIndex(index: DataFrame, added: DataFrame,
+                          removed: DataFrame, width: Int = 8): DataFrame =
+    ops.Dedup.refreshSegmentIndex(index, added, removed, width)
+
+  /** Segment-dedup ingest gate: flag incoming docs' segments already
+    * present in the standing corpus as (doc_id, k, h) alerts —
+    * stateless, append-mode-safe (row-local segmenting + stream-static
+    * left-semi probe of the stored [[segmentIndex]]). */
+  def segmentDedupStream(incoming: DataFrame, segmentIndex: DataFrame,
+                         width: Int = 8): DataFrame =
+    streaming.Streaming.segmentDedupStream(incoming, segmentIndex, width)
+
   /** Content-defined chunking duplicate report (q223) — the
     * shift-robust dual of [[segmentDedup]]'s fixed grid: chunk
     * boundaries cut before words whose 60-bit hash ≡ 0 (mod

@@ -897,15 +897,24 @@ object Dedup {
     * and one join key (AQE skew split) — no doc-doc pairing anywhere.
     * The packed keeper key requires k < 10^6, i.e. docs under ~8M
     * words at width 8 — enforced, not assumed. */
-  private[graft] def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+  /** (doc_id, text) → one row per non-overlapping `width`-word segment:
+    * (doc_id, k, h) with k the segment ordinal and h the 60-bit hash of
+    * the segment text — fully row-local (streaming-safe), shared by
+    * [[segmentDedup]], [[segmentIndex]], and the streaming gate. */
+  private[graft] def segRowsOf(docs: DataFrame, width: Int): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
-    val base = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
-    val segs = base
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= width)
       .select(col("doc_id"), posexplode(transform(
         expr(s"sequence(0, size(w) div $width - 1)"), k =>
           hexLong(concat_ws(" ", (0 until width).map(o => get(col("w"), k * width + o)): _*)))))
       .select(col("doc_id"), col("pos").as("k"), col("col").as("h"))
+  }
+
+  private[graft] def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val base = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    val segs = segRowsOf(docs, width)
       // the packed key carries the k-bound guard: computing it for an
       // oversized doc fails loudly (raise_error inside the expression
       // that is actually consumed — a standalone assert column would be
@@ -965,6 +974,76 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     segmentDedup(Tables.documents(s, dir), 8).orderBy(col("doc_id"))
+  }
+
+  /** STORED segment-occurrence index for the [[segmentDedup]] family:
+    * (h, n) — corpus-wide occurrence count per distinct `width`-word
+    * segment hash. Unlike the HLL registers ("only grow") and the band
+    * index (adds/changes only), counts support FULL change-feed
+    * maintenance: adds increment, removals decrement, rows at zero
+    * drop out — see [[refreshSegmentIndex]]. Vocabulary-sized (one row
+    * per distinct segment), built by one map-side-combined aggregate. */
+  private[graft] def segmentIndex(standing: DataFrame, width: Int = 8): DataFrame =
+    segRowsOf(standing, width).groupBy(col("h")).agg(count(lit(1)).as("n"))
+
+  /** Incremental [[segmentIndex]] maintenance from a change feed —
+    * `added` and `removed` are (doc_id, text) frames of docs entering /
+    * leaving the corpus (a q205 snapshotDelta's added+changed-new and
+    * removed+changed-old sides). Work ∝ delta: only the delta docs are
+    * re-segmented; the merge is one full-outer join at segment-hash
+    * grain against the vocabulary-sized index.
+    *
+    * CONTRACT: `removed` must be docs whose segments the index actually
+    * counted (the stored corpus's own rows, not arbitrary text) — a
+    * count driven below zero proves feed corruption and raise_errors
+    * instead of silently storing a poisoned index (the q218 fail-loud
+    * discipline; contrast the HLL state, whose removals need a rebuild
+    * by design). q224 gates refresh-vs-rebuild in DuckDB on a feed
+    * that both adds AND removes docs. */
+  private[graft] def refreshSegmentIndex(index: DataFrame, added: DataFrame,
+                                         removed: DataFrame, width: Int = 8): DataFrame = {
+    val deltaN = segRowsOf(added, width).select(col("h"), lit(1L).as("d"))
+      .unionByName(segRowsOf(removed, width).select(col("h"), lit(-1L).as("d")))
+      .groupBy(col("h")).agg(sum(col("d")).as("dn"))
+    index.select(col("h"), col("n"))
+      .join(deltaN, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+      .select(col("h"), when(col("n") < 0L, raise_error(concat(
+          lit("refreshSegmentIndex: count below zero for segment hash "),
+          col("h").cast("string"),
+          lit(" — the removed feed contains docs the index never counted")))
+          .cast("long"))
+        .otherwise(col("n")).as("n"))
+      .filter(col("n") > 0L)
+  }
+
+  /** q224: counted-index refresh vs full rebuild — generation 2 ADDS
+    * the doc_id % 7 == 0 docs and REMOVES the % 5 == 0 survivors; the
+    * engine refreshes gen-1's stored index from the delta only, the
+    * oracle rebuilds segment counts over gen-2 from scratch. The
+    * compare breaks on a missed decrement, a lingering zero-count row,
+    * or a double-counted add. */
+  val q224SegmentIndexRefresh: Q = Q.sql(
+    "q224_segment_index_refresh",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id % 7 = 0 OR doc_id % 5 != 0),
+      |segs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, len(w) // 8),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[8*k+1:8*k+8], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE len(w) >= 8)
+      |SELECT h, COUNT(*) AS n FROM segs GROUP BY h
+      |ORDER BY h""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val gen1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val added = docs.filter(col("doc_id") % 7 === 0)
+    val removed = gen1.filter(col("doc_id") % 5 === 0)
+    refreshSegmentIndex(segmentIndex(gen1, 8), added, removed, 8)
+      .orderBy(col("h"))
   }
 
   /** Content-defined chunking (CDC) duplicate report — the SHIFT-ROBUST
@@ -1367,7 +1446,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q24DedupExact, q216DedupCanonical, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q221SegmentDedup,
-    q223CdcChunks, q128DupPassages,
+    q223CdcChunks, q224SegmentIndexRefresh, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
     q197LshRecall, q201JaccardSweep, q204SourceOverlap)
 }

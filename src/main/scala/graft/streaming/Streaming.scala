@@ -488,6 +488,30 @@ object Streaming {
                     minJaccard: Double = 0.8): DataFrame =
     nearDupStreamIndexed(incoming, standingBandIndex(standing), minJaccard)
 
+  /** Segment-dedup INGEST GATE — the streaming face of the q221 family:
+    * flag every `width`-word segment of an incoming doc whose content
+    * already exists in the standing corpus, as (doc_id, k, h) alert
+    * rows (k the segment ordinal). Stateless and append-mode-safe: the
+    * stream side is one row-local segment projection
+    * ([[graft.ops.Dedup.segRowsOf]]), the probe a stream-static
+    * left-semi join against the STORED counted index
+    * ([[graft.ops.Dedup.segmentIndex]] → (h, n), persisted once and
+    * kept current by `refreshSegmentIndex` — which, uniquely among the
+    * stored artifacts, handles REMOVALS exactly, since counts decrement
+    * where registers and band rows cannot). Within-batch duplicates
+    * (two new docs sharing a fresh segment) are invisible to the gate
+    * by design — they are the BATCH keeper election's job (q221) on the
+    * next corpus refresh; the gate's contract is "not already standing".
+    *
+    * Scale: alert volume ∝ duplicated segments only; the index is
+    * vocabulary-sized at hash grain, so the per-trigger join probes
+    * (and with a bucketed-on-h index, only matching buckets). */
+  def segmentDedupStream(incoming: DataFrame, segmentIndex: DataFrame,
+                         width: Int = 8): DataFrame =
+    graft.ops.Dedup.segRowsOf(incoming, width)
+      .join(segmentIndex.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("k"), col("h"))
+
   /** The materialized standing-corpus band index for
     * [[nearDupStreamIndexed]]: one row per (doc, band) — (doc_id, hs,
     * bkeys, b, bkey), the exact frame the gate's join probes. Compute

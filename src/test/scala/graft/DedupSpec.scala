@@ -259,6 +259,41 @@ class DedupSpec extends AnyFunSuite {
     assert((out.getLong(1), out.getLong(2), out.getString(3)) == ((2L, 1L, s"$seg tail")))
   }
 
+  test("refreshSegmentIndex: adds increment, removes decrement, zero rows drop") {
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"s$i").mkString(" ")
+    val other = (1 to 8).map(i => s"o$i").mkString(" ")
+    val gen1 = Seq((1L, seg), (2L, seg), (3L, other)).toDF("doc_id", "text")
+    val idx = ops.Dedup.segmentIndex(gen1, 8)
+    assert(idx.collect().map(r => r.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    // remove doc 2 (seg 2→1), remove doc 3 (other 1→0, row drops),
+    // add doc 4 with seg (1→2 net... 2-1+1=2)
+    val added = Seq((4L, seg)).toDF("doc_id", "text")
+    val removed = Seq((2L, seg), (3L, other)).toDF("doc_id", "text")
+    val refreshed = ops.Dedup.refreshSegmentIndex(idx, added, removed, 8)
+    val rebuilt = ops.Dedup.segmentIndex(
+      Seq((1L, seg), (4L, seg)).toDF("doc_id", "text"), 8)
+    assert(refreshed.orderBy($"h").collect().toSeq ==
+      rebuilt.orderBy($"h").collect().toSeq)
+    assert(refreshed.count() == 1 && refreshed.head.getLong(1) == 2L)
+  }
+
+  test("refreshSegmentIndex raise_errors when the removed feed was never counted") {
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"s$i").mkString(" ")
+    val ghost = (1 to 8).map(i => s"g$i").mkString(" ")
+    val idx = ops.Dedup.segmentIndex(Seq((1L, seg)).toDF("doc_id", "text"), 8)
+    val boom = intercept[Exception] {
+      ops.Dedup.refreshSegmentIndex(idx,
+        TestSpark.spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+        Seq((9L, ghost)).toDF("doc_id", "text"), 8).collect()
+    }
+    val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("never counted"),
+      s"expected the below-zero raise_error, got: $chain")
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -69,7 +69,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q222_decontam_spans",
     // r11: CDC chunk boundaries are row-local, but n_occ crosses the
     // hash-grain aggregate + join — counts must not depend on layout
-    "q223_cdc_chunks")
+    "q223_cdc_chunks",
+    // r11: counted-index refresh merges three aggregates through a
+    // full-outer join — increments/decrements are exact longs, so the
+    // merged counts must be layout-independent
+    "q224_segment_index_refresh")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf

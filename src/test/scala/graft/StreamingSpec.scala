@@ -138,6 +138,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("segment-dedup ingest gate flags exactly the segments already standing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.Doc
+    val seg = (1 to 8).map(i => s"s$i").mkString(" ")
+    val other = (1 to 8).map(i => s"o$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"f$i").mkString(" ")
+    val standing = Seq((100L, s"$seg tail"), (101L, other)).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.segmentIndex(standing, 8)
+    val stream = MemoryStream[Doc]
+    val q = Streaming.segmentDedupStream(stream.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("seg_gate").outputMode("append").start()
+    try {
+      // doc 1: [seg][fresh] → k=0 alert only; doc 2: [fresh] → silent;
+      // doc 3: [other][seg] → k=0 and k=1 alerts
+      stream.addData(Doc(1, s"$seg $fresh"), Doc(2, fresh))
+      q.processAllAvailable()
+      stream.addData(Doc(3, s"$other $seg"))
+      q.processAllAvailable()
+      val got = spark.table("seg_gate")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 0), (3L, 0), (3L, 1)))
+      // batch == stream on the same frames (stateless gate)
+      val batch = Streaming.segmentDedupStream(
+        Seq((1L, s"$seg $fresh"), (2L, fresh), (3L, s"$other $seg"))
+          .toDF("doc_id", "text"), idx)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("dedup within watermark drops horizon-local duplicates, then evicts and re-admits") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
