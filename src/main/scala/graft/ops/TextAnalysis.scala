@@ -733,6 +733,16 @@ object TextAnalysis {
     * paper's duplicate-line/paragraph rows have no analog here — q109 /
     * q221 cover the corpus-level segment grain instead.
     *
+    * ASCII-input assumption (the q216 canonicalText lesson): the
+    * tie-break compares gram STRINGS, and Java (UTF-16 code units)
+    * disagrees with DuckDB (UTF-8 bytes) on the relative order of
+    * supplementary-plane characters vs U+E000..U+FFFF. On ASCII the
+    * two orders coincide, and only the TIE-BREAK is exposed — the dup
+    * fractions group equal grams and never depend on sort order. A
+    * non-ASCII corpus should canonicalize first ([[graft.ops.Dedup]]'s
+    * ASCII-first discipline) or accept engine-specific tie-breaks on
+    * exact count ties.
+    *
     * Scale (100 TB): the entire battery is ONE row-local projection —
     * no shuffle, no UDF, no state; it runs at scan speed and Catalyst
     * fuses it into the scan's WholeStageCodegen span. Per-row cost is
