@@ -431,6 +431,14 @@ object Graft {
   def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame =
     ops.Dedup.cdcChunks(docs, divisor)
 
+  /** The CDC rewrite (q225): [[segmentDedup]]'s keeper election over
+    * [[cdcChunks]]' shift-robust chunk hashes — a shared passage is
+    * deduplicated even when its copies sit at different word offsets,
+    * the case the fixed grid structurally misses →
+    * (doc_id, n_chunks, n_removed, clean_text). */
+  def cdcDedup(docs: DataFrame, divisor: Int = 8): DataFrame =
+    ops.Dedup.cdcDedup(docs, divisor)
+
   /** k-anonymity audit over (nat, seg) quasi-identifier rows: per-cell
     * counts with sub-k cells generalized to (nat, '*') and re-flagged
     * at the merged grain. Runs at cell grain after one scan. */

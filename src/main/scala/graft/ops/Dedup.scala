@@ -1046,6 +1046,31 @@ object Dedup {
       .orderBy(col("h"))
   }
 
+  /** The (doc_id, k, start, n_words, h) chunk rows behind [[cdcChunks]]
+    * and [[cdcDedup]] — boundary scan + slice hashing, fully row-local. */
+  private[graft] def cdcChunkRows(docs: DataFrame, divisor: Int): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // cut positions: word hash ≡ 0 (mod divisor); guarded for 1-word
+      // docs (Spark sequence() counts DOWN for start > stop)
+      .withColumn("b", expr(
+        s"""concat(array(0),
+           |  if(size(w) < 2, cast(array() as array<int>),
+           |     filter(sequence(1, size(w) - 1),
+           |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
+           |  array(size(w)))""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(b) - 2), k -> named_struct(
+           |  'start', b[k],
+           |  'nw', b[k + 1] - b[k],
+           |  'h', graft_md5long64(array_join(slice(w, b[k] + 1, b[k + 1] - b[k]), ' '))))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("k"),
+        col("col.start").cast("long").as("start"),
+        col("col.nw").cast("long").as("n_words"), col("col.h").as("h"))
+  }
+
   /** Content-defined chunking (CDC) duplicate report — the SHIFT-ROBUST
     * dual of [[segmentDedup]]'s fixed grid (the rsync/LBFS boundary
     * trick: cut where content, not position, says so). A fixed 8-word
@@ -1070,26 +1095,7 @@ object Dedup {
     * corpus-wide hot chunk (boilerplate) skews one GROUP BY / join key,
     * absorbed by partial agg + AQE. */
   private[graft] def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame = {
-    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // cut positions: word hash ≡ 0 (mod divisor); guarded for 1-word
-      // docs (Spark sequence() counts DOWN for start > stop)
-      .withColumn("b", expr(
-        s"""concat(array(0),
-           |  if(size(w) < 2, cast(array() as array<int>),
-           |     filter(sequence(1, size(w) - 1),
-           |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
-           |  array(size(w)))""".stripMargin))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(b) - 2), k -> named_struct(
-           |  'start', b[k],
-           |  'nw', b[k + 1] - b[k],
-           |  'h', graft_md5long64(array_join(slice(w, b[k] + 1, b[k + 1] - b[k]), ' '))))"""
-          .stripMargin)))
-      .select(col("doc_id"), col("pos").cast("long").as("k"),
-        col("col.start").cast("long").as("start"),
-        col("col.nw").cast("long").as("n_words"), col("col.h").as("h"))
+    val chunks = cdcChunkRows(docs, divisor)
     val occ = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
     chunks.join(occ, "h")
       .select(col("doc_id"), col("k"), col("start"), col("n_words"), col("n_occ"))
@@ -1123,6 +1129,93 @@ object Dedup {
       |ORDER BY doc_id, k""".stripMargin
   ) { (s, dir) =>
     cdcChunks(Tables.documents(s, dir), 8).orderBy(col("doc_id"), col("k"))
+  }
+
+  /** The CDC REWRITE — [[segmentDedup]]'s keeper election run over
+    * [[cdcChunks]]' shift-robust chunk hashes instead of the fixed
+    * grid: every chunk whose content occurs more than once corpus-wide
+    * is dropped from all but its first (min doc_id, ordinal)
+    * occurrence, and each document is re-assembled from its surviving
+    * chunks (chunks tile the doc, so the rebuild is a row-local slice
+    * concatenation). Because boundaries are content-defined, a shared
+    * passage is deduplicated even when the two copies sit at different
+    * word offsets — the case the grid rewrite structurally misses.
+    *
+    * Scale: identical shape to [[segmentDedup]] — hash-grain count +
+    * packed-MIN election (guards on both the ordinal and the start
+    * offset staying under 10^6), surviving (start, nw) spans packed
+    * into one int64 each so the map-back list is primitive-typed, and
+    * chunk text never shuffles. */
+  private[graft] def cdcDedup(docs: DataFrame, divisor: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("b", expr(
+        s"""concat(array(0),
+           |  if(size(w) < 2, cast(array() as array<int>),
+           |     filter(sequence(1, size(w) - 1),
+           |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
+           |  array(size(w)))""".stripMargin))
+    val chunks = cdcChunkRows(docs, divisor)
+      .withColumn("pk", when(col("k") >= 1000000L || col("start") >= 1000000L,
+          raise_error(lit("cdcDedup: doc exceeds 10^6 chunks/words — widen the packed keys"))
+            .cast("long"))
+        .otherwise(col("doc_id") * 1000000L + col("k")))
+      // surviving spans travel as ONE packed long: start·10^6 + n_words
+      .withColumn("sp", col("start") * 1000000L + col("n_words"))
+    val occ = chunks.groupBy(col("h")).agg(
+      count(lit(1)).as("n"), min(col("pk")).as("keymin"))
+    val kept = chunks.join(occ, "h")
+      .filter(col("n") === 1 || col("pk") === col("keymin"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("sp"))).as("sps"))
+    base.join(kept, Seq("doc_id"), "left")
+      .withColumn("sps2", coalesce(col("sps"), expr("cast(array() as array<bigint>)")))
+      .select(col("doc_id"),
+        (size(col("b")) - 1).cast("long").as("n_chunks"),
+        ((size(col("b")) - 1).cast("long") - size(col("sps2"))).as("n_removed"),
+        expr(s"""array_join(flatten(transform(sps2,
+                |  p -> slice(w, cast(p div 1000000 as int) + 1, cast(p % 1000000 as int)))), ' ')"""
+          .stripMargin).as("clean_text"))
+  }
+
+  /** q225: the CDC rewrite, oracle-gated — the DuckDB twin replays the
+    * boundary rule, packed-key election, span packing, and slice
+    * reassembly, so the compare breaks on a wrong keeper, a lost
+    * survivor, or a span unpacked at the wrong offset. */
+  val q225CdcDedup: Q = Q.sql(
+    "q225_cdc_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    [0] || list_filter(range(1, len(w)),
+      |      i -> CAST(concat('0x', substr(md5(w[i+1]), 1, 15)) AS BIGINT) % 8 = 0)
+      |        || [len(w)] AS b
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(b) - 1)) AS k,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> b[k+1] * 1000000 + (b[k+2] - b[k+1]))) AS sp,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[b[k+1]+1 : b[k+2]], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM c),
+      |occ AS (
+      |  SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + k) AS keymin
+      |  FROM ch GROUP BY h),
+      |kept AS (
+      |  SELECT ch.doc_id, list_sort(list(ch.sp)) AS sps
+      |  FROM ch JOIN occ USING (h)
+      |  WHERE occ.n = 1 OR ch.doc_id * 1000000 + ch.k = occ.keymin
+      |  GROUP BY ch.doc_id)
+      |SELECT c.doc_id,
+      |  CAST(len(b) - 1 AS BIGINT) AS n_chunks,
+      |  CAST(len(b) - 1 - COALESCE(len(sps), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    flatten(list_transform(COALESCE(sps, []),
+      |      p -> w[p // 1000000 + 1 : p // 1000000 + p % 1000000])), ' '), '') AS clean_text
+      |FROM c LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    cdcDedup(Tables.documents(s, dir), 8).orderBy(col("doc_id"))
   }
 
   /** Cross-document duplicate-passage detection — the passage-grain dual
@@ -1446,7 +1539,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q24DedupExact, q216DedupCanonical, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q221SegmentDedup,
-    q223CdcChunks, q224SegmentIndexRefresh, q128DupPassages,
+    q223CdcChunks, q224SegmentIndexRefresh, q225CdcDedup, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
     q197LshRecall, q201JaccardSweep, q204SourceOverlap)
 }

@@ -67,6 +67,23 @@ class CdcSpec extends AnyFunSuite {
     assert(grid.values.sum == 0, "grid segments all unique under shift — the CDC contrast")
   }
 
+  test("cdcDedup deduplicates a shared passage across DIFFERENT word offsets") {
+    import TestSpark.spark.implicits._
+    val body = Seq(plainWords(0), plainWords(1), cutWords(0), plainWords(2),
+      plainWords(3), plainWords(4), cutWords(1), plainWords(5), plainWords(6))
+    val a = body.mkString(" ")                       // chunks [0,2) [2,6) [6,9)
+    val b = (plainWords(7) +: body).mkString(" ")    // same tail chunks, +1 offset
+    val out = ops.Dedup.cdcDedup(Seq((1L, a), (2L, b)).toDF("doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns every keeper → intact; doc 2 keeps only its first chunk
+    assert(out(1L) == ((3L, 0L, a)))
+    assert(out(2L) == ((3L, 2L, (plainWords(7) +: body.take(2)).mkString(" "))))
+    // the grid rewrite misses this: both docs pass through untouched
+    val grid = ops.Dedup.segmentDedup(Seq((1L, a), (2L, b)).toDF("doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grid == Map(1L -> 0L, 2L -> 0L), "fixed grid aligns nothing under shift")
+  }
+
   test("q223 registry entry: chunks tile every doc and n_occ >= 1") {
     val rows = SparkEntry.queries("q223_cdc_chunks")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

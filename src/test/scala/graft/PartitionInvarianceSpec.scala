@@ -73,7 +73,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // r11: counted-index refresh merges three aggregates through a
     // full-outer join — increments/decrements are exact longs, so the
     // merged counts must be layout-independent
-    "q224_segment_index_refresh")
+    "q224_segment_index_refresh",
+    // r11: the CDC rewrite's keeper election and packed-span rebuild
+    // must not depend on which partition saw a chunk first
+    "q225_cdc_dedup")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
