@@ -45,3 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=512m",
   "-XX:+UseG1GC",
 )
+// Experiment-only extra JVM flags (unset in driver runs — appended last
+// so they can override the pinned set): the round-12 heap investigation
+// (plans/R12_NOTES.md) A/Bs GC logging and sizing flags through this.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
