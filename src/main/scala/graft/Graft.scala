@@ -388,13 +388,21 @@ object Graft {
   /** Corpus-level duplicated-segment REWRITE (q221) — the removal step
     * behind [[boilerplateShare]]'s report: `width`-word segments
     * occurring more than once corpus-wide are dropped from all but
-    * their first (min doc_id, position) occurrence, and each doc is
-    * re-assembled from its survivors plus its short tail →
-    * (doc_id, n_seg, n_removed, clean_text). Segment text never
-    * shuffles — only (doc_id, k, hash) triples and surviving-position
-    * int lists move. */
-  def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame =
-    ops.Dedup.segmentDedup(docs, width)
+    * their keeper occurrence, and each doc is re-assembled from its
+    * survivors plus its short tail → (doc_id, n_seg, n_removed,
+    * clean_text). Segment text never shuffles — only (doc_id, k, hash)
+    * triples and surviving-position int lists move.
+    *
+    * Keeper policy: by default the first (min doc_id, position)
+    * occurrence. Pass `qualityCol` naming a [0,1] double column on
+    * `docs` to keep the occurrence in the HIGHEST-quality document
+    * instead (q228; production keeps the best copy, not the oldest) —
+    * quality is quantized at 1e-6, ties fall back to (doc_id,
+    * position), out-of-range values raise_error, and the election
+    * stays one window-free hash-grain aggregate. */
+  def segmentDedup(docs: DataFrame, width: Int = 8,
+                   qualityCol: Option[String] = None): DataFrame =
+    ops.Dedup.segmentDedup(docs, width, qualityCol)
 
   /** STORED segment-occurrence index (h, n) over the standing corpus —
     * persist once, probe with [[segmentDedupStream]], maintain with
@@ -435,9 +443,12 @@ object Graft {
     * [[cdcChunks]]' shift-robust chunk hashes — a shared passage is
     * deduplicated even when its copies sit at different word offsets,
     * the case the fixed grid structurally misses →
-    * (doc_id, n_chunks, n_removed, clean_text). */
-  def cdcDedup(docs: DataFrame, divisor: Int = 8): DataFrame =
-    ops.Dedup.cdcDedup(docs, divisor)
+    * (doc_id, n_chunks, n_removed, clean_text). `qualityCol` selects
+    * the best-quality keeper policy exactly as on [[segmentDedup]]
+    * (q229). */
+  def cdcDedup(docs: DataFrame, divisor: Int = 8,
+               qualityCol: Option[String] = None): DataFrame =
+    ops.Dedup.cdcDedup(docs, divisor, qualityCol)
 
   /** k-anonymity audit over (nat, seg) quasi-identifier rows: per-cell
     * counts with sub-k cells generalized to (nat, '*') and re-flagged
@@ -656,6 +667,18 @@ object Graft {
     * rank + broadcast prefix offsets), never a one-partition window. */
   def curriculum(scored: DataFrame, phases: Int = 4): DataFrame =
     ops.Curate.curriculumOf(scored, phases)
+
+  /** Span-grain curation capstone (q227), ONE lazy plan: CDC dedup
+    * ([[cdcDedup]]) → contamination span splitting ([[decontamSpans]]
+    * over the DEDUPED text) → quality rule battery at piece grain →
+    * per-source funnel manifest (source, n_docs_in, words_in,
+    * words_dedup, n_pieces, words_spans, n_pieces_kept, words_final).
+    * `corpus` carries (doc_id, text, source); `evalSet` (doc_id, text). */
+  def spanCuration(corpus: DataFrame, evalSet: DataFrame,
+                   divisor: Int = 8, pad: Int = 2, minPieceWords: Int = 3,
+                   minQualityWords: Int = 10): DataFrame =
+    ops.Curate.spanCurationOf(corpus, evalSet, divisor, pad,
+      minPieceWords, minQualityWords)
 
   /** Intra-doc code-switch detection: per doc, the language-marker hit
     * count, dominant language and its share of all marker evidence, and

@@ -422,6 +422,200 @@ object Curate {
                |END AS BIGINT)""".stripMargin).as("phase"))
   }
 
+  /** The SPAN-GRAIN curation capstone — q143's doc-grain composition
+    * rebuilt from the round-11 span operators, as ONE lazy plan over
+    * the q222 corpus/eval convention (doc_id % 20):
+    *
+    *   CDC dedup ([[Dedup.cdcDedup]] — shift-robust duplicated chunks
+    *     cut from all but their keeper occurrence)
+    *   → contamination span SPLITTING ([[Decontam.decontamSpans]] over
+    *     the DEDUPED text — remove ±2 words around each eval 5-gram
+    *     collision, keep ≥3-word pieces)
+    *   → quality rule battery at PIECE grain ([[Quality.rulesOf]] with
+    *     idCols=(doc_id, piece_id), minWords=10 — pieces are shorter
+    *     than documents by construction)
+    *   → per-SOURCE token accounting (q202's reporting grain): docs and
+    *     words in, words surviving dedup, pieces and words surviving
+    *     span splitting, pieces and words passing quality.
+    *
+    * The oracle replays every stage — CDC boundaries, keeper election,
+    * span windows, run slicing, rule ratios, and all four rollups — so
+    * the gate checks the COMPOSITION (e.g. spans probing DEDUPED text,
+    * not raw text), not each stage alone. All outputs are exact integer
+    * counts → partitioning-independent in both engines.
+    *
+    * Shape at scale: dedup shuffles (doc_id, k, ints) at chunk-hash
+    * grain (q225's shape), the span probe broadcasts eval hashes and
+    * shuffles only per-doc collision int lists (q222's shape), quality
+    * is scan-speed row-local work, and the rollups are |sources|-row
+    * aggregates. The corpus joins back to (doc_id, source) twice —
+    * both plain long-key joins AQE can broadcast when the cleaned side
+    * stays small, never a widening. */
+  val q227SpanCuration: Q = Q.sql(
+    "q227_span_curation",
+    """WITH t0 AS (SELECT doc_id, text, source FROM documents),
+      |corp0 AS (SELECT doc_id, string_split(text, ' ') AS w, source FROM t0 WHERE doc_id % 20 != 0),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    [0] || list_filter(range(1, len(w)),
+      |      i -> CAST(concat('0x', substr(md5(w[i+1]), 1, 15)) AS BIGINT) % 8 = 0)
+      |        || [len(w)] AS b
+      |  FROM corp0),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(b) - 1)) AS k,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> b[k+1] * 1000000 + (b[k+2] - b[k+1]))) AS sp,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[b[k+1]+1 : b[k+2]], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM c),
+      |occ AS (
+      |  SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + k) AS keymin
+      |  FROM ch GROUP BY h),
+      |kept AS (
+      |  SELECT ch.doc_id, list_sort(list(ch.sp)) AS sps
+      |  FROM ch JOIN occ USING (h)
+      |  WHERE occ.n = 1 OR ch.doc_id * 1000000 + ch.k = occ.keymin
+      |  GROUP BY ch.doc_id),
+      |cleaned AS (
+      |  SELECT c.doc_id,
+      |    COALESCE(array_to_string(
+      |      flatten(list_transform(COALESCE(sps, []),
+      |        p -> w[p // 1000000 + 1 : p // 1000000 + p % 1000000])), ' '), '') AS ctext
+      |  FROM c LEFT JOIN kept USING (doc_id)),
+      |cw AS (SELECT doc_id, string_split(ctext, ' ') AS w, ctext FROM cleaned),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> CAST(concat('0x', substr(md5(
+      |           array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM (SELECT string_split(text, ' ') AS w FROM t0 WHERE doc_id % 20 = 0) WHERE len(w) >= 5),
+      |pos AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(w) - 4)) AS j,
+      |    unnest(list_transform(range(0, len(w) - 4),
+      |      j -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[j+1:j+5], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM cw WHERE len(w) >= 5),
+      |hits AS (
+      |  SELECT doc_id, list_sort(list(j)) AS s
+      |  FROM pos JOIN ev USING (h) GROUP BY doc_id),
+      |m AS (
+      |  SELECT cw.doc_id, w, COALESCE(s, []) AS s
+      |  FROM cw LEFT JOIN hits USING (doc_id)),
+      |cvs AS (
+      |  SELECT doc_id, w,
+      |    [len(list_filter(s, tt -> tt - 2 <= i - 1 AND i - 1 <= tt + 6)) > 0
+      |     FOR i IN range(1, len(w) + 1)] AS cv
+      |  FROM m),
+      |runs AS (
+      |  SELECT doc_id, w,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = 0 OR cv[i])) AS st,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = len(w) - 1 OR cv[i + 2])) AS en
+      |  FROM cvs),
+      |p AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(0, len(st)),
+      |      k -> {'n': en[k + 1] - st[k + 1] + 1,
+      |            'txt': array_to_string(w[st[k + 1] + 1 : en[k + 1] + 1], ' ')}),
+      |      x -> x.n >= 3) AS ps
+      |  FROM runs),
+      |pieces AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(ps) + 1)) AS piece_id,
+      |    unnest(list_transform(ps, x -> x.txt)) AS ptext
+      |  FROM p),
+      |pqm AS (
+      |  SELECT doc_id, piece_id,
+      |    CAST(len(pw) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(pw, x -> len(x))) AS BIGINT) AS wlen_sum,
+      |    CAST(len(list_filter(pw, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_n,
+      |    CAST(list_max(list_transform(list_distinct(pw),
+      |      d2 -> len(list_filter(pw, x -> x = d2)))) AS BIGINT) AS top_n,
+      |    CAST(len(list_distinct(pw)) AS BIGINT) AS distinct_n
+      |  FROM (SELECT doc_id, piece_id, string_split(ptext, ' ') AS pw FROM pieces)),
+      |pq AS (
+      |  SELECT doc_id, piece_id, n_words,
+      |    n_words >= 10
+      |      AND CAST(wlen_sum AS DOUBLE) / n_words >= 3.0
+      |      AND CAST(wlen_sum AS DOUBLE) / n_words <= 8.0
+      |      AND CAST(stop_n AS DOUBLE) / n_words <= 0.12
+      |      AND CAST(top_n AS DOUBLE) / n_words <= 0.15
+      |      AND CAST(distinct_n AS DOUBLE) / n_words >= 0.35 AS keep
+      |  FROM pqm),
+      |src_in AS (
+      |  SELECT source, COUNT(*) AS n_docs_in,
+      |    CAST(SUM(len(w)) AS BIGINT) AS words_in
+      |  FROM corp0 GROUP BY source),
+      |src_dedup AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN ctext = '' THEN 0 ELSE len(string_split(ctext, ' ')) END) AS BIGINT) AS words_dedup
+      |  FROM cleaned JOIN corp0 USING (doc_id) GROUP BY source),
+      |src_pieces AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pieces,
+      |    CAST(SUM(n_words) AS BIGINT) AS words_spans,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pieces_kept,
+      |    CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS words_final
+      |  FROM pq JOIN corp0 USING (doc_id) GROUP BY source)
+      |SELECT s.source, s.n_docs_in, s.words_in,
+      |  COALESCE(d.words_dedup, 0) AS words_dedup,
+      |  COALESCE(sp.n_pieces, 0) AS n_pieces,
+      |  COALESCE(sp.words_spans, 0) AS words_spans,
+      |  COALESCE(sp.n_pieces_kept, 0) AS n_pieces_kept,
+      |  COALESCE(sp.words_final, 0) AS words_final
+      |FROM src_in s
+      |LEFT JOIN src_dedup d USING (source)
+      |LEFT JOIN src_pieces sp USING (source)
+      |ORDER BY s.source""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    spanCurationOf(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("source"))
+  }
+
+  /** The q227 chain over caller frames: `corpus` carries (doc_id, text,
+    * source), `evalSet` (doc_id, text). Returns the per-source funnel
+    * manifest (source, n_docs_in, words_in, words_dedup, n_pieces,
+    * words_spans, n_pieces_kept, words_final), unordered. */
+  private[graft] def spanCurationOf(corpus: org.apache.spark.sql.DataFrame,
+                                    evalSet: org.apache.spark.sql.DataFrame,
+                                    divisor: Int = 8, pad: Int = 2,
+                                    minPieceWords: Int = 3,
+                                    minQualityWords: Int = 10): org.apache.spark.sql.DataFrame = {
+    val cleaned = Dedup.cdcDedup(corpus.select(col("doc_id"), col("text")), divisor)
+      .select(col("doc_id"), col("clean_text"))
+    val pieces = Decontam.decontamSpans(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      evalSet, pad = pad, minWords = minPieceWords)
+    val pq = Quality.rulesOf(
+      pieces.select(col("doc_id"), col("piece_id"), col("piece_text").as("text")),
+      minWords = minQualityWords, idCols = Seq("doc_id", "piece_id"))
+    val srcOf = corpus.select(col("doc_id"), col("source"))
+    val srcIn = corpus.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs_in"),
+      sum(size(split(col("text"), " ")).cast("long")).as("words_in"))
+    val srcDedup = cleaned.join(srcOf, "doc_id").groupBy(col("source")).agg(
+      sum(when(col("clean_text") === "", 0L)
+        .otherwise(size(split(col("clean_text"), " ")).cast("long"))).as("words_dedup"))
+    val srcPieces = pq.join(srcOf, "doc_id").groupBy(col("source")).agg(
+      count(lit(1)).as("n_pieces"),
+      sum(col("n_words")).as("words_spans"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_pieces_kept"),
+      sum(when(col("keep"), col("n_words")).otherwise(0L)).as("words_final"))
+    srcIn
+      .join(srcDedup, Seq("source"), "left")
+      .join(srcPieces, Seq("source"), "left")
+      .select(col("source"), col("n_docs_in"), col("words_in"),
+        coalesce(col("words_dedup"), lit(0L)).as("words_dedup"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("words_spans"), lit(0L)).as("words_spans"),
+        coalesce(col("n_pieces_kept"), lit(0L)).as("n_pieces_kept"),
+        coalesce(col("words_final"), lit(0L)).as("words_final"))
+  }
+
   val all: Seq[Q] = Seq(q75CuratedCorpus, q143TrainingManifest, q162SourceCap,
-    q164DsirSelect, q166Curriculum)
+    q164DsirSelect, q166Curriculum, q227SpanCuration)
 }

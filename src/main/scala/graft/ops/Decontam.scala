@@ -421,9 +421,16 @@ object Decontam {
     * rows ∝ collisions. The map-back join of those lists onto the
     * corpus is AQE-decided: at realistic contamination rates the hit
     * side broadcasts; a pathologically contaminated corpus degrades to
-    * one doc-grain shuffle, never a widening. The cut itself is
-    * row-local expression work: mark covered words, join on a
-    * sentinel, split, filter — one WholeStageCodegen span, no UDF. */
+    * one doc-grain shuffle, never a widening. The cut itself is ONE
+    * row-local projection: the surviving pieces are the gaps between
+    * consecutive collision windows (gap pairing over the SORTED
+    * position list — O(|collisions|) per row), each sliced straight
+    * out of the word array. NO sentinel character in the data path (an
+    * earlier revision split on chr(1), which silently treated any
+    * corpus word containing U+0001 as a piece boundary; index
+    * arithmetic makes the cut content-blind), and no per-word mask (an
+    * earlier index-mask form was quadratic once CollapseProject
+    * inlined it — see the in-line note). */
   private[graft] def decontamSpans(corpus: DataFrame, evalSet: DataFrame,
                                    pad: Int = 2, minWords: Int = 3): DataFrame = {
     require(pad >= 0, s"pad must be >= 0, got $pad")
@@ -442,25 +449,41 @@ object Decontam {
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("j"))).as("s"))
     base.join(hits, Seq("doc_id"), "left")
       .withColumn("s2", coalesce(col("s"), expr("cast(array() as array<int>)")))
-      // words inside any collision window become a  sentinel; the
-      // sentinel-split then yields the clean pieces between removals
+      // The clean pieces are the maximal word-index runs not covered by
+      // any collision window [t-pad, t+4+pad]. Derived DIRECTLY from the
+      // sorted collision positions by gap pairing — t ascending makes
+      // both window starts and window ends ascending, so the k-th
+      // candidate gap is [end(window k-1)+1, start(window k)-1], with
+      // [0, …] before the first window and […, size-1] after the last;
+      // overlapping/merging windows and windows clipping the doc edges
+      // fall out as empty gaps, dropped by the same ≥ minWords filter.
+      // O(|collisions|) per row, and ONE expression — an index-mask
+      // formulation (cv/st/en in separate withColumns) measured 10×
+      // slower at sf0.1: CollapseProject inlines each alias into every
+      // reference and higher-order functions get no subexpression
+      // elimination, so the mask was re-derived per reference.
       .withColumn("pieces", expr(
-        s"""filter(transform(split(array_join(
-           |  transform(w, (x, i) -> if(exists(s2, t -> t - $pad <= i and i <= t + 4 + $pad), chr(1), x)),
-           |  ' '), chr(1)), p -> trim(p)),
-           |  p -> p != '' and size(split(p, ' ')) >= $minWords)""".stripMargin))
+        s"""transform(
+           |  filter(zip_with(
+           |    concat(array(0), transform(s2, t -> t + ${pad + 5})),
+           |    concat(transform(s2, t -> t - ${pad + 1}), array(size(w) - 1)),
+           |    (s0, e0) -> named_struct('s', s0, 'e', e0)),
+           |    g -> g.e - g.s + 1 >= $minWords),
+           |  g -> named_struct('n', g.e - g.s + 1,
+           |                    'txt', array_join(slice(w, g.s + 1, g.e - g.s + 1), ' ')))"""
+          .stripMargin))
       .select(col("doc_id"), posexplode(col("pieces")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("piece_id"),
-        size(split(col("col"), " ")).cast("long").as("n_words"),
-        col("col").as("piece_text"))
+        col("col.n").cast("long").as("n_words"),
+        col("col.txt").as("piece_text"))
   }
 
   /** q222: span splitting over the q101 corpus/eval convention
-    * (doc_id % 20). The oracle replays the window mask, sentinel split,
-    * trim, and both piece filters, so the compare breaks on an
-    * off-by-one window bound, a wrong piece boundary at consecutive
-    * removals, or a mis-numbered surviving piece — not just on piece
-    * counts. */
+    * (doc_id % 20). The oracle replays the window mask, the
+    * uncovered-run start/end derivation, the slice reassembly, and the
+    * minWords filter, so the compare breaks on an off-by-one window
+    * bound, a wrong piece boundary at consecutive removals, or a
+    * mis-numbered surviving piece — not just on piece counts. */
   val q222DecontamSpans: Q = Q.sql(
     "q222_decontam_spans",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -482,18 +505,27 @@ object Decontam {
       |m AS (
       |  SELECT t.doc_id, w, COALESCE(s, []) AS s
       |  FROM t LEFT JOIN hits USING (doc_id) WHERE doc_id % 20 != 0),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    [len(list_filter(s, tt -> tt - 2 <= i - 1 AND i - 1 <= tt + 6)) > 0
+      |     FOR i IN range(1, len(w) + 1)] AS cv
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, w,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = 0 OR cv[i])) AS st,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = len(w) - 1 OR cv[i + 2])) AS en
+      |  FROM c),
       |p AS (
       |  SELECT doc_id,
-      |    list_filter(list_transform(string_split(array_to_string(
-      |      [CASE WHEN len(list_filter(s, tt -> tt - 2 <= i - 1 AND i - 1 <= tt + 6)) > 0
-      |            THEN chr(1) ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' '),
-      |      chr(1)), x -> trim(x)),
-      |      x -> x != '' AND len(string_split(x, ' ')) >= 3) AS ps
-      |  FROM m)
+      |    list_filter(list_transform(range(0, len(st)),
+      |      k -> {'n': en[k + 1] - st[k + 1] + 1,
+      |            'txt': array_to_string(w[st[k + 1] + 1 : en[k + 1] + 1], ' ')}),
+      |      x -> x.n >= 3) AS ps
+      |  FROM r)
       |SELECT doc_id,
       |  unnest(range(1, len(ps) + 1)) AS piece_id,
-      |  unnest(list_transform(ps, x -> CAST(len(string_split(x, ' ')) AS BIGINT))) AS n_words,
-      |  unnest(ps) AS piece_text
+      |  unnest(list_transform(ps, x -> CAST(x.n AS BIGINT))) AS n_words,
+      |  unnest(list_transform(ps, x -> x.txt)) AS piece_text
       |FROM p
       |ORDER BY doc_id, piece_id""".stripMargin
   ) { (s, dir) =>

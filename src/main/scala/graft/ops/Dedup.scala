@@ -895,39 +895,81 @@ object Dedup {
     * the original row, slicing the text row-locally. A corpus-wide hot
     * segment skews one GROUP BY key (absorbed by partial aggregation)
     * and one join key (AQE skew split) — no doc-doc pairing anywhere.
-    * The packed keeper key requires k < 10^6, i.e. docs under ~8M
-    * words at width 8 — enforced, not assumed. */
+    * The packed keeper key requires k < 10^6 (docs under ~8M words at
+    * width 8) and doc_id in [0, 9.2e12) (else doc_id·10^6 + k
+    * overflows long / a negative doc_id mis-orders the MIN) — both
+    * enforced, not assumed. */
   /** (doc_id, text) → one row per non-overlapping `width`-word segment:
     * (doc_id, k, h) with k the segment ordinal and h the 60-bit hash of
     * the segment text — fully row-local (streaming-safe), shared by
     * [[segmentDedup]], [[segmentIndex]], and the streaming gate. */
-  private[graft] def segRowsOf(docs: DataFrame, width: Int): DataFrame = {
+  private[graft] def segRowsOf(docs: DataFrame, width: Int,
+                               carry: Seq[String] = Nil): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val cs = carry.map(col)
+    docs.select(col("doc_id") +: cs :+ split(col("text"), " ").as("w"): _*)
       .filter(size(col("w")) >= width)
-      .select(col("doc_id"), posexplode(transform(
+      .select(col("doc_id") +: cs :+ posexplode(transform(
         expr(s"sequence(0, size(w) div $width - 1)"), k =>
-          hexLong(concat_ws(" ", (0 until width).map(o => get(col("w"), k * width + o)): _*)))))
-      .select(col("doc_id"), col("pos").as("k"), col("col").as("h"))
+          hexLong(concat_ws(" ", (0 until width).map(o => get(col("w"), k * width + o)): _*)))): _*)
+      .select(col("doc_id") +: cs :+ col("pos").as("k") :+ col("col").as("h"): _*)
   }
 
-  private[graft] def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+  /** 1e-6-quantized, order-INVERTED quality key for best-quality keeper
+    * election: argmax(quality) through the SAME MIN aggregate the
+    * default (min doc_id, position) election uses — invq = 10^6 −
+    * floor(q·10^6), so a higher-quality doc sorts first and the packed
+    * (doc_id, position) key breaks exact-quantile ties. floor, not
+    * round (floor has no half-even/half-up convention to drift between
+    * engines); q outside [0,1] raise_errors — a silent clamp would
+    * elect a wrong keeper and the oracle, sharing the key, couldn't
+    * catch it. */
+  private def invQualityKey(qc: String): Column =
+    when(col(qc).isNull || col(qc) < 0.0 || col(qc) > 1.0, raise_error(lit(
+        "quality must be in [0,1] — the inverted keeper key would mis-order"))
+        .cast("long"))
+      .otherwise(lit(1000000L) - floor(col(qc) * 1000000.0).cast("long"))
+
+  private[graft] def segmentDedup(docs: DataFrame, width: Int = 8,
+                                  qualityCol: Option[String] = None): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
     val base = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
-    val segs = segRowsOf(docs, width)
-      // the packed key carries the k-bound guard: computing it for an
-      // oversized doc fails loudly (raise_error inside the expression
-      // that is actually consumed — a standalone assert column would be
+    val segs = segRowsOf(docs, width, carry = qualityCol.toSeq)
+      // the packed key carries its OWN validity guard: computing it for
+      // an oversized doc — or a doc_id outside [0, 9.2e12), where
+      // doc_id·10^6 + k overflows long or a negative doc_id mis-orders
+      // the MIN — fails loudly (raise_error inside the expression that
+      // is actually consumed; a standalone assert column would be
       // pruned away)
       .withColumn("pk", when(col("k") >= 1000000L, raise_error(lit(
           "segmentDedup: doc exceeds 10^6 segments — widen the packed keeper key"))
           .cast("long"))
+        .when(col("doc_id") < 0L || col("doc_id") >= 9200000000000L, raise_error(lit(
+          "segmentDedup: doc_id outside [0, 9.2e12) — the packed keeper key would overflow/mis-order"))
+          .cast("long"))
         .otherwise(col("doc_id") * 1000000L + col("k")))
-    val occ = segs.groupBy(col("h")).agg(
-      count(lit(1)).as("n"),
-      min(col("pk")).as("keymin"))
-    val kept = segs.join(occ, "h")
-      .filter(col("n") === 1 || col("pk") === col("keymin"))
+    // keeper election: default = packed-long MIN (the r11 shape);
+    // quality-aware = MIN over (invq, pk) — still one map-side-combined
+    // aggregate at hash grain, still window-free (the struct only adds
+    // 8 bytes of agg state per distinct segment), keeper = occurrence
+    // in the HIGHEST-quality doc, ties to the packed (doc_id, position)
+    val survivors = qualityCol match {
+      case None =>
+        val occ = segs.groupBy(col("h")).agg(
+          count(lit(1)).as("n"),
+          min(col("pk")).as("keymin"))
+        segs.join(occ, "h")
+          .filter(col("n") === 1 || col("pk") === col("keymin"))
+      case Some(qc) =>
+        val keyed = segs.withColumn("__graft_invq", invQualityKey(qc))
+        val occ = keyed.groupBy(col("h")).agg(
+          count(lit(1)).as("n"),
+          min(struct(col("__graft_invq").as("invq"), col("pk").as("pk"))).as("keymin"))
+        keyed.join(occ, "h")
+          .filter(col("n") === 1 ||
+            (col("__graft_invq") === col("keymin.invq") && col("pk") === col("keymin.pk")))
+    }
+    val kept = survivors
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("k"))).as("ks"))
     base.join(kept, Seq("doc_id"), "left")
       .withColumn("ks2", coalesce(col("ks"), expr("cast(array() as array<int>)")))
@@ -1048,10 +1090,12 @@ object Dedup {
 
   /** The (doc_id, k, start, n_words, h) chunk rows behind [[cdcChunks]]
     * and [[cdcDedup]] — boundary scan + slice hashing, fully row-local. */
-  private[graft] def cdcChunkRows(docs: DataFrame, divisor: Int): DataFrame = {
+  private[graft] def cdcChunkRows(docs: DataFrame, divisor: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val cs = carry.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: cs :+ split(col("text"), " ").as("w"): _*)
       // cut positions: word hash ≡ 0 (mod divisor); guarded for 1-word
       // docs (Spark sequence() counts DOWN for start > stop)
       .withColumn("b", expr(
@@ -1060,15 +1104,15 @@ object Dedup {
            |     filter(sequence(1, size(w) - 1),
            |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
            |  array(size(w)))""".stripMargin))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id") +: cs :+ posexplode(expr(
         s"""transform(sequence(0, size(b) - 2), k -> named_struct(
            |  'start', b[k],
            |  'nw', b[k + 1] - b[k],
            |  'h', graft_md5long64(array_join(slice(w, b[k] + 1, b[k + 1] - b[k]), ' '))))"""
-          .stripMargin)))
-      .select(col("doc_id"), col("pos").cast("long").as("k"),
-        col("col.start").cast("long").as("start"),
-        col("col.nw").cast("long").as("n_words"), col("col.h").as("h"))
+          .stripMargin)): _*)
+      .select(col("doc_id") +: cs :+ col("pos").cast("long").as("k") :+
+        col("col.start").cast("long").as("start") :+
+        col("col.nw").cast("long").as("n_words") :+ col("col.h").as("h"): _*)
   }
 
   /** Content-defined chunking (CDC) duplicate report — the SHIFT-ROBUST
@@ -1142,11 +1186,13 @@ object Dedup {
     * word offsets — the case the grid rewrite structurally misses.
     *
     * Scale: identical shape to [[segmentDedup]] — hash-grain count +
-    * packed-MIN election (guards on both the ordinal and the start
-    * offset staying under 10^6), surviving (start, nw) spans packed
-    * into one int64 each so the map-back list is primitive-typed, and
-    * chunk text never shuffles. */
-  private[graft] def cdcDedup(docs: DataFrame, divisor: Int = 8): DataFrame = {
+    * packed-MIN election (guards: ordinal, start offset, AND chunk
+    * word count each under 10^6; doc_id in [0, 9.2e12) — every packing
+    * bound raise_errors rather than corrupting silently), surviving
+    * (start, nw) spans packed into one int64 each so the map-back list
+    * is primitive-typed, and chunk text never shuffles. */
+  private[graft] def cdcDedup(docs: DataFrame, divisor: Int = 8,
+                              qualityCol: Option[String] = None): DataFrame = {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("b", expr(
         s"""concat(array(0),
@@ -1154,17 +1200,43 @@ object Dedup {
            |     filter(sequence(1, size(w) - 1),
            |            i -> graft_md5long64(element_at(w, i + 1)) % $divisor = 0)),
            |  array(size(w)))""".stripMargin))
-    val chunks = cdcChunkRows(docs, divisor)
+    val chunks = cdcChunkRows(docs, divisor, carry = qualityCol.toSeq)
       .withColumn("pk", when(col("k") >= 1000000L || col("start") >= 1000000L,
           raise_error(lit("cdcDedup: doc exceeds 10^6 chunks/words — widen the packed keys"))
             .cast("long"))
+        .when(col("doc_id") < 0L || col("doc_id") >= 9200000000000L, raise_error(lit(
+          "cdcDedup: doc_id outside [0, 9.2e12) — the packed keeper key would overflow/mis-order"))
+          .cast("long"))
         .otherwise(col("doc_id") * 1000000L + col("k")))
-      // surviving spans travel as ONE packed long: start·10^6 + n_words
-      .withColumn("sp", col("start") * 1000000L + col("n_words"))
-    val occ = chunks.groupBy(col("h")).agg(
-      count(lit(1)).as("n"), min(col("pk")).as("keymin"))
-    val kept = chunks.join(occ, "h")
-      .filter(col("n") === 1 || col("pk") === col("keymin"))
+      // surviving spans travel as ONE packed long: start·10^6 + n_words.
+      // n_words needs its own bound — a single ≥10^6-word chunk (a 1M+-
+      // word doc whose words never hit a cut boundary) would pack
+      // ambiguously and unpack to a wrong (start, n_words); the start
+      // guard above does NOT imply this one (start is the chunk's
+      // offset, n_words its length). The q225 oracle packs identically,
+      // so only this guard — not the compare — can catch it.
+      .withColumn("sp", when(col("n_words") >= 1000000L, raise_error(lit(
+          "cdcDedup: chunk exceeds 10^6 words — widen the packed span key"))
+          .cast("long"))
+        .otherwise(col("start") * 1000000L + col("n_words")))
+    // same election split as segmentDedup: default packed-long MIN;
+    // quality-aware (invq, pk) struct MIN — window-free either way
+    val survivors = qualityCol match {
+      case None =>
+        val occ = chunks.groupBy(col("h")).agg(
+          count(lit(1)).as("n"), min(col("pk")).as("keymin"))
+        chunks.join(occ, "h")
+          .filter(col("n") === 1 || col("pk") === col("keymin"))
+      case Some(qc) =>
+        val keyed = chunks.withColumn("__graft_invq", invQualityKey(qc))
+        val occ = keyed.groupBy(col("h")).agg(
+          count(lit(1)).as("n"),
+          min(struct(col("__graft_invq").as("invq"), col("pk").as("pk"))).as("keymin"))
+        keyed.join(occ, "h")
+          .filter(col("n") === 1 ||
+            (col("__graft_invq") === col("keymin.invq") && col("pk") === col("keymin.pk")))
+    }
+    val kept = survivors
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("sp"))).as("sps"))
     base.join(kept, Seq("doc_id"), "left")
       .withColumn("sps2", coalesce(col("sps"), expr("cast(array() as array<bigint>)")))
@@ -1179,7 +1251,10 @@ object Dedup {
   /** q225: the CDC rewrite, oracle-gated — the DuckDB twin replays the
     * boundary rule, packed-key election, span packing, and slice
     * reassembly, so the compare breaks on a wrong keeper, a lost
-    * survivor, or a span unpacked at the wrong offset. */
+    * survivor, or a span unpacked at the wrong offset. NOTE: the oracle
+    * packs spans with the SAME start·10^6 + n_words encoding, so a
+    * ≥10^6-word chunk would corrupt both sides identically — that case
+    * is excluded by [[cdcDedup]]'s raise_error guard, not the compare. */
   val q225CdcDedup: Q = Q.sql(
     "q225_cdc_dedup",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1216,6 +1291,107 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     cdcDedup(Tables.documents(s, dir), 8).orderBy(col("doc_id"))
+  }
+
+  /** Deterministic [0,1] quality for the best-quality election gates:
+    * type-token ratio (distinct words / words) — an exact small-int
+    * division both engines compute to the identical double. Production
+    * callers pass their own score (q99's battery, a model score…); the
+    * gate only needs SOME replayable quality that varies across docs. */
+  private def ttrQuality(docs: DataFrame): DataFrame =
+    docs.withColumn("quality",
+      size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " ")).cast("double"))
+
+  /** q228: [[segmentDedup]]'s QUALITY-AWARE keeper election oracle-gated
+    * (VERDICT r11 item 5) — in production you keep a repeated span in
+    * the HIGHEST-quality document, not the lowest-id one. The keeper is
+    * argmax(quality) with (doc_id, position) packed-key tiebreak,
+    * elected by the same window-free hash-grain MIN as q221, over the
+    * inverted 1e-6-quantized key ([[invQualityKey]]). The oracle
+    * replays quantization, inversion, election, and reassembly via a
+    * rank window (oracle clarity; the ENGINE stays aggregate-only). */
+  val q228SegmentDedupBest: Q = Q.sql(
+    "q228_segment_dedup_best",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |q AS (
+      |  SELECT doc_id, w,
+      |    1000000 - CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |      * 1000000.0) AS BIGINT) AS invq
+      |  FROM t),
+      |segs AS (
+      |  SELECT doc_id, invq,
+      |    unnest(range(0, len(w) // 8)) AS k,
+      |    unnest(list_transform(range(0, len(w) // 8),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[8*k+1:8*k+8], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM q WHERE len(w) >= 8),
+      |rk AS (
+      |  SELECT doc_id, k,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY invq, doc_id * 1000000 + k) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS n
+      |  FROM segs),
+      |kept AS (
+      |  SELECT doc_id, list_sort(list(k)) AS ks
+      |  FROM rk WHERE n = 1 OR rn = 1 GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(w) // 8 AS BIGINT) AS n_seg,
+      |  CAST(len(w) // 8 - COALESCE(len(ks), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    flatten(list_transform(COALESCE(ks, []), k -> w[8*k+1:8*k+8]))
+      |      || w[(len(w) // 8) * 8 + 1 : len(w)], ' '), '') AS clean_text
+      |FROM t LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    segmentDedup(ttrQuality(Tables.documents(s, dir)), 8,
+      qualityCol = Some("quality")).orderBy(col("doc_id"))
+  }
+
+  /** q229: the quality-aware election on the CDC (shift-robust) grain —
+    * q225's rewrite with q228's keeper policy, completing the knob
+    * across the span-grain family. */
+  val q229CdcDedupBest: Q = Q.sql(
+    "q229_cdc_dedup_best",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |qd AS (
+      |  SELECT doc_id, w,
+      |    1000000 - CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |      * 1000000.0) AS BIGINT) AS invq
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, w, invq,
+      |    [0] || list_filter(range(1, len(w)),
+      |      i -> CAST(concat('0x', substr(md5(w[i+1]), 1, 15)) AS BIGINT) % 8 = 0)
+      |        || [len(w)] AS b
+      |  FROM qd),
+      |ch AS (
+      |  SELECT doc_id, invq,
+      |    unnest(range(0, len(b) - 1)) AS k,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> b[k+1] * 1000000 + (b[k+2] - b[k+1]))) AS sp,
+      |    unnest(list_transform(range(0, len(b) - 1),
+      |      k -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[b[k+1]+1 : b[k+2]], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM c),
+      |rk AS (
+      |  SELECT doc_id, sp,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY invq, doc_id * 1000000 + k) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS n
+      |  FROM ch),
+      |kept AS (
+      |  SELECT doc_id, list_sort(list(sp)) AS sps
+      |  FROM rk WHERE n = 1 OR rn = 1 GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(len(b) - 1 AS BIGINT) AS n_chunks,
+      |  CAST(len(b) - 1 - COALESCE(len(sps), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    flatten(list_transform(COALESCE(sps, []),
+      |      p -> w[p // 1000000 + 1 : p // 1000000 + p % 1000000])), ' '), '') AS clean_text
+      |FROM c LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    cdcDedup(ttrQuality(Tables.documents(s, dir)), 8,
+      qualityCol = Some("quality")).orderBy(col("doc_id"))
   }
 
   /** Cross-document duplicate-passage detection — the passage-grain dual
@@ -1539,7 +1715,8 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q24DedupExact, q216DedupCanonical, q25NeardupJaccard, q26NeardupMinhash, q33Fingerprint, q34Simhash,
     q70SimhashNeardup, q83IncrementalNeardup, q109Boilerplate, q221SegmentDedup,
-    q223CdcChunks, q224SegmentIndexRefresh, q225CdcDedup, q128DupPassages,
+    q223CdcChunks, q224SegmentIndexRefresh, q225CdcDedup, q228SegmentDedupBest,
+    q229CdcDedupBest, q128DupPassages,
     q154NeardupDiff, q168Novelty, q172Containment, q176Winnow, q177DupSpans,
     q197LshRecall, q201JaccardSweep, q204SourceOverlap)
 }

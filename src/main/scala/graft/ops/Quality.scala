@@ -43,32 +43,37 @@ object Quality {
                              wlenRange: (Double, Double) = DefaultWlenRange,
                              maxStopFrac: Double = DefaultMaxStopFrac,
                              maxTopFrac: Double = DefaultMaxTopFrac,
-                             minDistinctRatio: Double = DefaultMinDistinctRatio): DataFrame = {
+                             minDistinctRatio: Double = DefaultMinDistinctRatio,
+                             idCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    // idCols: the row identity the flags key on — (doc_id) for document
+    // gating, (doc_id, piece_id) when the battery runs at PIECE grain
+    // downstream of decontamSpans (q227's composition)
+    val ids = idCols.map(col)
     val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
+      .select(ids :+ split(col("text"), " ").as("w"): _*)
+      .select(ids ++ Seq(
         size(col("w")).cast("long").as("n_words"),
         aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
           .as("wlen_sum"),
         size(filter(col("w"), x => x === "the" || x === "a")).cast("long").as("stop_n"),
         array_max(transform(array_distinct(col("w")),
           d => size(filter(col("w"), x => x === d)))).cast("long").as("top_n"),
-        size(array_distinct(col("w"))).cast("long").as("distinct_n"))
-      .select(col("doc_id"), col("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("distinct_n")): _*)
+      .select(ids ++ Seq(col("n_words"),
         (col("wlen_sum").cast("double") / col("n_words")).as("mean_wlen"),
         (col("stop_n").cast("double") / col("n_words")).as("stop_frac"),
         (col("top_n").cast("double") / col("n_words")).as("top_frac"),
-        (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio"))
+        (col("distinct_n").cast("double") / col("n_words")).as("distinct_ratio")): _*)
     val rLen  = col("n_words") >= minWords
     val rWlen = col("mean_wlen") >= wlenRange._1 && col("mean_wlen") <= wlenRange._2
     val rStop = col("stop_frac") <= maxStopFrac
     val rRep  = col("top_frac") <= maxTopFrac
     val rDiv  = col("distinct_ratio") >= minDistinctRatio
-    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+    base.select(ids ++ Seq(col("n_words"), col("mean_wlen"),
       col("stop_frac"), col("top_frac"), col("distinct_ratio"),
       rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
       rRep.as("r_rep"), rDiv.as("r_div"),
-      (rLen && rWlen && rStop && rRep && rDiv).as("keep"))
+      (rLen && rWlen && rStop && rRep && rDiv).as("keep")): _*)
   }
 
   /** Digit-run and email redaction of `column` on any frame: the column

@@ -643,6 +643,100 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q226: the SemDeDup SWEEP oracle-gated under a FROZEN quantizer —
+    * q167's 11-round spec-only gap closed with the q209/q219 move.
+    * q167 itself stays the fitted-KMeans path (AnnSpec's planted
+    * duplicates keep gating it); here the quantizer is deterministic —
+    * per-label fixed-point centroids (exact int64 micro-unit sums /
+    * count, q79's discipline) — so DuckDB derives it bit-identically
+    * and replays the ENTIRE downstream semantics: nearest-centroid
+    * assignment (c·c − 2·v·c left folds, ties to lowest list),
+    * exact-duplicate collapse (min vec_id per (cluster, v)), the
+    * within-cluster cosine ≥ τ pair probe, the lower-id-survives
+    * sweep, and zero-norm singleton passthrough.
+    *
+    * The corpus plants each failure mode: every vec_id % 10 = 3 vector
+    * recurs as an EXACT copy at vec_id + 100000 (must collapse onto
+    * its rep — same v ⇒ same argmin ⇒ same cluster, structurally), one
+    * all-zeros vector (999999) exercises the no-cosine branch, and
+    * τ = 0.3 sits inside the real within-cluster cosine range at both
+    * sf0.01 and sf0.1 (measured: max within-label cosine 0.34 / 0.45),
+    * so genuine non-identical pairs drive kept = false through the τ
+    * path too. maxClusterSize is lifted to 2^20 so the oversized-
+    * cluster sub-bucket guard — separately gated by q206 + AnnSpec —
+    * never engages and the oracle's plain within-cluster join is
+    * exactly the engine's candidate set. */
+  val q226SemDedupFrozen: Q = Q.sql(
+    "q226_semdedup_frozen",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM e
+       |  UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 10 = 3
+       |  UNION ALL SELECT 999999, list_transform(range(1, ${Dim + 1}), x -> 0.0)),
+       |cents AS (
+       |  SELECT label, pos.pos AS pos,
+       |    CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |      / (COUNT(*) * 1048576.0) AS mu
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS pos) pos
+       |  GROUP BY label, pos.pos),
+       |clists AS (
+       |  SELECT label AS list_id, list(mu ORDER BY pos) AS centroid
+       |  FROM cents GROUP BY label),
+       |scored AS (
+       |  SELECT corpus.vec_id, c.list_id,
+       |    ${oracleDot.format("c.centroid", "c.centroid")}
+       |      - 2.0 * ${oracleDot.format("corpus.v", "c.centroid")} AS d
+       |  FROM corpus, clists c),
+       |best AS (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM scored),
+       |asg AS (
+       |  SELECT corpus.vec_id, corpus.v, b.list_id AS cluster,
+       |    sqrt(${oracleDot.format("corpus.v", "corpus.v")}) AS nrm
+       |  FROM corpus JOIN best b ON b.vec_id = corpus.vec_id AND b.rn = 1),
+       |m AS (
+       |  SELECT vec_id, v, nrm, cluster,
+       |    MIN(vec_id) OVER (PARTITION BY cluster, v) AS rep_id
+       |  FROM asg WHERE nrm > 0),
+       |r AS (SELECT rep_id, v, nrm, cluster FROM m WHERE vec_id = rep_id),
+       |dropped AS (
+       |  SELECT DISTINCT b.rep_id
+       |  FROM r a JOIN r b ON a.cluster = b.cluster AND a.rep_id < b.rep_id
+       |  WHERE round(${oracleDot.format("a.v", "b.v")} / (a.nrm * b.nrm), 9) >= 0.3)
+       |SELECT vec_id, cluster, kept FROM (
+       |  SELECT m.vec_id, m.cluster,
+       |    (m.vec_id = m.rep_id AND d.rep_id IS NULL) AS kept
+       |  FROM m LEFT JOIN dropped d ON d.rep_id = m.rep_id
+       |  UNION ALL
+       |  SELECT vec_id, cluster, TRUE AS kept FROM asg WHERE nrm = 0)
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    // frozen quantizer: per-label fixed-point centroids (q209's recipe)
+    val cents = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("col") * 1048576).cast("long")) /
+        (count(lit(1)) * lit(1048576.0))).as("mu"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s2 => s2.getField("mu")).as("centroid"))
+      .select(col("label").cast("int").as("list_id"), col("centroid"))
+    val corpus = emb.select(col("vec_id"), col("v"))
+      .unionByName(emb.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+      .unionByName(s.range(1).select(lit(999999L).as("vec_id"),
+        array_repeat(lit(0.0), Dim).as("v")))
+    val indexed = ivfAssign(corpus, cents)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id").as("cluster"))
+    val centers = cents.select(col("list_id").as("cluster"), col("centroid").as("mu"))
+    val (members, bucketed, zeroNorm) = semDedupPrepAssigned(indexed, centers, 1 << 20)
+    semDedupSweep(members, bucketed, zeroNorm, tau = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
   /** Bits per band / bands for the oversized-cluster sub-bucketing. */
   private val SubBucketBits = 16
 
@@ -711,6 +805,41 @@ object Similarity {
       col("a.cluster") === col("b.cluster") && col("a.band") === col("b.band") &&
         col("a.sig") === col("b.sig") && col("a.rep_id") < col("b.rep_id"))
 
+  /** The post-assignment half of SemDeDup prep, shared by the fitted
+    * ([[semDedupPrep]]) and frozen ([[q226SemDedupFrozen]]) paths:
+    * `indexed` carries (vec_id, v, nrm, cluster), `centers` (cluster,
+    * mu) for the oversized-cluster sub-bucketing. Returns (member rows
+    * with rep_id, bucketed reps, zero-norm output rows). */
+  private[graft] def semDedupPrepAssigned(indexed: DataFrame, centers: DataFrame,
+                                          maxClusterSize: Int): (DataFrame, DataFrame, DataFrame) = {
+    val zeroNorm = indexed.filter(col("nrm") === 0)
+      .select(col("vec_id"), col("cluster"), lit(true).as("kept"))
+    val members = indexed.filter(col("nrm") > 0)
+      .withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy(col("cluster"), col("v"))))
+    val reps = members.filter(col("vec_id") === col("rep_id"))
+      .select(col("rep_id"), col("v"), col("nrm"), col("cluster"))
+    (members, semDedupBuckets(reps, centers, maxClusterSize), zeroNorm)
+  }
+
+  /** The SemDeDup sweep over prepped frames: a representative is
+    * dropped iff some lower-id rep in its (cluster, band, sig) bucket
+    * has cosine ≥ τ; members collapse onto their rep; zero-norm rows
+    * ride through as kept singletons. Output: (vec_id, cluster, kept). */
+  private[graft] def semDedupSweep(members: DataFrame, bucketed: DataFrame,
+                                   zeroNorm: DataFrame, tau: Double): DataFrame = {
+    val dropped = semDedupPairJoin(bucketed)
+      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9)
+        >= tau)
+      .select(col("b.rep_id").as("rep_id")).distinct()
+    members
+      .join(dropped.withColumn("hit", lit(true)), Seq("rep_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (col("vec_id") === col("rep_id") && coalesce(!col("hit"), lit(true)))
+          .as("kept"))
+      .unionByName(zeroNorm)
+  }
+
   /** (member rows with rep_id, bucketed reps, zero-norm output rows) —
     * the shared prep for [[semDedupOf]] and the AnnSpec volume guard. */
   private[graft] def semDedupPrep(vectors: DataFrame, k: Int,
@@ -734,16 +863,9 @@ object Similarity {
         km.clusterCenters.toIndexedSeq.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) })
     }
-    val zeroNorm = indexed.filter(col("nrm") === 0)
-      .select(col("vec_id"), col("cluster"), lit(true).as("kept"))
-    val members = indexed.filter(col("nrm") > 0)
-      .withColumn("rep_id",
-        min(col("vec_id")).over(Window.partitionBy(col("cluster"), col("v"))))
-    val reps = members.filter(col("vec_id") === col("rep_id"))
-      .select(col("rep_id"), col("v"), col("nrm"), col("cluster"))
     val centers = vectors.sparkSession.createDataFrame(centerRows)
       .toDF("cluster", "mu")
-    (members, semDedupBuckets(reps, centers, maxClusterSize), zeroNorm)
+    semDedupPrepAssigned(indexed, centers, maxClusterSize)
   }
 
   /** Generic form over (vec_id, v: array<double>): (vec_id, cluster,
@@ -755,16 +877,7 @@ object Similarity {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
     val (members, bucketed, zeroNorm) = semDedupPrep(vectors, k, maxClusterSize)
-    val dropped = semDedupPairJoin(bucketed)
-      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9)
-        >= tau)
-      .select(col("b.rep_id").as("rep_id")).distinct()
-    members
-      .join(dropped.withColumn("hit", lit(true)), Seq("rep_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        (col("vec_id") === col("rep_id") && coalesce(!col("hit"), lit(true)))
-          .as("kept"))
-      .unionByName(zeroNorm)
+    semDedupSweep(members, bucketed, zeroNorm, tau)
   }
 
   /** k-NN graph over an arbitrary (vec_id, v: array<double>) frame:
@@ -1249,5 +1362,5 @@ object Similarity {
   val all: Seq[Q] = Seq(q27AnnTopk, q28AnnLsh, q29EmbNeardup, q60AnnIvf, q79LabelCentroids,
     q131JlProjection, q153HardNegatives, q167SemDedup, q174SemanticDecontam,
     q178KnnGraph, q179EmbedClusters, q206GuardedPairs, q209IvfRefresh, q211CentroidRefresh,
-    q219IvfSearch)
+    q219IvfSearch, q226SemDedupFrozen)
 }

@@ -49,6 +49,21 @@ class DecontamSpansSpec extends AnyFunSuite {
     assert(out == Map((4L, 1L) -> ((6L, "c1 c2 c3 c4 c5 c6"))))
   }
 
+  test("corpus words containing control characters are data, not piece boundaries") {
+    // ADVICE r11: an earlier revision split pieces on a chr(1) sentinel,
+    // so a corpus word containing U+0001 was silently cut even with zero
+    // collisions. The run-slicing cut must keep such a word intact — in
+    // a clean doc AND in a surviving piece of a contaminated one.
+    val evalDoc = Seq(100L -> "e1 e2 e3 e4 e5")
+    val weird = "x\u0001y" // one word containing the old sentinel char
+    val clean = Seq(6L -> s"c1 $weird c3 c4")
+    assert(run(clean, evalDoc) == Map((6L, 1L) -> ((4L, s"c1 $weird c3 c4"))))
+    // collision at word 5 (e1), pad=2 → words 3..11 covered; the
+    // surviving left piece carries the control-char word verbatim
+    val dirty = Seq(7L -> s"$weird p2 p3 p4 p5 e1 e2 e3 e4 e5 s1 s2 s3")
+    assert(run(dirty, evalDoc) == Map((7L, 1L) -> ((3L, s"$weird p2 p3"))))
+  }
+
   test("adjacent collisions merge into one removal; distant ones split twice") {
     val evalDoc = Seq(100L -> "e1 e2 e3 e4 e5 f1 f2 f3 f4 f5")
     // eval doc contributes 5-grams sliding across e*..f*; corpus doc

@@ -294,6 +294,26 @@ class DedupSpec extends AnyFunSuite {
       s"expected the below-zero raise_error, got: $chain")
   }
 
+  test("segmentDedup / cdcDedup raise on doc_id outside the packed-key domain") {
+    // doc_id·10^6 + k overflows long past ~9.2e12 and a negative doc_id
+    // mis-orders the packed MIN — both must fail loudly (ADVICE r11),
+    // because the DuckDB oracle packs identically and cannot catch a
+    // silently wrong keeper.
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"b$i").mkString(" ")
+    for (bad <- Seq(-1L, 9300000000000L)) {
+      val docs = Seq((bad, s"$seg $seg")).toDF("doc_id", "text")
+      for (f <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        d => ops.Dedup.segmentDedup(d, 8), d => ops.Dedup.cdcDedup(d, 8))) {
+        val boom = intercept[Exception] { f(docs).collect() }
+        val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+        assert(chain.contains("9.2e12"),
+          s"expected the doc_id-bounds raise_error for doc_id=$bad, got: $chain")
+      }
+    }
+  }
+
   test("ANN top-k ranks are dense from 1 per query and similarities non-increasing") {
     val rows = SparkEntry.queries("q27_ann_topk")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

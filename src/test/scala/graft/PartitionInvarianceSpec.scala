@@ -76,7 +76,21 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q224_segment_index_refresh",
     // r11: the CDC rewrite's keeper election and packed-span rebuild
     // must not depend on which partition saw a chunk first
-    "q225_cdc_dedup")
+    "q225_cdc_dedup",
+    // r12: frozen-quantizer SemDeDup — fixed-point centroids, argmin
+    // folds over a SORTED centroid array, a min-per-(cluster, v)
+    // window, and a distinct dropped set: every stage must be
+    // layout-independent for the oracle hash to be meaningful
+    "q226_semdedup_frozen",
+    // r12: the span-curation capstone chains q225 → q222 → piece rules
+    // → four per-source rollups; all integer counts, so any layout
+    // dependence anywhere upstream surfaces here
+    "q227_span_curation",
+    // r12: best-quality keeper election — the (invq, pk) struct MIN is
+    // a total order (quality quantized, pk unique), so the elected
+    // keeper must not move with partitioning
+    "q228_segment_dedup_best",
+    "q229_cdc_dedup_best")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf

@@ -132,6 +132,7 @@ class RegistrySpec extends AnyFunSuite {
     "q202_token_budget",       // 1-row budget/weight-total cross join
     "q209_ivf_refresh",        // 1-row sorted-centroid-array cross join (row-local argmin)
     "q219_ivf_search",         // k-row centroid cross joins (assign + probe top-2), q60's deliberate shape
+    "q226_semdedup_frozen",    // 1-row sorted-centroid-array cross join (ivfAssign's row-local argmin)
     "q214_sketch_overlap",     // |sources|²-grain sketch-table self-join (< condition)
     "q215_cms_freq")           // 1-row CMS-state cross join (probes read cells row-local)
 

@@ -70,4 +70,47 @@ class SegmentLawsSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(got == expected, "engine CDC diverged from the JVM re-derivation")
   }
+
+  test("best-quality keeper: highest quality wins, quality ties fall to the packed key, " +
+    "election invariant under row permutation") {
+    import TestSpark.spark.implicits._
+    val seg = (1 to 8).map(i => s"k$i").mkString(" ")
+    // three docs share `seg`: doc 1 (lowest id — the DEFAULT keeper),
+    // doc 5 (highest quality), doc 9 (same quality as 5, higher id)
+    val fixture = Seq(
+      (1L, s"$seg a b", 0.20),
+      (5L, s"$seg c d", 0.90),
+      (9L, s"$seg e f", 0.90),
+      (2L, "plain words only here nothing repeated across docs", 0.50))
+    def run(rows: Seq[(Long, String, Double)]): Map[Long, (Long, String)] =
+      ops.Dedup.segmentDedup(rows.toDF("doc_id", "text", "quality"), 8, Some("quality"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val out = run(fixture)
+    assert(out(5L) == ((0L, s"$seg c d")), "keeper must sit in the highest-quality doc")
+    assert(out(9L) == ((1L, "e f")), "quality tie must break to the lower packed (doc_id, k)")
+    assert(out(1L) == ((1L, "a b")), "the default (min doc_id) occurrence loses under the knob")
+    assert(out(2L) == ((0L, "plain words only here nothing repeated across docs")))
+    // permutation law: the elected keeper is a pure function of the SET
+    for (p <- fixture.permutations.take(8)) assert(run(p) == out)
+    // same frame, default policy: doc 1 keeps — the knob changes ONLY the keeper
+    val legacy = ops.Dedup.segmentDedup(fixture.toDF("doc_id", "text", "quality"), 8, None)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(legacy(1L) == 0L && legacy(5L) == 1L && legacy(9L) == 1L)
+    // CDC grain shares the election: two byte-identical docs → identical
+    // chunk sequences; the higher-quality copy keeps everything
+    val cdc = ops.Dedup.cdcDedup(
+        Seq((1L, s"$seg a b", 0.20), (5L, s"$seg a b", 0.90)).toDF("doc_id", "text", "quality"),
+        8, Some("quality"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cdc(5L) == s"$seg a b" && cdc(1L) == "")
+    // out-of-range quality fails loudly, not silently clamps
+    val boom = intercept[Exception] {
+      ops.Dedup.segmentDedup(
+        Seq((1L, s"$seg x y", 1.5)).toDF("doc_id", "text", "quality"), 8,
+        Some("quality")).collect()
+    }
+    val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("quality must be in [0,1]"), s"expected the quality guard, got: $chain")
+  }
 }
