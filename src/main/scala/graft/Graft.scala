@@ -63,6 +63,62 @@ object Graft {
   def pqTopK(vectors: DataFrame, probeMax: Long = 10L, topK: Int = 5): DataFrame =
     ops.Quantize.pqTopK(vectors, probeMax, topK)
 
+  /** [[pqTopK]] under the FROZEN deterministic quantizer (fixed-point
+    * hash-bucket means instead of seeded KMeans) — bit-exact
+    * replayability in exchange for a slightly coarser codebook; the
+    * variant q230's DuckDB oracle gates end to end. */
+  def pqTopKFrozen(vectors: DataFrame, probeMax: Long = 10L, topK: Int = 5): DataFrame =
+    ops.Quantize.pqAdcFrozen(vectors, probeMax, topK)
+
+  /** IVF-PQ search (the FAISS `IVFx,PQy` layout, Jégou et al. 2011
+    * §IV): frozen per-label coarse lists, PQ codes of the RESIDUAL
+    * v − centroid(list), probes scan only their `nProbe` nearest
+    * posting lists ranked by asymmetric distance. `emb` carries
+    * (vec_id, v: array<double>, label). Returns (query_id,
+    * neighbor_id, adc, rk). */
+  def ivfPqSearch(emb: DataFrame, probeMax: Long = 10L,
+                  nProbe: Int = 2, topK: Int = 5): DataFrame =
+    ops.Quantize.ivfPqSearch(emb, probeMax, nProbe, topK)
+
+  /** The frozen coarse-quantizer table (list_id, centroid) from
+    * (label, v: array<double>) rows — store once per quantizer release;
+    * [[ivfPqSearch]], [[ivfPqEncodeStream]] and [[ivfPqStreamAlerts]]
+    * probe it. */
+  def coarseLists(emb: DataFrame): DataFrame =
+    ops.Quantize.coarseListsOf(emb)
+
+  /** The frozen 1-row PQ codebook (m × k × subDim nested array, ~8 KB)
+    * over (vec_id, v: array<double>) rows — for IVF-PQ, fit it on the
+    * RESIDUALS the stored index encodes. */
+  def frozenPqCodebook(vectors: DataFrame): DataFrame =
+    ops.Quantize.frozenPqCodebook(vectors)
+
+  /** Incremental IVF-PQ code-table maintenance under frozen quantizers:
+    * removed/changed rows anti-join out, added/changed vectors re-list
+    * and re-encode from their new embedding (map-only), unchanged rows
+    * pass through. `delta` carries (vec_id, status, v). Work ∝ |delta|;
+    * exact vs a full re-encode (q233's oracle gate). */
+  def refreshIvfPqCodes(codes: DataFrame, delta: DataFrame,
+                        centroids: DataFrame, cbRow: DataFrame): DataFrame =
+    ops.Quantize.refreshIvfPqCodes(codes, delta, centroids, cbRow)
+
+  /** Streaming IVF-PQ ingest: incoming (vec_id, v) rows → the stored
+    * index grain (vec_id, list_id, codes) under frozen quantizers.
+    * Stateless map-only — append mode, no state store; identical rows
+    * to the batch encode. */
+  def ivfPqEncodeStream(incoming: DataFrame, centroids: DataFrame,
+                        cbRow: DataFrame): DataFrame =
+    streaming.Streaming.ivfPqEncodeStream(incoming, centroids, cbRow)
+
+  /** Streaming semantic-collision gate: alert (vec_id, neighbor_id,
+    * adc) when an incoming vector's ADC to any standing vector in its
+    * own coarse list is ≤ maxAdc — SemDeDup's streaming dual over
+    * 10-byte codes. */
+  def ivfPqStreamAlerts(incoming: DataFrame, centroids: DataFrame,
+                        cbRow: DataFrame, standingCodes: DataFrame,
+                        maxAdc: Double): DataFrame =
+    streaming.Streaming.ivfPqStreamAlerts(incoming, centroids, cbRow, standingCodes, maxAdc)
+
   /** Directional shingle-containment pairs: (i, j, c_ij, c_ji) where
     * c_ij = |shingles(i) ∩ shingles(j)| / |shingles(i)|, kept when
     * either direction ≥ `minContainment` — catches a short doc quoted
@@ -302,6 +358,24 @@ object Graft {
   def decontamSpans(corpus: DataFrame, evalSet: DataFrame,
                     pad: Int = 2, minWords: Int = 3): DataFrame =
     ops.Decontam.decontamSpans(corpus, evalSet, pad, minWords)
+
+  /** The DISTINCT 5-gram hash index of an eval set — store it next to
+    * the [[decontamSpans]] pieces table; [[refreshDecontamSpans]] needs
+    * it to re-cut against E₁ ∪ Δ without re-reading old eval text. */
+  def evalShingleHashes(evalSet: DataFrame): DataFrame =
+    ops.Decontam.evalShingleHashes(evalSet)
+
+  /** Incremental [[decontamSpans]] maintenance when NEW eval documents
+    * land (additions only — removals would have to regrow cut text and
+    * are a rebuild): re-cuts from the ORIGINAL corpus text exactly the
+    * docs that collide with the delta's 5-grams, carries every other
+    * stored piece row through untouched. Work ∝ |affected docs|;
+    * bit-equal to a from-scratch rebuild against E₁ ∪ Δ (q232's
+    * oracle gate). */
+  def refreshDecontamSpans(corpus: DataFrame, pieces: DataFrame,
+                           evalHashes: DataFrame, deltaEval: DataFrame,
+                           pad: Int = 2, minWords: Int = 3): DataFrame =
+    ops.Decontam.refreshDecontamSpans(corpus, pieces, evalHashes, deltaEval, pad, minWords)
 
   /** Symmetric per-vector int8 quantization of (vec_id, embedding):
     * (vec_id, v, scale, codes) with codes[i] = round(v[i]/scale·127).

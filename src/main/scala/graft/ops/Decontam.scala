@@ -432,11 +432,21 @@ object Decontam {
     * earlier index-mask form was quadratic once CollapseProject
     * inlined it — see the in-line note). */
   private[graft] def decontamSpans(corpus: DataFrame, evalSet: DataFrame,
-                                   pad: Int = 2, minWords: Int = 3): DataFrame = {
+                                   pad: Int = 2, minWords: Int = 3): DataFrame =
+    decontamSpansHashed(corpus, evalShingleHashes(evalSet), pad, minWords)
+
+  /** The DISTINCT 60-bit 5-gram hash set of an eval corpus — the stored
+    * decontam index grain ([[refreshDecontamSpans]] keeps it alongside
+    * the pieces table so a delta refresh never re-reads old eval text). */
+  private[graft] def evalShingleHashes(evalSet: DataFrame): DataFrame =
+    Dedup.hashedShinglesOf(evalSet)
+      .select(explode(col("hs")).as("h")).distinct()
+
+  /** [[decontamSpans]] over a pre-hashed DISTINCT eval 5-gram set. */
+  private[graft] def decontamSpansHashed(corpus: DataFrame, evalH: DataFrame,
+                                         pad: Int = 2, minWords: Int = 3): DataFrame = {
     require(pad >= 0, s"pad must be >= 0, got $pad")
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
-    val evalH = Dedup.hashedShinglesOf(evalSet)
-      .select(explode(col("hs")).as("h")).distinct()
     val base = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
     val hits = base
       .filter(size(col("w")) >= 5)
@@ -537,6 +547,115 @@ object Decontam {
       .orderBy(col("doc_id"), col("piece_id"))
   }
 
+  /** Incremental [[decontamSpans]] maintenance under an eval-set DELTA —
+    * the maintenance member the span-splitting family was missing
+    * (q207/q208/q211/q224's discipline): when a NEW benchmark lands,
+    * re-cut ONLY the documents it actually collides with.
+    *
+    * `pieces` is the stored (doc_id, piece_id, n_words, piece_text)
+    * table built against eval set E₁, `evalH1` the stored DISTINCT
+    * 5-gram hash index of E₁ ([[evalShingleHashes]]), `deltaEval` the
+    * newly added eval documents. Affected docs = those with ≥1 original-
+    * text 5-gram colliding with the DELTA's hashes; they are re-cut from
+    * the ORIGINAL corpus text against E₁ ∪ Δ (re-cutting stored pieces
+    * instead would miss collisions straddling an E₁ cut); every other
+    * doc keeps its stored rows — EXACT, because a doc with zero Δ
+    * collisions has an identical collision set under E₁ and E₁ ∪ Δ
+    * (q232's oracle recomputes from scratch and hash-gates this).
+    *
+    * ADDITIONS-ONLY by construction: removing an eval doc would have to
+    * REGROW text the stored pieces no longer carry — eval removals are a
+    * rebuild, like the Bloom index (README refresh-semantics table).
+    *
+    * Scale: detection is one map-only corpus 5-gram pass probed against
+    * the broadcast Δ hash set — rows ∝ Δ collisions after the semi-join,
+    * distinct at the affected-doc grain; the expensive cut (window
+    * pairing + slice reassembly + piece explode) runs on affected docs
+    * only, and the untouched 99.9…% of the pieces table moves through an
+    * anti-join that AQE broadcasts at realistic delta rates. Work ∝
+    * |affected|, never ∝ |corpus|. */
+  private[graft] def refreshDecontamSpans(corpus: DataFrame, pieces: DataFrame,
+                                          evalH1: DataFrame, deltaEval: DataFrame,
+                                          pad: Int = 2, minWords: Int = 3): DataFrame = {
+    val dh = evalShingleHashes(deltaEval)
+    val affected = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        expr("sequence(0, size(w) - 5)"), i =>
+          Hashes.hexLong(concat_ws(" ", get(col("w"), i), get(col("w"), i + 1),
+            get(col("w"), i + 2), get(col("w"), i + 3), get(col("w"), i + 4))))).as("h"))
+      .join(broadcast(dh), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val recut = decontamSpansHashed(
+      corpus.join(affected, Seq("doc_id"), "left_semi"),
+      evalH1.unionByName(dh).distinct(), pad, minWords)
+    pieces.join(affected, Seq("doc_id"), "left_anti").unionByName(recut)
+  }
+
+  /** q232: [[refreshDecontamSpans]] oracle-gated. Convention extends
+    * q222's: E₁ = docs with doc_id % 20 = 0, the delta benchmark Δ =
+    * doc_id % 20 = 10, corpus = the rest. The ENGINE builds the stored
+    * state against E₁ (inline here, as q208/q217 demo their standing
+    * state; production reads the pieces parquet + hash index), then
+    * refreshes through Δ; the ORACLE recomputes the full span cut
+    * against E₁ ∪ Δ from scratch. A refresh that misses an affected
+    * doc, re-cuts against the wrong hash union, or drops/duplicates an
+    * untouched piece row breaks the hash. */
+  val q232DecontamRefresh: Q = Q.sql(
+    "q232_decontam_refresh",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> CAST(concat('0x', substr(md5(
+      |           array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE doc_id % 20 IN (0, 10) AND len(w) >= 5),
+      |pos AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(w) - 4)) AS j,
+      |    unnest(list_transform(range(0, len(w) - 4),
+      |      j -> CAST(concat('0x', substr(md5(
+      |             array_to_string(w[j+1:j+5], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM t WHERE doc_id % 20 NOT IN (0, 10) AND len(w) >= 5),
+      |hits AS (
+      |  SELECT doc_id, list_sort(list(j)) AS s
+      |  FROM pos JOIN ev USING (h) GROUP BY doc_id),
+      |m AS (
+      |  SELECT t.doc_id, w, COALESCE(s, []) AS s
+      |  FROM t LEFT JOIN hits USING (doc_id) WHERE doc_id % 20 NOT IN (0, 10)),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    [len(list_filter(s, tt -> tt - 2 <= i - 1 AND i - 1 <= tt + 6)) > 0
+      |     FOR i IN range(1, len(w) + 1)] AS cv
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, w,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = 0 OR cv[i])) AS st,
+      |    list_filter(range(0, len(w)), i -> NOT cv[i + 1] AND (i = len(w) - 1 OR cv[i + 2])) AS en
+      |  FROM c),
+      |p AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(0, len(st)),
+      |      k -> {'n': en[k + 1] - st[k + 1] + 1,
+      |            'txt': array_to_string(w[st[k + 1] + 1 : en[k + 1] + 1], ' ')}),
+      |      x -> x.n >= 3) AS ps
+      |  FROM r)
+      |SELECT doc_id,
+      |  unnest(range(1, len(ps) + 1)) AS piece_id,
+      |  unnest(list_transform(ps, x -> CAST(x.n AS BIGINT))) AS n_words,
+      |  unnest(list_transform(ps, x -> x.txt)) AS piece_text
+      |FROM p
+      |ORDER BY doc_id, piece_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 20 =!= 10)
+    val eval1 = docs.filter(col("doc_id") % 20 === 0)
+    val delta = docs.filter(col("doc_id") % 20 === 10)
+    val evalH1 = evalShingleHashes(eval1)
+    val pieces1 = decontamSpansHashed(corpus, evalH1)
+    refreshDecontamSpans(corpus, pieces1, evalH1, delta)
+      .orderBy(col("doc_id"), col("piece_id"))
+  }
+
   val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment, q213BloomDecontam,
-    q222DecontamSpans)
+    q222DecontamSpans, q232DecontamRefresh)
 }

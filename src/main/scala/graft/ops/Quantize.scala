@@ -159,5 +159,489 @@ object Quantize {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val all: Seq[Q] = Seq(q102QuantizeEmb, q173PqAnn)
+  // ------------------------------------------- frozen-quantizer PQ (q230)
+
+  /** Exact-parity squared L2 between two array<double> columns, written
+    * as three [[graft.expressions.DotF64]] folds combined left-to-right:
+    * a·a − 2·a·b + b·b. Unlike the zip_with square-difference fold (the
+    * q173 form), every sub-expression here is a codegen'd native
+    * expression AND the whole tree replays bit-identically in DuckDB
+    * (same three list_reduce folds, same left-associated combination) —
+    * the property the oracle pairing below rests on. */
+  private[graft] def l2x(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_dot_f64", a, a) -
+      lit(2.0) * call_function("graft_dot_f64", a, b) +
+      call_function("graft_dot_f64", b, b)
+
+  // Lambda var deliberately NOT 'p'/'s' — they would capture CTE columns
+  // in DuckDB's binder instead of the lambda argument (q219's lesson).
+  private val oDot =
+    "list_reduce(list_transform(list_zip(%s, %s), zz -> zz[1]*zz[2]), (x,y) -> x+y)"
+
+  /** DuckDB twin of [[l2x]] — %s/%s are the two list expressions. */
+  private val oL2 =
+    "(list_reduce(list_transform(list_zip(%1$s, %1$s), zz -> zz[1]*zz[2]), (x,y) -> x+y)" +
+      " - 2.0 * list_reduce(list_transform(list_zip(%1$s, %2$s), zz -> zz[1]*zz[2]), (x,y) -> x+y)" +
+      " + list_reduce(list_transform(list_zip(%2$s, %2$s), zz -> zz[1]*zz[2]), (x,y) -> x+y))"
+
+  /** FROZEN per-subspace codebooks — the q219/q226 move applied to PQ so
+    * the ADC search path can be oracle-replayed end to end (q173 itself
+    * stays the KMeans-trained variant, recall-gated by AnnSpec). The
+    * quantizer is deterministic and exact in both engines: centroid
+    * (s, b) = the fixed-point mean (int64 micro-unit sums / count,
+    * q79's discipline) of subvector s over the vectors whose
+    * vec_id ≡ b (mod k) — hash-bucket initialization, the seeding step
+    * of k-means, frozen before any Lloyd iteration so no float
+    * iteration order can diverge.
+    *
+    * Returns ONE row: cb = m × k × subDim nested array (~8 KB), the
+    * broadcast-everywhere artifact. The k-bucket completeness guard
+    * raise_errors INSIDE the consumed expression (a code is a POSITION
+    * into the bucket list — a silently missing bucket would shift every
+    * later code's meaning; both engines share the positional convention
+    * so only the guard, not the compare, can catch it).
+    *
+    * Scale: one map-side-combined aggregation at (m·k·subDim ≤ 1024)-row
+    * grain — the corpus shuffles nothing but its quantized per-cell
+    * contributions; at 100 TB the state grain is unchanged. */
+  private[graft] def frozenPqCodebook(vectors: DataFrame): DataFrame = {
+    val state = vectors
+      .select((col("vec_id") % PqK).as("b"), posexplode(col("v")))
+      .select(col("b"), expr(s"pos DIV $PqSubDim").cast("int").as("s"),
+        pmod(col("pos"), lit(PqSubDim)).as("d"), col("col"))
+      .groupBy(col("s"), col("b"), col("d"))
+      .agg(sum(round(col("col") * 1048576).cast("long")).as("s_micro"),
+        count(lit(1)).as("n"))
+      .select(col("s"), col("b"), col("d"),
+        (col("s_micro") / (col("n") * lit(1048576.0))).as("mu"))
+    val perSB = state.groupBy(col("s"), col("b"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+        x => x.getField("mu")).as("c"))
+    val perS = perSB.groupBy(col("s"))
+      .agg(transform(array_sort(collect_list(struct(col("b"), col("c")))),
+        x => x.getField("c")).as("cs"))
+      .select(col("s"),
+        when(size(col("cs")) === PqK, col("cs"))
+          .otherwise(raise_error(concat(lit(s"frozen PQ codebook: subspace with != $PqK buckets ("),
+            size(col("cs")).cast("string"), lit(")")))).as("cs"))
+    perS.agg(transform(array_sort(collect_list(struct(col("s"), col("cs")))),
+      x => x.getField("cs")).as("cb"))
+  }
+
+  /** Encode each vector against the frozen codebook row: per subspace,
+    * the 0-based POSITION of the argmin-[[l2x]] centroid, first-minimum
+    * tiebreak (≡ lowest bucket, the oracle's (dist, b) ROW_NUMBER).
+    * The codebook row is a broadcast 1-row crossJoin — constant-grain,
+    * scan-speed at any corpus size. */
+  private[graft] def pqEncodeFrozen(vectors: DataFrame, cbRow: DataFrame): DataFrame = {
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), s => {
+      val sub = slice(col("v"), s * PqSubDim + 1, lit(PqSubDim))
+      val dists = transform(element_at(col("cb"), s + 1), c => l2x(sub, c))
+      array_position(dists, array_min(dists)) - 1
+    })
+    // keeps every input column (callers carry e.g. list_id through)
+    vectors.crossJoin(broadcast(cbRow)).withColumn("codes", codes)
+  }
+
+  /** The explicit 8-term ADC sum — element_at lookups combined
+    * left-to-right, mirrored term by term in the oracle (a SUM() GROUP
+    * BY would have engine-unspecified addition order; eight explicit
+    * terms have exactly one). */
+  private[graft] def adcSum(dt: org.apache.spark.sql.Column,
+                            codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PqM).map(s =>
+      element_at(element_at(dt, s + 1), (element_at(codes, s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+
+  /** q230: PQ-ADC search under the FROZEN quantizer, oracle-gated — the
+    * q219 move applied to q173 (the last spec-only ANN search path).
+    * Probes (vec_id < 10) precompute the m × k distance TABLE to every
+    * frozen centroid; each stored vector's approximate squared L2 is m
+    * table lookups summed through its codes — the stored vector itself
+    * is never touched, only its m nibble codes move. The oracle replays
+    * quantizer → positional encode → distance tables → the 8-term ADC
+    * sum → (adc, neighbor_id) ranking end to end: a wrong bucket mean,
+    * a shifted code, a transposed table lookup, or a ranking drift all
+    * break the hash.
+    *
+    * Scale shape (q173's, unchanged by the freeze): the bounded probe
+    * set with tables broadcasts (~10 × 8 KB); the code table streams
+    * through a deliberate broadcast nested-loop join over 8-byte codes
+    * — 32× less scan traffic than raw vectors; IVF list pruning (q231)
+    * composes in front when even the code scan is too much. */
+  val q230PqAdcFrozen: Q = Q.sql(
+    "q230_pq_adc_frozen",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |st AS (
+       |  SELECT (pos.pos - 1) // $PqSubDim AS s, vec_id % $PqK AS b,
+       |    (pos.pos - 1) % $PqSubDim AS d,
+       |    SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
+       |  FROM e, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
+       |  GROUP BY 1, 2, 3),
+       |cents AS (
+       |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
+       |  FROM st GROUP BY s, b),
+       |es AS (
+       |  SELECT vec_id, ss.s AS s,
+       |    v[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
+       |  FROM e, (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |ad AS (
+       |  SELECT es.vec_id, es.s, c.b,
+       |    ${oL2.format("sub", "c.c")} AS dist
+       |  FROM es JOIN cents c ON c.s = es.s),
+       |codes AS (
+       |  SELECT vec_id, s, b AS code FROM (
+       |    SELECT vec_id, s, b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, b) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |cl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id),
+       |qd AS (
+       |  SELECT vec_id AS query_id, s, list(dist ORDER BY b) AS drow
+       |  FROM ad WHERE vec_id < 10 GROUP BY 1, 2),
+       |qt AS (SELECT query_id, list(drow ORDER BY s) AS dt FROM qd GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    round(${(0 until PqM).map(s => s"q.dt[${s + 1}][n.codes[${s + 1}] + 1]").mkString(" + ")}, 9) AS adc
+       |  FROM qt q, cl n WHERE n.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val vectors = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqAdcFrozen(vectors, probeMax = 10L, topK = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Generic frozen-PQ ADC top-k over any (vec_id, v: array<double>)
+    * frame — codebook, encode, and search in ONE lazy plan. */
+  private[graft] def pqAdcFrozen(vectors: DataFrame, probeMax: Long, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val cbRow = frozenPqCodebook(vectors)
+    val encoded = pqEncodeFrozen(vectors, cbRow)
+      .select(col("vec_id"), col("codes"))
+    val dt = transform(col("cb"), (cbS, i) =>
+      transform(cbS, c => l2x(slice(col("qv"), i * PqSubDim + 1, lit(PqSubDim)), c)))
+    val probes = vectors.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("query_id"), dt.as("dt"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    broadcast(probes).join(encoded, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adcSum(col("dt"), col("codes")), 9).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
+  // ------------------------------------------------ IVF-PQ search (q231)
+
+  /** q231: the COMPOSED production ANN index — IVF coarse quantizer in
+    * front of PQ-over-RESIDUALS (Jégou et al. 2011 §IV "IVFADC", the
+    * FAISS `IVFx,PQy` layout) — with BOTH quantizers frozen so the whole
+    * index is oracle-replayed end to end. Coarse lists are q219's
+    * fixed-point per-label centroids; each vector stores (list_id, m
+    * nibble codes of v − centroid(list)); a query probes its 2 nearest
+    * lists, subtracts each probed centroid, builds the m × k ADC table
+    * from the RESIDUAL query, and ranks only the probed posting lists.
+    * Encoding residuals (not raw vectors) is what makes the composition
+    * better than either part: residual energy is a fraction of vector
+    * energy, so the same 8-byte code spends its 16 cells on a much
+    * smaller cube.
+    *
+    * The oracle replays coarse quantizer → assignment → residuals → PQ
+    * codebook → codes → probe selection → residual distance tables →
+    * 8-term ADC → ranking: ~every float op in the index, in both
+    * engines, from two independent formulations.
+    *
+    * Scale shape — this is the 100 TB ANN serving plan: centroids
+    * (k_coarse rows) and the PQ codebook (8 KB) broadcast; assignment +
+    * residual + encode are ONE map-only corpus pass whose output is 10
+    * bytes/vector; the search joins a bounded probe set to the code
+    * table on list_id (equi-join, cost ∝ probed lists); nothing ever
+    * shuffles the raw vectors. */
+  val q231IvfPqSearch: Q = Q.sql(
+    "q231_ivfpq_search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |cstate AS (
+       |  SELECT label, pos.pos AS pos,
+       |    CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |      / (COUNT(*) * 1048576.0) AS mu
+       |  FROM e, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
+       |  GROUP BY label, pos.pos),
+       |clists AS (
+       |  SELECT label AS list_id, list(mu ORDER BY pos) AS centroid
+       |  FROM cstate GROUP BY label),
+       |ascored AS (
+       |  SELECT e.vec_id, c.list_id,
+       |    ${oDot.format("c.centroid", "c.centroid")}
+       |      - 2.0 * ${oDot.format("e.v", "c.centroid")} AS d
+       |  FROM e, clists c),
+       |assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |    FROM ascored) WHERE rn = 1),
+       |res AS (
+       |  SELECT e.vec_id, a.list_id,
+       |    list_transform(list_zip(e.v, c.centroid), zz -> zz[1] - zz[2]) AS r
+       |  FROM e JOIN assigned a USING (vec_id) JOIN clists c ON c.list_id = a.list_id),
+       |st AS (
+       |  SELECT (pos.pos - 1) // $PqSubDim AS s, vec_id % $PqK AS b,
+       |    (pos.pos - 1) % $PqSubDim AS d,
+       |    SUM(CAST(round(r[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
+       |  FROM res, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
+       |  GROUP BY 1, 2, 3),
+       |cents AS (
+       |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
+       |  FROM st GROUP BY s, b),
+       |es AS (
+       |  SELECT vec_id, ss.s AS s,
+       |    r[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
+       |  FROM res, (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |ad AS (
+       |  SELECT es.vec_id, es.s, c.b, ${oL2.format("sub", "c.c")} AS dist
+       |  FROM es JOIN cents c ON c.s = es.s),
+       |codes AS (
+       |  SELECT vec_id, s, b AS code FROM (
+       |    SELECT vec_id, s, b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, b) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |cl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id),
+       |clst AS (SELECT cl.vec_id, cl.codes, a.list_id FROM cl JOIN assigned a USING (vec_id)),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, list_id, centroid FROM (
+       |    SELECT q.query_id, q.qv, c.list_id, c.centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${oDot.format("c.centroid", "c.centroid")}
+       |          - 2.0 * ${oDot.format("q.qv", "c.centroid")}, c.list_id) AS pr
+       |    FROM qs q, clists c) WHERE pr <= 2),
+       |qres AS (
+       |  SELECT query_id, list_id,
+       |    list_transform(list_zip(qv, centroid), zz -> zz[1] - zz[2]) AS qr
+       |  FROM probes),
+       |qes AS (
+       |  SELECT query_id, list_id, ss.s AS s,
+       |    qr[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
+       |  FROM qres, (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |qad AS (
+       |  SELECT qes.query_id, qes.list_id, qes.s, c.b, ${oL2.format("sub", "c.c")} AS dist
+       |  FROM qes JOIN cents c ON c.s = qes.s),
+       |qd AS (
+       |  SELECT query_id, list_id, s, list(dist ORDER BY b) AS drow
+       |  FROM qad GROUP BY 1, 2, 3),
+       |qt AS (SELECT query_id, list_id, list(drow ORDER BY s) AS dt FROM qd GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    round(${(0 until PqM).map(s => s"q.dt[${s + 1}][n.codes[${s + 1}] + 1]").mkString(" + ")}, 9) AS adc
+       |  FROM qt q JOIN clst n ON n.list_id = q.list_id AND n.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    ivfPqSearch(emb, probeMax = 10L, nProbe = 2, topK = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Generic IVF-PQ search over a (vec_id, v: array<double>, label)
+    * frame (label = the coarse partition the frozen quantizer derives
+    * its per-list centroids from) — index build and search in ONE lazy
+    * plan. Production splits this at `encoded`: the (vec_id, list_id,
+    * codes) table is the stored artifact; refresh composes from the
+    * existing pieces ([[graft.ops.Similarity.refreshIvfAssignments]]
+    * re-lists the delta under the frozen coarse quantizer, then this
+    * encode — both map-only). */
+  /** (vec_id, v, …) → (vec_id, list_id, v = the RESIDUAL v − centroid):
+    * coarse assignment (row-local argmin fold over the broadcast
+    * centroid table) fused with the residual subtraction — map-only,
+    * stream-safe (no aggregation over the vector side). */
+  private[graft] def ivfResiduals(vectors: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.ivfAssign(vectors, cents)
+      .join(broadcast(cents), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("v"), col("centroid"), (x, c) => x - c).as("v"))
+
+  /** Residual rows → the stored IVF-PQ index grain: (vec_id, list_id,
+    * codes) — 10 bytes of payload per vector. Map-only. */
+  private[graft] def ivfPqEncode(res: DataFrame, cbRow: DataFrame): DataFrame =
+    pqEncodeFrozen(res, cbRow).select(col("vec_id"), col("list_id"), col("codes"))
+
+  /** (label, v) rows → the frozen coarse-quantizer table (list_id,
+    * centroid): per-label fixed-point means rolled to sorted arrays —
+    * the stored artifact [[ivfPqSearch]], the streaming ingest gates,
+    * and q219 all probe. */
+  private[graft] def coarseListsOf(emb: DataFrame): DataFrame =
+    Similarity.centroidsFromState(
+      Similarity.centroidState(emb.select(col("label"), col("v"))))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("centroid"))
+      .select(col("label").cast("int").as("list_id"), col("centroid"))
+
+  private[graft] def ivfPqSearch(emb: DataFrame, probeMax: Long,
+                                 nProbe: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val cents = coarseListsOf(emb)
+    val res = ivfResiduals(emb.select(col("vec_id"), col("v")), cents)
+    val cbRow = frozenPqCodebook(res.select(col("vec_id"), col("v")))
+    val encoded = ivfPqEncode(res, cbRow)
+    val qs = emb.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cc = call_function("graft_dot_f64", col("centroid"), col("centroid"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d"), col("list_id"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("d", cc - lit(2.0) *
+        call_function("graft_dot_f64", col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("list_id"),
+        zip_with(col("qv"), col("centroid"), (x, c) => x - c).as("qr"))
+    val dt = transform(col("cb"), (cbS, i) =>
+      transform(cbS, c => l2x(slice(col("qr"), i * PqSubDim + 1, lit(PqSubDim)), c)))
+    val probesT = probes.crossJoin(broadcast(cbRow))
+      .select(col("query_id"), col("list_id"), dt.as("dt"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    broadcast(probesT).join(encoded, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adcSum(col("dt"), col("codes")), 9).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
+  /** Incremental maintenance of the stored IVF-PQ code table under the
+    * FROZEN quantizers — the q209 discipline extended to the code
+    * payload: removed/changed rows anti-join out; added/changed vectors
+    * re-list AND re-encode from their NEW embedding only (both map-only
+    * passes); unchanged rows pass through — exact, because under a
+    * frozen coarse table + frozen codebook an unchanged vector's
+    * (list_id, codes) cannot change. Work ∝ |delta|. Production
+    * retrains the quantizers offline when drift warrants (then the
+    * code table rebuilds — a quantizer release, not a refresh). */
+  def refreshIvfPqCodes(codes: DataFrame, delta: DataFrame,
+                        cents: DataFrame, cbRow: DataFrame): DataFrame = {
+    val drop = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("vec_id"))
+    val fresh = delta.filter(col("status").isin("added", "changed"))
+      .select(col("vec_id"), col("v"))
+    codes.join(drop, Seq("vec_id"), "left_anti")
+      .unionByName(ivfPqEncode(ivfResiduals(fresh, cents), cbRow))
+  }
+
+  /** q233: [[refreshIvfPqCodes]] oracle-gated, closing the maintenance
+    * loop for the q231 artifact. Generations are q209's: gen 1 lacks
+    * every 7th vector (→ added), gen 2 drops every 6th (→ removed) and
+    * negates every 5th's embedding (→ changed). The ENGINE builds the
+    * gen-1 code table, then refreshes it through the change feed; the
+    * ORACLE re-derives the ENTIRE gen-2 table from scratch under the
+    * same gen-1-frozen quantizers (coarse lists from gen-1 labels, PQ
+    * codebook from gen-1 residuals). A stale code row, a leaked removed
+    * vector, a changed vector re-encoded against the wrong residual, or
+    * an unchanged row that drifted all break the hash. Codes publish as
+    * a '-'-joined string so the compare is payload-exact. */
+  val q233IvfPqRefresh: Q = Q.sql(
+    "q233_ivfpq_refresh",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |g1 AS (SELECT vec_id, v, label FROM e WHERE vec_id % 7 <> 0),
+       |g2 AS (SELECT vec_id,
+       |         CASE WHEN vec_id % 5 = 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+       |       FROM e WHERE vec_id % 6 <> 0),
+       |cstate AS (
+       |  SELECT label, pos.pos AS pos,
+       |    CAST(SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS BIGINT)
+       |      / (COUNT(*) * 1048576.0) AS mu
+       |  FROM g1, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
+       |  GROUP BY label, pos.pos),
+       |clists AS (
+       |  SELECT label AS list_id, list(mu ORDER BY pos) AS centroid
+       |  FROM cstate GROUP BY label),
+       |a1 AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT g1.vec_id, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY g1.vec_id ORDER BY
+       |        ${oDot.format("c.centroid", "c.centroid")}
+       |          - 2.0 * ${oDot.format("g1.v", "c.centroid")}, c.list_id) AS rn
+       |    FROM g1, clists c) WHERE rn = 1),
+       |res1 AS (
+       |  SELECT g1.vec_id,
+       |    list_transform(list_zip(g1.v, c.centroid), zz -> zz[1] - zz[2]) AS r
+       |  FROM g1 JOIN a1 USING (vec_id) JOIN clists c ON c.list_id = a1.list_id),
+       |st AS (
+       |  SELECT (pos.pos - 1) // $PqSubDim AS s, vec_id % $PqK AS b,
+       |    (pos.pos - 1) % $PqSubDim AS d,
+       |    SUM(CAST(round(r[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
+       |  FROM res1, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
+       |  GROUP BY 1, 2, 3),
+       |cents AS (
+       |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
+       |  FROM st GROUP BY s, b),
+       |a2 AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT g2.vec_id, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY g2.vec_id ORDER BY
+       |        ${oDot.format("c.centroid", "c.centroid")}
+       |          - 2.0 * ${oDot.format("g2.v", "c.centroid")}, c.list_id) AS rn
+       |    FROM g2, clists c) WHERE rn = 1),
+       |res2 AS (
+       |  SELECT g2.vec_id, a2.list_id,
+       |    list_transform(list_zip(g2.v, c.centroid), zz -> zz[1] - zz[2]) AS r
+       |  FROM g2 JOIN a2 USING (vec_id) JOIN clists c ON c.list_id = a2.list_id),
+       |es2 AS (
+       |  SELECT vec_id, ss.s AS s,
+       |    r[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
+       |  FROM res2, (SELECT unnest(range(0, $PqM)) AS s) ss),
+       |ad2 AS (
+       |  SELECT es2.vec_id, es2.s, c.b, ${oL2.format("sub", "c.c")} AS dist
+       |  FROM es2 JOIN cents c ON c.s = es2.s),
+       |codes2 AS (
+       |  SELECT vec_id, s, b AS code FROM (
+       |    SELECT vec_id, s, b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, b) AS rn
+       |    FROM ad2) WHERE rn = 1),
+       |cl2 AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes2 GROUP BY vec_id)
+       |SELECT cl2.vec_id, a2.list_id,
+       |  array_to_string(list_transform(cl2.codes, x -> CAST(x AS VARCHAR)), '-') AS codes_str
+       |FROM cl2 JOIN a2 ON a2.vec_id = cl2.vec_id
+       |ORDER BY cl2.vec_id""".stripMargin
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val g1 = emb.filter(col("vec_id") % 7 =!= 0)
+    val cents = coarseListsOf(g1)
+    val res1 = ivfResiduals(g1.select(col("vec_id"), col("v")), cents)
+    val cbRow = frozenPqCodebook(res1.select(col("vec_id"), col("v")))
+    val codes1 = ivfPqEncode(res1, cbRow)
+    // the change feed, by the same generation rules the oracle derives
+    // g2 from; v carries the NEW (gen-2) embedding for added/changed
+    val delta = emb
+      .withColumn("status",
+        when(col("vec_id") % 7 === 0 && col("vec_id") % 6 =!= 0, lit("added"))
+          .when(col("vec_id") % 6 === 0 && col("vec_id") % 7 =!= 0, lit("removed"))
+          .when(col("vec_id") % 6 =!= 0 && col("vec_id") % 5 === 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("vec_id"), col("status"),
+        when(col("vec_id") % 5 === 0, transform(col("v"), x => -x))
+          .otherwise(col("v")).as("v"))
+    refreshIvfPqCodes(codes1, delta, cents, cbRow)
+      .select(col("vec_id"), col("list_id"),
+        concat_ws("-", transform(col("codes"), c => c.cast("string"))).as("codes_str"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(q102QuantizeEmb, q173PqAnn, q230PqAdcFrozen, q231IvfPqSearch,
+    q233IvfPqRefresh)
 }

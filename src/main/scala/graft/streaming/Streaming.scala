@@ -512,6 +512,58 @@ object Streaming {
       .join(segmentIndex.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("k"), col("h"))
 
+  final case class Vec(vec_id: Long, v: Seq[Double])
+
+  /** IVF-PQ INGEST path — the streaming face of the q231 index: assign
+    * each incoming vector to its coarse list and PQ-encode its residual
+    * against the FROZEN quantizers, emitting the (vec_id, list_id,
+    * codes) rows the stored index appends. Both quantizers enter as
+    * stored artifacts (`centroids` = (list_id, centroid), `cbRow` = the
+    * 1-row nested codebook) and broadcast; the gate is stateless
+    * map-only work — append mode, no watermark, no state store,
+    * per-trigger cost ∝ batch size. Identical rows to the batch encode
+    * by construction (StreamingSpec asserts it): production appends
+    * micro-batch output straight into the q231 posting-list table. */
+  def ivfPqEncodeStream(incoming: DataFrame, centroids: DataFrame,
+                        cbRow: DataFrame): DataFrame =
+    graft.ops.Quantize.ivfPqEncode(
+      graft.ops.Quantize.ivfResiduals(incoming, centroids), cbRow)
+
+  /** IVF-PQ SEMANTIC ALERT gate — flag incoming vectors whose
+    * asymmetric distance to ANY standing vector in their own coarse
+    * list is ≤ `maxAdc` (the streaming dual of SemDeDup's batch sweep,
+    * at 10 bytes/standing-vector instead of raw embeddings): the
+    * incoming residual builds its m × k distance table row-locally;
+    * the probe is a stream-static equi-join on list_id against the
+    * STORED (vec_id, list_id, codes) table, then the 8-term ADC sum
+    * and the threshold. nProbe is pinned to 1 (the vector's own list)
+    * — an ingest gate trades recall at list boundaries for a single
+    * bounded probe, exactly like the segment gate trades within-batch
+    * visibility. No ranking window (append-mode-safe); emits
+    * (vec_id, neighbor_id, adc) per hit, volume ∝ semantic collisions. */
+  def ivfPqStreamAlerts(incoming: DataFrame, centroids: DataFrame,
+                        cbRow: DataFrame, standingCodes: DataFrame,
+                        maxAdc: Double): DataFrame = {
+    import graft.ops.Quantize
+    val dt = transform(col("cb"), (cbS, i) =>
+      transform(cbS, c => Quantize.l2x(
+        slice(col("v"), i * Quantize.PqSubDim + 1, lit(Quantize.PqSubDim)), c)))
+    val probes = Quantize.ivfResiduals(incoming, centroids)
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), col("list_id"), dt.as("dt"))
+    // No broadcast hint on the standing side: it is the BIG side at
+    // scale (persist it bucketed on list_id so per-trigger probes read
+    // matching buckets only); the bounded per-trigger probe side is
+    // what the planner should build against.
+    probes
+      .join(standingCodes.select(col("vec_id").as("neighbor_id"),
+        col("list_id"), col("codes")), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(Quantize.adcSum(col("dt"), col("codes")), 9).as("adc"))
+      .filter(col("adc") <= maxAdc)
+  }
+
   /** The materialized standing-corpus band index for
     * [[nearDupStreamIndexed]]: one row per (doc, band) — (doc_id, hs,
     * bkeys, b, bkey), the exact frame the gate's join probes. Compute

@@ -415,4 +415,110 @@ class AnnSpec extends AnyFunSuite {
       math.round(-1.0 * 1048576)) / (3 * 1048576.0))
   }
 
+  test("frozen PQ: on-centroid twins code identically and rank first at ADC zero") {
+    import spark.implicits._
+    // 32 vectors, two per hash bucket (vec_id % 16): ids b and b+16 both
+    // equal prototype_b, whose values are integers (exactly on the 2⁻²⁰
+    // fixed-point grid) — so every bucket mean IS the prototype, every
+    // vector sits ON its own bucket centroid, its codes are all b, and
+    // ADC(query, twin) is exactly 0.0 while every cross-bucket pair
+    // scores the true positive L2.
+    def proto(b: Int): Seq[Double] =
+      Seq.fill(8)(Seq.tabulate(8)(d => if (d == b % 8) (b + 1).toDouble else 0.0)).flatten
+    val vectors = (0 until 32).map(id => (id.toLong, proto(id % 16))).toDF("vec_id", "v")
+    val out = ops.Quantize.pqAdcFrozen(vectors, probeMax = 32L, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 32)
+    out.foreach { case (q, n, adc) =>
+      assert(n == (q + 16) % 32, s"probe $q must rank its twin first, got $n")
+      assert(adc == 0.0, s"on-centroid twin of $q must score ADC 0.0, got $adc")
+    }
+  }
+
+  test("frozen PQ is invariant under input partitioning and row order") {
+    import org.apache.spark.sql.functions.col
+    val vectors = TestSpark.spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val base = rows(ops.Quantize.pqAdcFrozen(vectors, 10L, 5).orderBy(col("query_id"), col("rk")))
+    val shuffled = rows(ops.Quantize.pqAdcFrozen(
+      vectors.orderBy(col("vec_id").desc).repartition(7), 10L, 5)
+      .orderBy(col("query_id"), col("rk")))
+    assert(base == shuffled, "frozen-PQ result depends on partitioning/order")
+  }
+
+  test("frozen PQ codebook raise_errors on an incomplete bucket set") {
+    import spark.implicits._
+    // 8 vectors → buckets 8..15 empty; a silently short bucket list
+    // would shift every later code's positional meaning
+    val vectors = (0 until 8).map(id => (id.toLong, Seq.fill(64)(id.toDouble))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      ops.Quantize.pqAdcFrozen(vectors, 2L, 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("buckets"),
+      s"expected the bucket-completeness guard, got: ${e.getMessage}")
+  }
+
+  test("refreshIvfPqCodes: every delta case == full re-encode; unchanged rows pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 32 gen-1 vectors (all 16 PQ buckets present), 2 labels. The feed:
+    // vec 40 added, vec 2 removed, vec 3 changed (negated → moves list).
+    def v(id: Int): Seq[Double] = {
+      val label = id % 2
+      val m = id % 16
+      Seq.tabulate(64)(d =>
+        (if (d == label) 10.0 * (label + 1) else 0.0) +
+          (if (d == 10 + m / 2) (m + 1).toDouble else 0.0))
+    }
+    val g1 = (0 until 32).map(id => (id.toLong, v(id), id % 2)).toDF("vec_id", "v", "label")
+    val cents = Graft.coarseLists(g1)
+    val res1 = ops.Quantize.ivfResiduals(g1.select(col("vec_id"), col("v")), cents)
+      .select(col("vec_id"), col("v"))
+    val cbRow = Graft.frozenPqCodebook(res1)
+    val codes1 = Graft.ivfPqEncodeStream(g1.select(col("vec_id"), col("v")), cents, cbRow)
+    val delta = Seq(
+      (40L, "added", v(8)),
+      (2L, "removed", v(2)),
+      (3L, "changed", v(3).map(-_))).toDF("vec_id", "status", "v")
+    // plant a MARKER code list on an unchanged vector: recomputation
+    // would erase it; pass-through keeps it
+    val planted = codes1.withColumn("codes",
+      org.apache.spark.sql.functions.when(col("vec_id") === 5L,
+        lit(Array.fill(8)(99L))).otherwise(col("codes")))
+    val got = Graft.refreshIvfPqCodes(planted, delta, cents, cbRow)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2)))).toMap
+    // full re-encode of the gen-2 population under the SAME quantizers
+    val g2 = (0 until 32).filter(id => id != 2 && id != 3)
+      .map(id => (id.toLong, v(id))) ++ Seq(40L -> v(8), 3L -> v(3).map(-_))
+    val want = Graft.ivfPqEncodeStream(g2.toDF("vec_id", "v"), cents, cbRow)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2)))).toMap
+    assert(!got.contains(2L), "removed vector leaked")
+    assert(got(5L)._2 == Seq.fill(8)(99L), "unchanged row was recomputed, not carried")
+    assert(got.keySet == want.keySet)
+    assert((got - 5L) == (want - 5L), "refresh diverged from the full re-encode")
+    // the negated vector really moved coarse lists (the case that bites)
+    val before = codes1.filter(col("vec_id") === 3L).head.getInt(1)
+    assert(got(3L)._1 != before, "changed vector stayed on its old list")
+  }
+
+  test("IVF-PQ recall@5 beats the random baseline; rankings well-formed") {
+    val ivfpq = SparkEntry.queries("q231_ivfpq_search")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      val ns = rs.sortBy(_._3).map(_._2)
+      assert(ns.length <= 5 && ns.distinct.length == ns.length)
+    }
+    // residual-PQ L2 vs exact cosine on unnormalized vectors, probing
+    // 2/10 lists: far above the ~1% random 5-of-500 floor
+    val got = byQ.map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = exact.keys.toSeq.map(q => got.getOrElse(q, Set.empty[Long]).intersect(exact(q).toSet).size).sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    assert(recall >= 0.15, s"IVF-PQ recall@5 = $recall")
+  }
+
 }

@@ -134,7 +134,10 @@ class RegistrySpec extends AnyFunSuite {
     "q219_ivf_search",         // k-row centroid cross joins (assign + probe top-2), q60's deliberate shape
     "q226_semdedup_frozen",    // 1-row sorted-centroid-array cross join (ivfAssign's row-local argmin)
     "q214_sketch_overlap",     // |sources|²-grain sketch-table self-join (< condition)
-    "q215_cms_freq")           // 1-row CMS-state cross join (probes read cells row-local)
+    "q215_cms_freq",           // 1-row CMS-state cross join (probes read cells row-local)
+    "q230_pq_adc_frozen",      // 1-row codebook cross joins + bounded probe set × 8-byte codes, <> condition (q27's discipline over 32× less data)
+    "q231_ivfpq_search",       // 1-row codebook / k-row centroid cross joins; the search itself is an equi-join on list_id
+    "q233_ivfpq_refresh")      // the same quantizer cross joins on both the stored-table and delta-encode sides
 
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>

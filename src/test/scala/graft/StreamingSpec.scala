@@ -729,4 +729,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(direct.sorted.toSeq == alerts.sorted.toSeq)
   }
+
+  test("IVF-PQ ingest: stream encode == batch encode; alert gate flags twins at ADC zero") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.Vec
+    import org.apache.spark.sql.functions.col
+    // 32 standing vectors: ids b and b+16 are IDENTICAL (integer values,
+    // exactly on the fixed-point grid; 16 vectors per label → the coarse
+    // mean's /16 is a power of two, so residuals are exact and every
+    // bucket mean IS its two members' shared residual). Every vector
+    // therefore encodes with zero quantization error, and an incoming
+    // COPY scores ADC exactly 0.0 against both standing twins.
+    def v(id: Int): Seq[Double] = {
+      val label = id % 2
+      val m = id % 16
+      Seq.tabulate(64) { d =>
+        (if (d == label) 10.0 * (label + 1) else 0.0) +
+          (if (d == 10 + m / 2) (m + 1).toDouble else 0.0)
+      }
+    }
+    val standing = (0 until 32).map(id => (id.toLong, v(id), id % 2)).toDF("vec_id", "v", "label")
+    val cents = Graft.coarseLists(standing)
+    val cbRow = Graft.frozenPqCodebook(
+      graft.ops.Quantize.ivfResiduals(standing.select(col("vec_id"), col("v")), cents)
+        .select(col("vec_id"), col("v")))
+    val standingCodes = Graft.ivfPqEncodeStream(   // batch call of the same fn
+      standing.select(col("vec_id"), col("v")), cents, cbRow)
+
+    // --- encode parity: the SAME function through a MemoryStream
+    val encIn = MemoryStream[Vec]
+    val encQ = Graft.ivfPqEncodeStream(encIn.toDF().toDF("vec_id", "v"), cents, cbRow)
+      .writeStream.format("memory").queryName("ivfpq_enc").outputMode("append").start()
+    try {
+      encIn.addData(Vec(0, v(0)), Vec(7, v(7)), Vec(21, v(21)))
+      encQ.processAllAvailable()
+      val got = spark.table("ivfpq_enc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+      val batch = standingCodes.filter(col("vec_id").isin(0L, 7L, 21L))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+      assert(got == batch, "stream encode diverged from the batch encode")
+    } finally encQ.stop()
+
+    // --- alert gate: a copy of vec 4 alerts against BOTH twins at 0.0;
+    // a far fresh vector is silent
+    val alertIn = MemoryStream[Vec]
+    val alertQ = Graft.ivfPqStreamAlerts(
+      alertIn.toDF().toDF("vec_id", "v"), cents, cbRow, standingCodes, maxAdc = 1e-9)
+      .writeStream.format("memory").queryName("ivfpq_alerts").outputMode("append").start()
+    try {
+      val far = Seq.tabulate(64)(d => if (d == 30) 50.0 else 0.0)
+      alertIn.addData(Vec(100, v(4)), Vec(101, far))
+      alertQ.processAllAvailable()
+      val alerts = spark.table("ivfpq_alerts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(alerts == Set((100L, 4L, 0.0), (100L, 20L, 0.0)),
+        s"expected exactly the two zero-ADC twins, got $alerts")
+    } finally alertQ.stop()
+  }
 }
