@@ -90,7 +90,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // a total order (quality quantized, pk unique), so the elected
     // keeper must not move with partitioning
     "q228_segment_dedup_best",
-    "q229_cdc_dedup_best")
+    "q229_cdc_dedup_best",
+    // r12 second pass: IVF-PQ — fixed-point coarse means AND bucket
+    // means, argmin folds over sorted arrays, first-min positional
+    // encode, 8-term ADC; two quantizers' worth of float discipline
+    // under one hash (q230's arithmetic is a strict subset)
+    "q231_ivfpq_search",
+    // r12 second pass: eval-delta decontam refresh — detection semi-
+    // join, affected re-cut, pass-through anti-join + union; piece
+    // rows must not depend on how the delta hashes or the stored
+    // pieces are laid out
+    "q232_decontam_refresh",
+    // r12 second pass: code-table refresh — anti-join + map-only delta
+    // encode union; unchanged rows must be byte-stable through it
+    "q233_ivfpq_refresh")
 
   test("representative queries are byte-identical under shuffle.partitions in {1, 7, 64}") {
     val conf = spark.conf
