@@ -269,6 +269,21 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     ops.Profile.profile(df, cols)
 
+  /** Per-group corpus checksum manifest (n_docs, xsum, hsum) — the
+    * reproducibility stamp published next to every shard: all three
+    * statistics are layout-independent AND exactly invertible, so
+    * [[refreshCorpusChecksum]] maintains them under removals. Contract
+    * is the TRIPLE (XOR alone cancels on duplicate pairs). */
+  def corpusChecksum(docs: DataFrame, group: Column): DataFrame =
+    ops.Profile.corpusChecksum(docs, group)
+
+  /** Incremental checksum-manifest refresh from a before/after-image
+    * feed (doc_id, status, source, text_old, text_new): exact under
+    * adds, changes, AND removes; empty groups drop; a below-zero count
+    * raise_errors (q235's oracle gates refresh == rebuild). */
+  def refreshCorpusChecksum(state: DataFrame, delta: DataFrame): DataFrame =
+    ops.Profile.refreshCorpusChecksum(state, delta)
+
   /** Z-order write layout: range-partition + sort by the Morton code of
     * (x, y) so parquet zone maps prune scans on EITHER dimension. Write
     * the result with `.write.parquet(...)`. */

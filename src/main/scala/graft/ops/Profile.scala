@@ -252,5 +252,121 @@ object Profile {
     chi2Of(Tables.documents(s, dir), "lang", "source").orderBy(col("n"))
   }
 
-  val all: Seq[Q] = Seq(q89Profile, q111Histogram, q119GroupedCorr, q185Chi2Assoc)
+  // ---------------------------------------------- corpus checksums (q234/5)
+
+  /** Per-group corpus CHECKSUM manifest — the reproducibility artifact a
+    * pipeline stamps next to every published shard so a re-read (or a
+    * re-build on different hardware / partitioning) can prove
+    * byte-identity without comparing text: per `group`,
+    * (n_docs, xsum, hsum) where xsum = bit_xor of the 60-bit content
+    * hashes and hsum = their exact DECIMAL(38,0) sum. Both aggregates
+    * are commutative/associative (layout-independent by construction)
+    * AND invertible — XOR is self-inverse, the decimal sum subtracts
+    * exactly — which is what makes [[refreshCorpusChecksum]] the rare
+    * stored artifact with EXACT remove support. A multiset subtlety is
+    * inherent to XOR (two identical docs cancel); the (n_docs, hsum)
+    * pair is what catches pair-cancellation, and the scaladoc contract
+    * is the triple, never xsum alone.
+    *
+    * Scale: one scan, hashes at the scan (text never shuffles), one
+    * map-side-combined aggregate at |groups| grain. */
+  def corpusChecksum(docs: DataFrame, group: org.apache.spark.sql.Column): DataFrame =
+    docs.select(group.as("source"), Hashes.hexLong(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xsum"),
+        sum(col("h").cast("decimal(38,0)")).as("hsum"))
+
+  val q234CorpusChecksum: Q = Q.sql(
+    "q234_corpus_checksum",
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
+      |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+      |    AS DECIMAL(38,0)) AS hsum
+      |FROM documents GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    corpusChecksum(Tables.documents(s, dir), col("source"))
+      .orderBy(col("source"))
+  }
+
+  /** Incremental [[corpusChecksum]] maintenance from a before/after-image
+    * change feed (`delta`: doc_id, status ∈ added|removed|changed,
+    * source, text_old, text_new): removed/changed XOR-out and subtract
+    * the OLD hash, added/changed XOR-in and add the NEW one — all three
+    * statistics are exactly invertible, so the refreshed manifest is
+    * bit-equal to a from-scratch rebuild (q235's gate). Groups whose
+    * count reaches zero drop; a count below zero raise_errors — feed
+    * corruption, not a guess (q224's discipline). Work ∝ |delta|
+    * aggregated map-side, then one full-outer join at |groups| grain. */
+  def refreshCorpusChecksum(state: DataFrame, delta: DataFrame): DataFrame = {
+    val oldSide = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("source"), Hashes.hexLong(col("text_old")).as("h"), lit(-1L).as("dn"))
+    val newSide = delta.filter(col("status").isin("added", "changed"))
+      .select(col("source"), Hashes.hexLong(col("text_new")).as("h"), lit(1L).as("dn"))
+    val d = oldSide.unionByName(newSide)
+      .groupBy(col("source"))
+      .agg(sum(col("dn")).as("dnn"),
+        expr("bit_xor(h)").as("dx"),
+        sum((col("h") * col("dn")).cast("decimal(38,0)")).as("dh"))
+    state.join(d, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dnn"), lit(0L))).as("n_docs"),
+        expr("coalesce(xsum, 0L) ^ coalesce(dx, 0L)").as("xsum"),
+        (coalesce(col("hsum"), lit(0L).cast("decimal(38,0)")) +
+          coalesce(col("dh"), lit(0L).cast("decimal(38,0)"))).as("hsum"))
+      .select(col("source"),
+        when(col("n_docs") < 0, raise_error(concat(
+          lit("refreshCorpusChecksum: count below zero for group "),
+          col("source").cast("string"),
+          lit(" — the delta removed docs the manifest never saw"))))
+          .otherwise(col("n_docs")).as("n_docs"),
+        col("xsum"), col("hsum"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** q235: [[refreshCorpusChecksum]] oracle-gated — the ENGINE builds the
+    * gen-1 manifest, refreshes it through the q207-convention change
+    * feed (gen 1 lacks every 7th doc → added; gen 2 drops every 6th →
+    * removed; every 5th's text gains a suffix → changed, with before
+    * AND after images); the ORACLE computes the gen-2 manifest from
+    * scratch. A stale hash, a missed removal, a changed doc refreshed
+    * from the wrong text generation, or a dead group surviving all
+    * break the hash — and the hsum/xsum pair means even compensating
+    * errors must cancel in two unrelated algebras at once to slip by. */
+  val q235ChecksumRefresh: Q = Q.sql(
+    "q235_checksum_refresh",
+    """WITH g2 AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' changed suffix' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 6 <> 0)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
+      |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+      |    AS DECIMAL(38,0)) AS hsum
+      |FROM g2 GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val g1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val state1 = corpusChecksum(g1, col("source"))
+    val changedText = concat(col("text"), lit(" changed suffix"))
+    val delta = docs
+      .withColumn("status",
+        when(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 0, lit("added"))
+          .when(col("doc_id") % 6 === 0 && col("doc_id") % 7 =!= 0, lit("removed"))
+          .when(col("doc_id") % 6 =!= 0 && col("doc_id") % 5 === 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("source"),
+        col("text").as("text_old"),
+        when(col("doc_id") % 5 === 0, changedText).otherwise(col("text")).as("text_new"))
+    refreshCorpusChecksum(state1, delta)
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(q89Profile, q111Histogram, q119GroupedCorr, q185Chi2Assoc,
+    q234CorpusChecksum, q235ChecksumRefresh)
 }

@@ -1162,4 +1162,51 @@ class GraftApiSpec extends AnyFunSuite {
     // spans are contiguous: each start equals the previous end
     assert(out.sliding(2).forall { case Array(a, b) => b._3 == a._4; case _ => true })
   }
+
+  test("corpusChecksum refresh: group birth/death == rebuild; duplicate pairs escape xsum but not n/hsum") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("source")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3))).toSeq
+    val g1 = Seq(
+      (1L, "a", "alpha text"), (2L, "a", "beta text"),
+      (3L, "b", "gamma text")).toDF("doc_id", "source", "text")
+    val state1 = Graft.corpusChecksum(g1, col("source"))
+    // feed: doc 2 changed, doc 3 removed (source b DIES), doc 4 added
+    // into NEW source c (born), doc 5 added into a
+    val delta = Seq(
+      (2L, "changed", "a", "beta text", "beta text v2"),
+      (3L, "removed", "b", "gamma text", "gamma text"),
+      (4L, "added", "c", null, "delta text"),
+      (5L, "added", "a", null, "epsilon text")
+    ).toDF("doc_id", "status", "source", "text_old", "text_new")
+    val refreshed = rows(Graft.refreshCorpusChecksum(state1, delta))
+    val g2 = Seq(
+      (1L, "a", "alpha text"), (2L, "a", "beta text v2"),
+      (4L, "c", "delta text"), (5L, "a", "epsilon text"))
+      .toDF("doc_id", "source", "text")
+    assert(refreshed == rows(Graft.corpusChecksum(g2, col("source"))),
+      "refreshed manifest differs from the from-scratch rebuild")
+    assert(!refreshed.exists(_._1 == "b"), "emptied group survived")
+    assert(refreshed.exists(_._1 == "c"), "born group missing")
+    // removing a doc the manifest never saw drives a count below zero →
+    // the guard must raise, not guess
+    val bad = Seq((9L, "removed", "b", "never seen", "never seen"))
+      .toDF("doc_id", "status", "source", "text_old", "text_new")
+    val e = intercept[Exception] {
+      Graft.refreshCorpusChecksum(
+        Graft.refreshCorpusChecksum(state1, delta), bad).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("below zero"))
+    // the XOR caveat the scaladoc states: an identical PAIR cancels in
+    // xsum, but n_docs and hsum both move — the triple is the contract
+    val paired = g1.unionByName(
+      Seq((6L, "a", "alpha text"), (7L, "a", "alpha text"))
+        .toDF("doc_id", "source", "text"))
+    val s0 = rows(Graft.corpusChecksum(g1, col("source"))).filter(_._1 == "a").head
+    val s2 = rows(Graft.corpusChecksum(paired, col("source"))).filter(_._1 == "a").head
+    assert(s2._3 == s0._3, "identical pair should cancel in xsum")
+    assert(s2._2 == s0._2 + 2 && s2._4 != s0._4, "n_docs/hsum must catch the pair")
+  }
 }
