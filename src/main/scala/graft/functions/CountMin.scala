@@ -83,18 +83,18 @@ object CountMin {
     * rationale). */
   val Depth = 4
 
-  private val P = (1L << 31) - 1
+  private[graft] val P = (1L << 31) - 1
 
   /** md5-derived universal-hash constants, a_i odd and both < 2²⁸ —
     * small enough that ((h xor s) mod p)·a_i never overflows a long. */
-  private[functions] val A: Array[Long] = Array.tabulate(Depth)(i =>
+  private[graft] val A: Array[Long] = Array.tabulate(Depth)(i =>
     java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-a$i").substring(0, 7), 16) | 1L)
-  private[functions] val B: Array[Long] = Array.tabulate(Depth)(i =>
+  private[graft] val B: Array[Long] = Array.tabulate(Depth)(i =>
     java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-b$i").substring(0, 7), 16))
 
   /** Per-row 60-bit xor seeds: decorrelate the rows BEFORE the shared
     * mod-p reduction (see the class doc's collision note). */
-  private[functions] val S: Array[Long] = Array.tabulate(Depth)(i =>
+  private[graft] val S: Array[Long] = Array.tabulate(Depth)(i =>
     java.lang.Long.parseLong(graft.ops.Hashes.md5Hex(s"graft-cms-s$i").substring(0, 15), 16))
 
   /** JVM-side cell position of `hash` in row `row` — MUST stay the twin

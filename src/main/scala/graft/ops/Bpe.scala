@@ -22,10 +22,13 @@ import graft.{Q, Tables}
   *
   * Determinism: the argmax tie-breaks on (count DESC, left, right) — a
   * total order — so the learned merge table is a pure function of the
-  * corpus. Iterative data-dependent choice per round → no SQL oracle;
-  * BpeSpec pins the exact merge sequence on a hand-computable fixture
-  * and corpus-level invariants (symbol-count shrinkage, pair-count
-  * monotonicity of the chosen pair).
+  * corpus. The iterative data-dependent choice per round is
+  * nonetheless SQL-expressible for a FIXED round count: q191's oracle
+  * unrolls the 10 rounds into chained CTEs (pair counts → argmax →
+  * fold), replaying the whole learning trajectory in DuckDB. BpeSpec
+  * additionally pins the exact merge sequence on a hand-computable
+  * fixture and corpus-level invariants (symbol-count shrinkage,
+  * pair-count monotonicity of the chosen pair).
   */
 object Bpe {
 
@@ -194,7 +197,77 @@ object Bpe {
   /** Ten BPE merges learned from the documents corpus — the merge table
     * a subword tokenizer would ship. Iterative data-dependent argmax →
     * no-oracle; BpeSpec pins the exact sequence on a fixture. */
-  val q191BpeMerges: Q = Q.noOracle("q191_bpe_merges") { (s, dir) =>
+  /** DuckDB replay of ONE training round `i` for [[q191BpeMerges]]'
+    * oracle: adjacent-pair counts at word-TYPE grain (two shifted
+    * list_slice unnests zip positionally; HAVING enforces the engine's
+    * cnt ≥ 2 floor), the (cnt DESC, left, right) argmax as a 1-row CTE,
+    * then the engine's exact (out, pend) non-overlapping fold — with
+    * the learned pair entering the lambda as DATA via a LEFT JOIN ON
+    * TRUE against the argmax row (an empty argmax = exhaustion, and
+    * the NULL pair passes state through unchanged, so every later
+    * round is empty too — matching the engine's early stop). The fold
+    * state rides the tab-separated VARCHAR of [[oracleFoldCtes]]
+    * (same no-space/no-tab symbol constraint, inherent to a
+    * space-split corpus). */
+  private def oracleTrainRound(i: Int): String = {
+    val p = i - 1
+    s"""pr$i AS (
+       |  SELECT l, r, SUM(n) AS cnt FROM (
+       |    SELECT n,
+       |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+       |      unnest(list_slice(syms, 2, len(syms))) AS r
+       |    FROM wt$p WHERE len(syms) >= 2)
+       |  GROUP BY l, r HAVING SUM(n) >= 2),
+       |m$i AS (SELECT l, r, cnt FROM pr$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |ws$i AS (
+       |  SELECT word, n, m.l AS ml, syms AS oldsyms,
+       |    CASE WHEN m.l IS NULL THEN NULL ELSE list_reduce(list_prepend(chr(9), syms),
+       |      (acc, s) -> CASE
+       |        WHEN split_part(acc, chr(9), 2) = m.l AND s = m.r
+       |          THEN concat(split_part(acc, chr(9), 1), ' ', m.l || m.r, chr(9))
+       |        WHEN split_part(acc, chr(9), 2) = ''
+       |          THEN concat(split_part(acc, chr(9), 1), chr(9), s)
+       |        ELSE concat(split_part(acc, chr(9), 1), ' ',
+       |          split_part(acc, chr(9), 2), chr(9), s)
+       |      END) END AS st
+       |  FROM wt$p LEFT JOIN m$i m ON TRUE),
+       |wt$i AS (
+       |  SELECT word, n,
+       |    CASE WHEN ml IS NULL THEN oldsyms
+       |         ELSE string_split(trim(
+       |           CASE WHEN split_part(st, chr(9), 2) = '' THEN split_part(st, chr(9), 1)
+       |                ELSE concat(split_part(st, chr(9), 1), ' ', split_part(st, chr(9), 2))
+       |           END), ' ')
+       |    END AS syms FROM ws$i)""".stripMargin
+  }
+
+  /** q191 oracle-paired (r12): the ITERATIVE trainer replayed in pure
+    * SQL by UNROLLING the fixed 10 rounds — no recursion needed when
+    * the round count is a constant, and every round is exact integer
+    * counting + a total-order argmax + the shared fold, so the whole
+    * data-dependent learning trajectory hash-compares. The oracle is
+    * generated programmatically round by round (the SQL grows linearly
+    * like the engine's chained folds); a wrong pair count, a tiebreak
+    * drift, an overlapping-merge difference, or a missed exhaustion
+    * all pick a different merge at some step and break the compare.
+    * (The one remaining genuinely non-SQL surface in this family is
+    * the batched trainer's prefix rule — q191 runs maxBatch=1
+    * semantics, and BpeSpec pins batched == sequential.) */
+  val q191BpeMerges: Q = Q.sql(
+    "q191_bpe_merges",
+    s"""WITH wt0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       |    string_split(word, '') || ['${esc(Eow)}'] AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE length(word) >= 1
+       |  GROUP BY word),
+       |${(1 to 10).map(oracleTrainRound).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to 10).map(i =>
+          s"""SELECT CAST($i AS INT) AS step, l AS "left", r AS "right",""" +
+            s" CAST(cnt AS BIGINT) AS pair_count FROM m$i").mkString("\nUNION ALL ")})
+       |ORDER BY step""".stripMargin
+  ) { (s, dir) =>
     trainMerges(Tables.documents(s, dir), 10)
   }
 

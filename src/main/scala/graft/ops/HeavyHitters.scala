@@ -236,12 +236,50 @@ object HeavyHitters {
       .drop("__graft_cms")
   }
 
-  /** q215: CMS point estimates for the exact top-10 terms, side by side
-    * with their [[topTerms]] recounted truth — est_freq must dominate
-    * cnt on every row (CmsSpec asserts the sandwich: cnt ≤ est ≤ cnt +
-    * e·N/width). Sketch (md5-seeded positions, no oracle-able SQL twin)
-    * → no-oracle. */
-  val q215CmsFreq: Q = Q.noOracle("q215_cms_freq") { (s, dir) =>
+  /** q215 oracle-paired (r12): the CMS's positions are PURE md5-derived
+    * integer arithmetic (per-row xor seed → mod-p universal hash → mod
+    * width, [[graft.functions.CountMin.position]]), so DuckDB can
+    * replay the ENTIRE sketch — every cell's count is the exact integer
+    * sum of the term counts hashing to it, and the estimate is the MIN
+    * over the four rows' cells. The oracle derives the same (i, pos)
+    * cell grid from the vocabulary (term counts × 4 seed rows),
+    * aggregates cell sums, ranks the exact top-10, and reads each
+    * probe's four cells — a drifted seed constant, a floorMod/pmod
+    * mismatch, a missed occurrence, or a wrong min all break the hash.
+    * (CmsSpec keeps asserting the sandwich cnt ≤ est ≤ cnt + e·N/width;
+    * the oracle now pins the exact estimate, collisions included.)
+    * Constants are interpolated from the engine's own md5-derived
+    * arrays, so the two sides cannot drift independently. */
+  val q215CmsFreq: Q = Q.sql(
+    "q215_cms_freq", {
+      import graft.functions.CountMin.{A, B, S, P, Depth}
+      val consts = (0 until Depth)
+        .map(i => s"($i, ${S(i)}, ${A(i)}, ${B(i)})").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |vh AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+         |  FROM toks GROUP BY term),
+         |consts(i, s, a, b) AS (VALUES $consts),
+         |pos AS (
+         |  SELECT vh.term, vh.cnt, c.i,
+         |    ((((xor(vh.h, c.s)) % $P) * c.a + c.b) % $P) % $DefaultCmsWidth AS pos
+         |  FROM vh, consts c),
+         |cellc AS (SELECT i, pos, SUM(cnt) AS cc FROM pos GROUP BY i, pos),
+         |top AS (
+         |  SELECT term, cnt, rk FROM (
+         |    SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM vh)
+         |  WHERE rk <= 10),
+         |probes AS (
+         |  SELECT t.term, t.cnt, t.rk, p.i, p.pos
+         |  FROM top t JOIN pos p ON p.term = t.term),
+         |est AS (
+         |  SELECT p.term, p.cnt, p.rk, CAST(MIN(cc.cc) AS BIGINT) AS est_freq
+         |  FROM probes p JOIN cellc cc ON cc.i = p.i AND cc.pos = p.pos
+         |  GROUP BY p.term, p.cnt, p.rk)
+         |SELECT term, cnt, rk, est_freq FROM est ORDER BY rk""".stripMargin
+    }
+  ) { (s, dir) =>
     val terms = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("term"))
     cmsFrequencies(terms, col("term"), topTerms(terms, k = 10), col("term"))
