@@ -269,11 +269,13 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     ops.Profile.profile(df, cols)
 
-  /** Per-group corpus checksum manifest (n_docs, xsum, hsum) — the
-    * reproducibility stamp published next to every shard: all three
+  /** Per-group corpus checksum manifest (n_docs, xsum, hsum_hi/hsum_lo)
+    * — the reproducibility stamp published next to every shard: all
     * statistics are layout-independent AND exactly invertible, so
     * [[refreshCorpusChecksum]] maintains them under removals. Contract
-    * is the TRIPLE (XOR alone cancels on duplicate pairs). */
+    * is the TRIPLE count/xor/sum (XOR alone cancels on duplicate
+    * pairs); the exact hash sum is published as two int64-safe BIGINT
+    * limbs (hi·2^32 + lo), never a >int64 decimal. */
   def corpusChecksum(docs: DataFrame, group: Column): DataFrame =
     ops.Profile.corpusChecksum(docs, group)
 

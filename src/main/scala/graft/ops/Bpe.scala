@@ -37,10 +37,22 @@ object Bpe {
   private val Eow = "</w>"
 
   /** (word, n, syms) at word-TYPE grain: every distinct corpus token
-    * with its count and initial symbol sequence (chars + [[Eow]]). */
+    * with its count and initial symbol sequence (chars + [[Eow]]).
+    *
+    * Precondition (fail-loud, not assumed): tokens must be TAB-free.
+    * Splitting on ' ' removes spaces from symbols inherently, but a
+    * literal TAB survives the split — and the q191 oracle replay rides
+    * a tab-separated VARCHAR fold state that a tab-bearing symbol
+    * would silently corrupt. The guard raises on BOTH sides (here and
+    * in the oracle's wt0 CTE), so a corpus that violates the
+    * assumption breaks loud, never as a silent engine/oracle drift. */
   private[graft] def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
+      .select(when(col("word").contains("\t"), raise_error(
+        lit("BPE wordTable: corpus token contains a literal TAB — " +
+          "unrepresentable in the oracle replay's fold state")))
+        .otherwise(col("word")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("syms", concat(split(col("word"), ""), array(lit(Eow))))
 
@@ -206,9 +218,11 @@ object Bpe {
     * TRUE against the argmax row (an empty argmax = exhaustion, and
     * the NULL pair passes state through unchanged, so every later
     * round is empty too — matching the engine's early stop). The fold
-    * state rides the tab-separated VARCHAR of [[oracleFoldCtes]]
-    * (same no-space/no-tab symbol constraint, inherent to a
-    * space-split corpus). */
+    * state rides a tab-separated VARCHAR — the no-SPACE symbol
+    * constraint is inherent to a space-split corpus, but no-TAB is
+    * NOT (a tab survives a split on ' '): it is a guarded
+    * precondition, raise_error'd on both sides in [[wordTable]] and
+    * the wt0 CTE rather than assumed. */
   private def oracleTrainRound(i: Int): String = {
     val p = i - 1
     s"""pr$i AS (
@@ -258,7 +272,10 @@ object Bpe {
     s"""WITH wt0 AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
        |    string_split(word, '') || ['${esc(Eow)}'] AS syms
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  FROM (SELECT CASE WHEN contains(word, chr(9))
+       |          THEN error('BPE oracle: corpus token contains a literal TAB')
+       |          ELSE word END AS word
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t0) t
        |  WHERE length(word) >= 1
        |  GROUP BY word),
        |${(1 to 10).map(oracleTrainRound).mkString(",\n")}

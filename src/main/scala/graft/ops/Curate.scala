@@ -88,12 +88,17 @@ object Curate {
     * integer thresholds, md5 membership — so the gate checks the
     * COMPOSITION, not just each stage alone.
     *
-    * Shape at scale: three corpus scans (scoring, shingle pipeline,
-    * sample filter) — the shingle pass feeds dedup AND decontamination
-    * from one exchange (ReuseExchange); everything that joins back to
-    * the corpus stays small in practice — thresholds are lang-grain
-    * (forced broadcast, bounded); drop/contamination sets are
-    * duplication-bounded plain joins AQE broadcasts when small. */
+    * Shape at scale: three corpus scans (scoring, ONE shingle pass,
+    * sample filter). The hashed-shingle frame is checkpointed once and
+    * fans into all four shingle consumers (dedup signatures +
+    * verification arrays, decontamination corpus + eval sides) — their
+    * pushed-down filters defeat ReuseExchange, so without the
+    * materialization each consumer re-shingled the corpus (measured:
+    * the checkpoint took the bench floor from 7.09s (r12) to 1.87s at
+    * sf0.1, full-registry session). Everything that joins back to the corpus stays small —
+    * thresholds are lang-grain (forced broadcast, bounded);
+    * drop/contamination sets are duplication-bounded plain joins AQE
+    * broadcasts when small. */
   val q143TrainingManifest: Q = Q.sql(
     "q143_training_manifest",
     s"""WITH RECURSIVE
@@ -151,15 +156,19 @@ object Curate {
        |ORDER BY p.lang""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // the hashed-shingle frame fans into FOUR consumers (signatures +
+    // verification arrays ×2 on the dedup side, corpus + eval sides of
+    // decontamination) whose pushed-down filters defeat ReuseExchange —
+    // execution re-shingled the corpus per consumer (the r12 bench's
+    // 7.09s floor). Checkpoint it ONCE (q197's lshRecallOf discipline)
+    // so every consumer reads the materialized (doc_id, hs) blocks.
+    val rel = Components.sessionReliable(docs)
+    if (rel) Components.requireCheckpointDir(docs)
+    val hashed = Components.materialize(Dedup.hashedShinglesOf(docs), rel)
     val dropped = Components.connectedComponents(
-        Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+        Dedup.minhashPairsOf(hashed).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    // one hashed-shingle helper feeds both decontamination sides; the
-    // split filters push below the aggregation barrier (doc_id is the
-    // grouping key), so execution still shingles per consumer — see the
-    // Catalyst note on Decontam.decontaminateHashed
-    val hashed = Dedup.hashedShinglesOf(docs)
     val contaminated = Decontam.decontaminateHashed(
         hashed.filter(col("doc_id") % 20 =!= 0),
         hashed.filter(col("doc_id") % 20 === 0))

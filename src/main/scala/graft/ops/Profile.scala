@@ -258,8 +258,8 @@ object Profile {
     * pipeline stamps next to every published shard so a re-read (or a
     * re-build on different hardware / partitioning) can prove
     * byte-identity without comparing text: per `group`,
-    * (n_docs, xsum, hsum) where xsum = bit_xor of the 60-bit content
-    * hashes and hsum = their exact DECIMAL(38,0) sum. Both aggregates
+    * (n_docs, xsum, hsum_hi/hsum_lo) where xsum = bit_xor of the 60-bit
+    * content hashes and hsum is their exact integer sum. Both aggregates
     * are commutative/associative (layout-independent by construction)
     * AND invertible — XOR is self-inverse, the decimal sum subtracts
     * exactly — which is what makes [[refreshCorpusChecksum]] the rare
@@ -268,6 +268,17 @@ object Profile {
     * pair is what catches pair-cancellation, and the scaladoc contract
     * is the triple, never xsum alone.
     *
+    * The exact sum is carried as DECIMAL(38,0) internally but PUBLISHED
+    * as two int64-safe BIGINT limbs `hsum_hi`/`hsum_lo` (DIV / MOD 2^32
+    * of the decimal intermediate): the sum of 60-bit hashes exceeds
+    * signed-int64 range already at ~10 docs per group, and a manifest
+    * column that no int64 reader (or typed hash gate — the r12 lesson,
+    * CORRECTNESS_r12 q234/q235) can represent is a bad artifact shape.
+    * The split is exactly invertible (hi·2^32 + lo reconstructs the
+    * decimal), so [[refreshCorpusChecksum]]'s exact-subtract contract
+    * is untouched; hsum_hi stays below 2^63 while a group holds fewer
+    * than 2^35 ≈ 3.4e10 docs (n·2^60 / 2^32 = n·2^28).
+    *
     * Scale: one scan, hashes at the scan (text never shuffles), one
     * map-side-combined aggregate at |groups| grain. */
   def corpusChecksum(docs: DataFrame, group: org.apache.spark.sql.Column): DataFrame =
@@ -275,17 +286,26 @@ object Profile {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(h)").as("xsum"),
-        sum(col("h").cast("decimal(38,0)")).as("hsum"))
+        sum(col("h").cast("decimal(38,0)")).as("__hsum"))
+      .select(col("source"), col("n_docs"), col("xsum"),
+        expr("CAST(__hsum DIV 4294967296 AS BIGINT)").as("hsum_hi"),
+        expr("CAST(__hsum % 4294967296 AS BIGINT)").as("hsum_lo"))
 
   val q234CorpusChecksum: Q = Q.sql(
     "q234_corpus_checksum",
-    """SELECT source,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
-      |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
-      |    AS DECIMAL(38,0)) AS hsum
-      |FROM documents GROUP BY source
-      |ORDER BY source""".stripMargin
+    // the exact sum lives in a HUGEINT intermediate; only int64-safe
+    // BIGINT limbs reach the output (the driver gate hashes a TYPED
+    // representation — DECIMAL(38,0)/HUGEINT outputs burn it, r12)
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
+      |    sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS hsum
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, xsum,
+      |  CAST(hsum // 4294967296 AS BIGINT) AS hsum_hi,
+      |  CAST(hsum % 4294967296 AS BIGINT) AS hsum_lo
+      |FROM m ORDER BY source""".stripMargin
   ) { (s, dir) =>
     corpusChecksum(Tables.documents(s, dir), col("source"))
       .orderBy(col("source"))
@@ -310,20 +330,37 @@ object Profile {
       .agg(sum(col("dn")).as("dnn"),
         expr("bit_xor(h)").as("dx"),
         sum((col("h") * col("dn")).cast("decimal(38,0)")).as("dh"))
-    state.join(d, Seq("source"), "full_outer")
+    // reconstruct the exact decimal sum from the published limbs
+    // (hi·2^32 + lo — exact, both limbs nonneg for a well-formed state),
+    // apply the signed decimal delta, then re-split for output
+    val st = state.select(col("source"), col("n_docs"), col("xsum"),
+      (col("hsum_hi").cast("decimal(38,0)") * lit(4294967296L) +
+        col("hsum_lo")).cast("decimal(38,0)").as("__hsum"))
+    st.join(d, Seq("source"), "full_outer")
       .select(col("source"),
         (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dnn"), lit(0L))).as("n_docs"),
         expr("coalesce(xsum, 0L) ^ coalesce(dx, 0L)").as("xsum"),
-        (coalesce(col("hsum"), lit(0L).cast("decimal(38,0)")) +
-          coalesce(col("dh"), lit(0L).cast("decimal(38,0)"))).as("hsum"))
+        (coalesce(col("__hsum"), lit(0L).cast("decimal(38,0)")) +
+          coalesce(col("dh"), lit(0L).cast("decimal(38,0)"))).as("__hsum"))
       .select(col("source"),
         when(col("n_docs") < 0, raise_error(concat(
           lit("refreshCorpusChecksum: count below zero for group "),
           col("source").cast("string"),
           lit(" — the delta removed docs the manifest never saw"))))
           .otherwise(col("n_docs")).as("n_docs"),
-        col("xsum"), col("hsum"))
+        col("xsum"),
+        // a negative refreshed sum is the same feed corruption in the
+        // other algebra (an old-image hash the manifest never absorbed)
+        // — fail loud before the limb split would silently wrap
+        when(col("__hsum") < 0, raise_error(concat(
+          lit("refreshCorpusChecksum: hash sum below zero for group "),
+          col("source").cast("string"),
+          lit(" — the delta's old images disagree with the manifest"))))
+          .otherwise(col("__hsum")).as("__hsum"))
       .filter(col("n_docs") > 0)
+      .select(col("source"), col("n_docs"), col("xsum"),
+        expr("CAST(__hsum DIV 4294967296 AS BIGINT)").as("hsum_hi"),
+        expr("CAST(__hsum % 4294967296 AS BIGINT)").as("hsum_lo"))
   }
 
   /** q235: [[refreshCorpusChecksum]] oracle-gated — the ENGINE builds the
@@ -340,14 +377,17 @@ object Profile {
     """WITH g2 AS (
       |  SELECT source,
       |    CASE WHEN doc_id % 5 = 0 THEN text || ' changed suffix' ELSE text END AS text
-      |  FROM documents WHERE doc_id % 6 <> 0)
-      |SELECT source,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
-      |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
-      |    AS DECIMAL(38,0)) AS hsum
-      |FROM g2 GROUP BY source
-      |ORDER BY source""".stripMargin
+      |  FROM documents WHERE doc_id % 6 <> 0),
+      |m AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xsum,
+      |    sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS hsum
+      |  FROM g2 GROUP BY source)
+      |SELECT source, n_docs, xsum,
+      |  CAST(hsum // 4294967296 AS BIGINT) AS hsum_hi,
+      |  CAST(hsum % 4294967296 AS BIGINT) AS hsum_lo
+      |FROM m ORDER BY source""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val g1 = docs.filter(col("doc_id") % 7 =!= 0)

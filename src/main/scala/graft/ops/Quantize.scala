@@ -200,7 +200,10 @@ object Quantize {
     * raise_errors INSIDE the consumed expression (a code is a POSITION
     * into the bucket list — a silently missing bucket would shift every
     * later code's meaning; both engines share the positional convention
-    * so only the guard, not the compare, can catch it).
+    * so only the guard, not the compare, can catch it). The q230/q231/
+    * q233 oracles mirror the SAME guard (a window-counted CASE → error()
+    * in the cents CTE), so a short-bucket corpus fails loud on BOTH
+    * sides instead of one erroring while the other emits shifted codes.
     *
     * Scale: one map-side-combined aggregation at (m·k·subDim ≤ 1024)-row
     * grain — the corpus shuffles nothing but its quantized per-cell
@@ -279,9 +282,13 @@ object Quantize {
        |    SUM(CAST(round(v[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
        |  FROM e, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
        |  GROUP BY 1, 2, 3),
-       |cents AS (
+       |cents0 AS (
        |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
        |  FROM st GROUP BY s, b),
+       |cents AS (
+       |  SELECT s, b, CASE WHEN COUNT(*) OVER (PARTITION BY s) = $PqK THEN c
+       |    ELSE error('PQ oracle: subspace with != $PqK buckets') END AS c
+       |  FROM cents0),
        |es AS (
        |  SELECT vec_id, ss.s AS s,
        |    v[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
@@ -397,9 +404,13 @@ object Quantize {
        |    SUM(CAST(round(r[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
        |  FROM res, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
        |  GROUP BY 1, 2, 3),
-       |cents AS (
+       |cents0 AS (
        |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
        |  FROM st GROUP BY s, b),
+       |cents AS (
+       |  SELECT s, b, CASE WHEN COUNT(*) OVER (PARTITION BY s) = $PqK THEN c
+       |    ELSE error('PQ oracle: subspace with != $PqK buckets') END AS c
+       |  FROM cents0),
        |es AS (
        |  SELECT vec_id, ss.s AS s,
        |    r[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
@@ -585,9 +596,13 @@ object Quantize {
        |    SUM(CAST(round(r[pos.pos] * 1048576) AS BIGINT)) AS s_micro, COUNT(*) AS n
        |  FROM res1, (SELECT unnest(range(1, ${PqM * PqSubDim + 1})) AS pos) pos
        |  GROUP BY 1, 2, 3),
-       |cents AS (
+       |cents0 AS (
        |  SELECT s, b, list(s_micro / (n * 1048576.0) ORDER BY d) AS c
        |  FROM st GROUP BY s, b),
+       |cents AS (
+       |  SELECT s, b, CASE WHEN COUNT(*) OVER (PARTITION BY s) = $PqK THEN c
+       |    ELSE error('PQ oracle: subspace with != $PqK buckets') END AS c
+       |  FROM cents0),
        |a2 AS (
        |  SELECT vec_id, list_id FROM (
        |    SELECT g2.vec_id, c.list_id,

@@ -26,6 +26,20 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graft.bpeMerges(docs, 0))
   }
 
+  test("a TAB-bearing corpus token fails loud, never silently diverges the oracle") {
+    import spark.implicits._
+    // a tab survives a split on ' ' — without the guard it would ride
+    // into the oracle's tab-separated fold state and corrupt the parse
+    // silently; the contract is raise_error on the engine side (the
+    // oracle's wt0 CTE raises the mirrored error())
+    val docs = Seq((1L, "good tok\twith-tab good")).toDF("doc_id", "text")
+    val e = intercept[Exception](Graft.bpeMerges(docs, n = 2).collect())
+    assert(e.getMessage != null && e.getMessage.contains("TAB"))
+    // tab-free corpora are untouched by the guard
+    assert(Graft.bpeMerges(Seq((1L, "ab ab")).toDF("doc_id", "text"), n = 1)
+      .count() >= 1)
+  }
+
   test("batched trainer equals the sequential table on an interacting multi-word fixture") {
     import spark.implicits._
     // word types: abx ×6, aby ×5, cd ×7. Round-1 pair counts:

@@ -1168,11 +1168,25 @@ class GraftApiSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(col("source")).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3))).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // the published limbs reconstruct the exact integer sum: for each
+    // group, hi·2^32 + lo == Σ md5-60bit(text) computed independently
+    def jvmHash(s: String): BigInt =
+      BigInt(java.lang.Long.parseLong(ops.Hashes.md5Hex(s).substring(0, 15), 16))
     val g1 = Seq(
       (1L, "a", "alpha text"), (2L, "a", "beta text"),
       (3L, "b", "gamma text")).toDF("doc_id", "source", "text")
     val state1 = Graft.corpusChecksum(g1, col("source"))
+    // limb exactness: hi·2^32 + lo == the independent JVM-side sum, and
+    // both limbs are int64-safe nonneg (the r12 gate-burn contract)
+    val limb = BigInt(4294967296L)
+    val s1 = rows(state1)
+    assert(s1.find(_._1 == "a").map(r => BigInt(r._4) * limb + BigInt(r._5)) ==
+      Some(jvmHash("alpha text") + jvmHash("beta text")))
+    assert(s1.find(_._1 == "b").map(r => BigInt(r._4) * limb + BigInt(r._5)) ==
+      Some(jvmHash("gamma text")))
+    assert(s1.forall(r => r._4 >= 0L && r._5 >= 0L && r._5 < 4294967296L))
     // feed: doc 2 changed, doc 3 removed (source b DIES), doc 4 added
     // into NEW source c (born), doc 5 added into a
     val delta = Seq(
@@ -1207,6 +1221,7 @@ class GraftApiSpec extends AnyFunSuite {
     val s0 = rows(Graft.corpusChecksum(g1, col("source"))).filter(_._1 == "a").head
     val s2 = rows(Graft.corpusChecksum(paired, col("source"))).filter(_._1 == "a").head
     assert(s2._3 == s0._3, "identical pair should cancel in xsum")
-    assert(s2._2 == s0._2 + 2 && s2._4 != s0._4, "n_docs/hsum must catch the pair")
+    assert(s2._2 == s0._2 + 2 && (s2._4, s2._5) != ((s0._4, s0._5)),
+      "n_docs/hsum limbs must catch the pair")
   }
 }

@@ -139,6 +139,44 @@ class RegistrySpec extends AnyFunSuite {
     "q231_ivfpq_search",       // 1-row codebook / k-row centroid cross joins; the search itself is an equi-join on list_id
     "q233_ivfpq_refresh")      // the same quantizer cross joins on both the stored-table and delta-encode sides
 
+  test("no oracle-paired query can publish a value beyond int64 (gate-representation guard)") {
+    // The driver's correctness gate hashes a TYPED representation of the
+    // output; values representable only above signed-int64 (DuckDB
+    // HUGEINT, Spark DECIMAL(p>18)) burn the hash even when every value
+    // matches — it happened twice (r3 HUGEINT, r12 DECIMAL(38,0) q234/
+    // q235). Make it structurally impossible: LongType cannot exceed
+    // int64 by definition, and a DecimalType needs precision ≥ 19 to
+    // hold 2^63 — so banning precision > 18 on the ENGINE side (nested
+    // types included) is strictly stronger than any value-level sweep.
+    // The ORACLE side is text: ban the two DuckDB spellings that
+    // introduce >int64 output types (an un-CAST sum(BIGINT) promotes to
+    // HUGEINT silently, which check_oracle.py's type norm also flags).
+    def wideDecimals(dt: org.apache.spark.sql.types.DataType,
+                     path: String): Seq[String] = dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        if (d.precision > 18) Seq(s"$path: $d") else Nil
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}")).toSeq
+      case a: org.apache.spark.sql.types.ArrayType =>
+        wideDecimals(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        wideDecimals(m.keyType, s"$path.key") ++ wideDecimals(m.valueType, s"$path.value")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.registry.filter(_.oracle.isDefined).flatMap { q =>
+      val schemaHits = q.fn(spark, Sf0001).schema.fields
+        .flatMap(f => wideDecimals(f.dataType, s"${q.name}/${f.name}"))
+      val sql = q.oracle.get.toUpperCase
+      val sqlHits =
+        (if (sql.contains("HUGEINT")) Seq(s"${q.name}: oracle casts to HUGEINT") else Nil) ++
+        (if (sql.replaceAll("\\s", "").contains("ASDECIMAL(38"))
+          Seq(s"${q.name}: oracle outputs DECIMAL(38,..)") else Nil)
+      schemaHits ++ sqlHits
+    }
+    assert(offenders.isEmpty,
+      s"oracle-paired outputs that can exceed int64 (driver gate hashes typed values): $offenders")
+  }
+
   test("no registry query plans a cartesian product; nested-loop joins only where deliberate") {
     SparkEntry.registry.filter(_.inBench).foreach { q =>
       val plan = q.fn(spark, Sf0001).queryExecution.executedPlan.toString
