@@ -102,6 +102,28 @@ object Graft {
                         centroids: DataFrame, cbRow: DataFrame): DataFrame =
     ops.Quantize.refreshIvfPqCodes(codes, delta, centroids, cbRow)
 
+  /** Persist the frozen IVF-PQ index under `path` as its three
+    * production tables: `centroids/` (k rows), `codebook/` (1 row) and
+    * `codes/` (vec_id, list_id, codes — the only corpus-sized piece),
+    * codes partitioned by list_id so a served query scans only its
+    * probed posting lists. Input is (vec_id, v: array<double>, label).
+    * Raw vectors are NOT stored; [[refreshIvfPqCodes]] maintains
+    * `codes/` under a delta feed with the quantizers frozen. */
+  def writeAnnIndex(emb: DataFrame, path: String): Unit =
+    ops.Quantize.writeAnnIndex(emb, path)
+
+  /** Re-open a [[writeAnnIndex]] artifact: (centroids, codebook row,
+    * codes) — the pieces [[annSearchStored]] serves from. */
+  def readAnnIndex(s: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    ops.Quantize.readAnnIndex(s, path)
+
+  /** Serve IVF-PQ top-k from a STORED index over (query_id, qv) query
+    * rows: quantizer tables broadcast, the codes scan prunes to probed
+    * lists; bit-equal to the inline q231 gate (AnnIndexSpec). */
+  def annSearchStored(index: (DataFrame, DataFrame, DataFrame),
+                      queries: DataFrame, nProbe: Int, topK: Int): DataFrame =
+    ops.Quantize.annSearchStored(index, queries, nProbe, topK)
+
   /** Streaming IVF-PQ ingest: incoming (vec_id, v) rows → the stored
     * index grain (vec_id, list_id, codes) under frozen quantizers.
     * Stateless map-only — append mode, no state store; identical rows

@@ -247,9 +247,16 @@ object Train {
     * predictions, no RDD API, no driver-side loops; AllergenSpec
     * cross-checks the numbers against mllib's MulticlassMetrics. */
   def classificationReport(pred: DataFrame, labelCol: String = "label",
-                           predCol: String = "prediction"): DataFrame = {
-    val cells = pred.groupBy(col(labelCol).as("cls"), col(predCol).as("p"))
-      .agg(count(lit(1)).as("n"))
+                           predCol: String = "prediction"): DataFrame =
+    reportFromCells(pred.groupBy(col(labelCol).as("cls"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The report arithmetic alone, from confusion CELLS (cls, p, n) —
+    * split out so q58 can oracle-pair it: every downstream number is a
+    * pure function of the tiny cells frame (exact integer sums, IEEE
+    * long/long divisions, one fixed-association f1 expression), which
+    * DuckDB replays term for term off the same fixture file. */
+  private[graft] def reportFromCells(cells: DataFrame): DataFrame = {
     val tp = cells.filter(col("cls") === col("p"))
       .select(col("cls"), col("n").as("tp"))
     val support = cells.groupBy(col("cls")).agg(sum(col("n")).as("support"))
@@ -359,13 +366,61 @@ object Train {
       .orderBy(col("iteration"))
   }
 
-  /** Per-class report for the weighted-LR model's held-out predictions. */
-  val q58ClassReport: Q = Q.heavy("q58_classification_report") { (s, dir) =>
+  /** Per-class report for the weighted-LR model's held-out predictions —
+    * oracle-paired since r13 via q59's fixture discipline: the fit
+    * itself is not SQL, but everything AFTER the confusion cells is
+    * exact arithmetic. The query writes the (cls, p, n) cells as a real
+    * CSV fixture, reads them back through the explicit-schema scan, and
+    * derives the report from the READ-BACK frame; the oracle reads the
+    * same file and replays [[reportFromCells]] term for term (support /
+    * predicted / tp rollups, zero-denominator guards, the fixed
+    * left-associated f1 expression). A drifted division order, a lost
+    * never-predicted class, or a wrong guard all hash-fail. Fixture
+    * path is sf-independent and FIXED — same no-concurrent-Verify rule
+    * as q59 (verify skill gotchas). */
+  val q58ClassReport: Q = Q.heavySql(
+    "q58_classification_report",
+    """WITH cells AS (
+      |  SELECT cls, p, n
+      |  FROM read_csv('/root/repo/target/fixtures/q58_cells/*.csv',
+      |                header = true,
+      |                columns = {'cls': 'DOUBLE', 'p': 'DOUBLE', 'n': 'BIGINT'})),
+      |support AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS support FROM cells GROUP BY cls),
+      |predicted AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS predicted FROM cells GROUP BY p),
+      |tp AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS tp FROM cells WHERE cls = p GROUP BY cls),
+      |j AS (
+      |  SELECT COALESCE(s.cls, pr.cls) AS class,
+      |    COALESCE(s.support, 0) AS support,
+      |    COALESCE(pr.predicted, 0) AS predicted,
+      |    COALESCE(t.tp, 0) AS tp
+      |  FROM support s FULL JOIN predicted pr ON s.cls = pr.cls
+      |  LEFT JOIN tp t ON COALESCE(s.cls, pr.cls) = t.cls),
+      |pr AS (
+      |  SELECT class,
+      |    tp / (CASE WHEN predicted = 0 THEN 1 ELSE predicted END) AS "precision",
+      |    tp / (CASE WHEN support = 0 THEN 1 ELSE support END) AS recall,
+      |    support
+      |  FROM j)
+      |SELECT class, "precision", recall,
+      |  CASE WHEN "precision" + recall = 0 THEN 0.0
+      |       ELSE 2 * "precision" * recall / ("precision" + recall) END AS f1,
+      |  support
+      |FROM pr ORDER BY class""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val data = trainData(s, dir)
     val (model, _) = binaryWeightedLR(data, numFeatures = 512)
     val Array(_, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-    classificationReport(model.transform(
-      test.withColumn("classWeight", lit(1.0))))
+    val cells = model.transform(test.withColumn("classWeight", lit(1.0)))
+      .groupBy(col("label").as("cls"), col("prediction").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val path = "/root/repo/target/fixtures/q58_cells"
+    cells.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+    val back = s.read
+      .schema(StructType(Seq(
+        StructField("cls", DoubleType), StructField("p", DoubleType),
+        StructField("n", LongType))))
+      .option("header", "true").csv(path)
+    reportFromCells(back).orderBy(col("class"))
   }
 
   val all: Seq[Q] = Seq(q37TrainBinary, q38TrainMulticlass, q39TrainMultilabelCv,

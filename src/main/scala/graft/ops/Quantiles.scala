@@ -12,8 +12,10 @@ import graft.{Q, Tables}
   * bounded memory (O(accuracy) per group), and MERGEABLE partials — the
   * map side combines sketches before the shuffle exactly like a partial
   * sum, so shuffle volume is one sketch per (partition × group), not one
-  * row per value. q68 is the exact form the oracle can check; q69 runs
-  * both side by side and QuantileSpec bounds the sketch's rank error.
+  * row per value. q68 is the exact form the oracle checks value-for-
+  * value; q69 runs exact and sketch side by side and is oracle-paired
+  * on the exact columns PLUS the sketch's rank contract as booleans
+  * (QuantileSpec keeps the tighter numeric error bounds).
   */
 object Quantiles {
 
@@ -41,21 +43,64 @@ object Quantiles {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Exact vs sketch, side by side (same shape as q63's HLL row): the
-    * per-event-type value quantiles computed exactly and via the
-    * mergeable Greenwald-Khanna sketch at accuracy 10000 (max rank error
-    * ≈ n/10000 per group). QuantileSpec asserts the sketch lands within
-    * the exact group's value range and close to the exact answer;
-    * non-oracle because DuckDB's approx_quantile is a different sketch
-    * (t-digest) with different — equally valid — approximation noise. */
-  val q69QuantileSketch: Q = Q.noOracle("q69_quantile_sketch") { (s, dir) =>
-    Tables.events(s, dir)
+  /** Exact + sketch per-group quantiles with the sketch reduced to its
+    * RANK CONTRACT (oracle-paired since r13; the raw sketch VALUES stay
+    * engine-internal — DuckDB's approx_quantile is a different sketch
+    * (t-digest) with different, equally valid, approximation noise, so
+    * the values can never hash-compare). What CAN be paired:
+    *  - n and the exact percentiles (q68's rounded quantile_cont recipe);
+    *  - the Greenwald-Khanna guarantee itself, asserted as exact-integer
+    *    booleans: the sketch output is an OBSERVED value, so its true
+    *    rank interval is [cnt_lt+1, cnt_le] (both exact counts from a
+    *    second pass); the GK contract says that interval must meet
+    *    [ceil(q·n) − err, ceil(q·n) + err] with err = n/accuracy plus a
+    *    +2 slack absorbing the ceil-vs-(n−1)q target ambiguity. The
+    *    oracle emits literal TRUE — any engine sketch that ever violates
+    *    its documented bound flips the boolean and hash-fails the gate.
+    * [[quantileSketchOf]] exposes the full frame (sketch values, rank
+    * counts) for QuantileSpec's tighter numeric assertions. */
+  private[graft] def quantileSketchOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
+        round(percentile(col("value"), lit(0.99)), 6).as("exact_p99"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("sketch_p50"),
+        approx_percentile(col("value"), lit(0.99), lit(10000)).as("sketch_p99"))
+    val ranks = events
+      .join(broadcast(g.select(col("event_type"),
+        col("sketch_p50").as("__s50"), col("sketch_p99").as("__s99"))), "event_type")
       .groupBy(col("event_type"))
       .agg(
-        percentile(col("value"), lit(0.5)).as("exact_p50"),
-        approx_percentile(col("value"), lit(0.5), lit(10000)).as("sketch_p50"),
-        percentile(col("value"), lit(0.99)).as("exact_p99"),
-        approx_percentile(col("value"), lit(0.99), lit(10000)).as("sketch_p99"))
+        sum(when(col("value") < col("__s50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("__s50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("__s99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("value") <= col("__s99"), 1L).otherwise(0L)).as("le99"))
+    def rankOk(lt: String, le: String, target: org.apache.spark.sql.Column) = {
+      val err = expr("n DIV 10000") + lit(2L)
+      col(le) >= target - err && col(lt) + lit(1L) <= target + err
+    }
+    g.join(broadcast(ranks), "event_type")
+      .select(col("event_type"), col("n"),
+        col("exact_p50"), col("exact_p99"),
+        col("sketch_p50"), col("sketch_p99"),
+        col("lt50"), col("le50"), col("lt99"), col("le99"),
+        rankOk("lt50", "le50", expr("(n + 1) DIV 2")).as("p50_rank_ok"),
+        rankOk("lt99", "le99", expr("(99 * n + 99) DIV 100")).as("p99_rank_ok"))
+  }
+
+  val q69QuantileSketch: Q = Q.sql(
+    "q69_quantile_sketch",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+      |  round(quantile_cont(value, 0.99), 6) AS exact_p99,
+      |  TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    quantileSketchOf(Tables.events(s, dir))
+      .select(col("event_type"), col("n"), col("exact_p50"), col("exact_p99"),
+        col("p50_rank_ok"), col("p99_rank_ok"))
       .orderBy(col("event_type"))
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -502,15 +502,28 @@ object Quantize {
 
   private[graft] def ivfPqSearch(emb: DataFrame, probeMax: Long,
                                  nProbe: Int, topK: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    import org.apache.spark.sql.expressions.Window
     val cents = coarseListsOf(emb)
     val res = ivfResiduals(emb.select(col("vec_id"), col("v")), cents)
     val cbRow = frozenPqCodebook(res.select(col("vec_id"), col("v")))
     val encoded = ivfPqEncode(res, cbRow)
     val qs = emb.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfPqSearchFrom(cents, cbRow, encoded, qs, nProbe, topK)
+  }
+
+  /** The SEARCH tail alone, over already-built index pieces — the path
+    * a production query takes against the STORED artifact (the inline
+    * gate above builds the pieces in the same plan; [[annSearchStored]]
+    * feeds this from parquet). Queries probe their nProbe nearest
+    * coarse lists, subtract each probed centroid, table the residual
+    * distances against the broadcast codebook, and rank only the probed
+    * posting lists via the 8-term ADC sum. */
+  private[graft] def ivfPqSearchFrom(cents: DataFrame, cbRow: DataFrame,
+                                     encoded: DataFrame, qs: DataFrame,
+                                     nProbe: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
     val cc = call_function("graft_dot_f64", col("centroid"), col("centroid"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("d"), col("list_id"))
     val probes = qs.crossJoin(broadcast(cents))
@@ -532,6 +545,47 @@ object Quantize {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
   }
+
+  /** Persist the frozen IVF-PQ index as its three production tables
+    * under `path`: `centroids/` (list_id, centroid — k rows),
+    * `codebook/` (cb — ONE row, the m × k × subDim nested array) and
+    * `codes/` (vec_id, list_id, codes — 10 bytes of payload per
+    * vector, the ONLY corpus-sized piece), codes partitioned by
+    * list_id so a served query's scan prunes to its probed posting
+    * lists (nProbe of k directories — at 100 TB the other k − nProbe
+    * never leave disk). `repartition(list_id)` aligns task outputs
+    * with directory partitions (writeTokenShards' small-files
+    * discipline). Raw vectors are NOT stored — the index is the
+    * quantizers plus codes, exactly what [[ivfPqSearchFrom]] serves
+    * from; [[refreshIvfPqCodes]] maintains `codes/` under a delta feed
+    * with the quantizers frozen. */
+  private[graft] def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+    val cents = coarseListsOf(emb)
+    val res = ivfResiduals(emb.select(col("vec_id"), col("v")), cents)
+    val cbRow = frozenPqCodebook(res.select(col("vec_id"), col("v")))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cbRow.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    ivfPqEncode(res, cbRow)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Re-open a [[writeAnnIndex]] artifact: (centroids, codebook row,
+    * codes) — the pieces [[ivfPqSearchFrom]] serves from. */
+  private[graft] def readAnnIndex(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/centroids"),
+      s.read.parquet(s"$path/codebook"),
+      s.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"), col("codes")))
+
+  /** Serve IVF-PQ top-k from a STORED index: queries are (query_id,
+    * qv: array<double>) rows; the quantizer tables broadcast, the codes
+    * scan prunes to probed lists. AnnIndexSpec proves serve-from-stored
+    * ≡ the inline q231 gate bit-for-bit (parquet round-trips doubles
+    * exactly; ADC ties break on neighbor_id). */
+  private[graft] def annSearchStored(index: (DataFrame, DataFrame, DataFrame),
+                                     queries: DataFrame, nProbe: Int, topK: Int): DataFrame =
+    ivfPqSearchFrom(index._1, index._2, index._3, queries, nProbe, topK)
 
   /** Incremental maintenance of the stored IVF-PQ code table under the
     * FROZEN quantizers — the q209 discipline extended to the code

@@ -72,18 +72,40 @@ object Skew {
       .orderBy(col("c_custkey"))
   }
 
-  /** HLL sketch distinct-count beside the exact count: the sketch is
-    * Spark-internal (HLL++ — not bit-reproducible in DuckDB, hence
-    * non-oracle); ScaleSpec bounds its relative error against the exact
-    * count. At 100 TB the sketch is the only affordable per-key
-    * distinct over high-cardinality columns — fixed-size state instead
-    * of a per-key hash set. */
-  val q63ApproxDistinct: Q = Q.noOracle("q63_approx_distinct") { (s, dir) =>
-    Tables.lineitem(s, dir)
+  /** HLL sketch distinct-count beside the exact count — oracle-paired
+    * since r13 on the ESTIMATE'S ENVELOPE, not its value: the sketch is
+    * Spark-internal (HLL++ — not bit-reproducible in DuckDB), but its
+    * error contract is checkable with exact integer arithmetic. The
+    * published row is (exact count, approx_ok) where approx_ok asserts
+    * |approx − exact| · 10 ≤ exact (a ≤10% envelope, 5× the configured
+    * 2% rsd — HLL++ error is a pure function of the VALUE SET since
+    * registers merge by max, so the boolean is order/partition
+    * invariant and deterministic). The oracle computes the exact count
+    * and emits literal TRUE: an engine sketch drifting past its
+    * envelope flips the boolean and hash-fails the gate. ScaleSpec
+    * keeps the tighter numeric bound via [[approxDistinctOf]]. At
+    * 100 TB the sketch is the only affordable per-key distinct over
+    * high-cardinality columns — fixed-size state instead of a per-key
+    * hash set. */
+  private[graft] def approxDistinctOf(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .withColumn("approx_ok",
+        abs(col("approx_parts") - col("exact_parts")) * lit(10L) <= col("exact_parts"))
+
+  val q63ApproxDistinct: Q = Q.sql(
+    "q63_approx_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    approxDistinctOf(Tables.lineitem(s, dir))
+      .select(col("l_returnflag"), col("exact_parts"), col("approx_ok"))
       .orderBy(col("l_returnflag"))
   }
 

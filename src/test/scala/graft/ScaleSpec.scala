@@ -87,12 +87,16 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its 2% rsd band (q63)") {
-    val rows = SparkEntry.queries("q63_approx_distinct")(spark, Sf001)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the internal frame keeps the raw estimate; registered q63
+    // publishes (exact, approx_ok) — the envelope boolean the oracle
+    // gates as literal TRUE
+    val rows = ops.Skew.approxDistinctOf(Tables.lineitem(spark, Sf001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
-    rows.foreach { case (flag, exact, approx) =>
+    rows.foreach { case (flag, exact, approx, ok) =>
       val err = math.abs(approx - exact).toDouble / exact
       assert(err < 0.1, s"$flag: exact=$exact approx=$approx err=$err")
+      assert(ok, s"$flag: approx_ok boolean disagrees with the envelope")
     }
   }
 
