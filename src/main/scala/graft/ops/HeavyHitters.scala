@@ -59,14 +59,36 @@ object HeavyHitters {
     * state per group instead of a shuffle of the full token domain. The
     * vocabulary-size profile a tokenizer-prep pass runs per language /
     * per source on a corpus whose distinct-term space is billions wide.
-    * Sketch (hash-seeded, no oracle-able SQL twin) → no-oracle; HllSpec
-    * pins accuracy vs exact, partitioning-independence, and merge
-    * semantics. */
-  val q182HllDistinct: Q = Q.noOracle("q182_hll_distinct") { (s, dir) =>
-    approxDistinct(
-      Tables.documents(s, dir)
-        .select(col("lang"), explode(split(col("text"), " ")).as("term")),
-      col("lang"), col("term"))
+    *
+    * Oracle-paired since r13 on the ESTIMATE'S ENVELOPE (the q63
+    * discipline): the sketch value itself has no SQL twin, but its error
+    * contract does — the published row is (lang, exact_terms, approx_ok)
+    * where approx_ok asserts |est − exact|·10 ≤ exact (a ≤10% envelope,
+    * ~6σ of the 1.04/√4096 ≈ 1.6% rsd). The estimate is a pure function
+    * of the term SET (seeded md5 → register-max), so the boolean is
+    * deterministic and partition-invariant; a sketch drifting past its
+    * envelope flips it and hash-fails the gate. The oracle computes the
+    * exact distinct and emits literal TRUE. HllSpec keeps the tighter 5%
+    * numeric bound via the [[approxDistinct]] facade — the production
+    * form, which never pays the exact COUNT(DISTINCT) the gate query
+    * runs beside the sketch. */
+  val q182HllDistinct: Q = Q.sql(
+    "q182_hll_distinct",
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
+      |  TRUE AS approx_ok
+      |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    toks.groupBy(col("lang"))
+      .agg(
+        countDistinct(col("term")).as("exact_terms"),
+        graft.functions.HllDistinct.udaf(
+          call_function("graft_md5long64", col("term").cast("string"))).as("est_terms"))
+      .select(col("lang"), col("exact_terms"),
+        (abs(col("est_terms") - col("exact_terms")) * lit(10L) <= col("exact_terms"))
+          .as("approx_ok"))
       .orderBy(col("lang"))
   }
 
@@ -88,16 +110,40 @@ object HeavyHitters {
     * UNIONED per lang into estimates without ever rescanning base
     * data. Register-max union is associative/commutative/idempotent,
     * so the merged estimate is IDENTICAL to q182's direct pass — not
-    * approximately: the same sketch, byte for byte (HllSpec asserts
-    * equality). The mergeAggState (q112) discipline extended from
-    * algebraic COUNT/SUM to sketches. */
-  val q193HllStateMerge: Q = Q.noOracle("q193_hll_state_merge") { (s, dir) =>
+    * approximately: the same sketch, byte for byte. The mergeAggState
+    * (q112) discipline extended from algebraic COUNT/SUM to sketches.
+    *
+    * Oracle-paired since r13 on TWO booleans beside the exact count:
+    * `merge_exact_ok` asserts the structural identity merged == direct
+    * (an EXACT long equality — the property the stored-state form
+    * exists for), and `approx_ok` asserts q182's ≤10% envelope on the
+    * merged estimate. The oracle computes the exact per-lang distinct
+    * and emits literal TRUE twice: a merge that drifts from the direct
+    * pass, or an estimate outside its envelope, hash-fails the gate.
+    * HllSpec keeps the byte-level sketch-equality and facade laws. */
+  val q193HllStateMerge: Q = Q.sql(
+    "q193_hll_state_merge",
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
+      |  TRUE AS merge_exact_ok, TRUE AS approx_ok
+      |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
     val toks = Tables.documents(s, dir)
       .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("term"))
     val state = toks.groupBy(col("lang"), col("source"))
       .agg(graft.functions.HllDistinct.sketchUdaf(
         call_function("graft_md5long64", col("term").cast("string"))).as("sk"))
-    mergeDistinctSketches(state, col("lang"), col("sk"))
+    val merged = mergeDistinctSketches(state, col("lang"), col("sk"))
+      .withColumnRenamed("est_distinct", "est_merged")
+    val direct = approxDistinct(toks, col("lang"), col("term"))
+      .withColumnRenamed("est_distinct", "est_direct")
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("term")).as("exact_terms"))
+    merged.join(direct, Seq("lang")).join(exact, Seq("lang"))
+      .select(col("lang"), col("exact_terms"),
+        (col("est_merged") === col("est_direct")).as("merge_exact_ok"),
+        (abs(col("est_merged") - col("exact_terms")) * lit(10L) <= col("exact_terms"))
+          .as("approx_ok"))
       .orderBy(col("lang"))
   }
 
@@ -197,14 +243,79 @@ object HeavyHitters {
     * shingle sets — the linear-cost screening pass in front of q204's
     * exact pair-graph matrix (shingle hashes shared with the dedup
     * family, so the sketched sets are EXACTLY the sets the exact pass
-    * would intersect). */
-  val q214SketchOverlap: Q = Q.noOracle("q214_sketch_overlap") { (s, dir) =>
+    * would intersect).
+    *
+    * Oracle-paired since r13 (the q63/q182 envelope discipline, per
+    * PAIR): the gate query runs the exact set algebra BESIDE the sketch
+    * matrix — per-source set sizes and the pair intersection via one
+    * self-join on the shingle hash — and publishes the exact integers
+    * plus three booleans the oracle emits as literal TRUE:
+    *  - `union_ok`:  |est_union − exact_union|·10 ≤ exact_union (≤10%,
+    *    ~6σ of the single-sketch 1.6% rsd);
+    *  - `inter_ok`:  |est_inter − exact_inter|·10 ≤ exact_union — the
+    *    inclusion–exclusion estimate sums three ±1.6%-of-their-own-
+    *    magnitude terms, so its ABSOLUTE error is bounded by a few
+    *    percent of the UNION (a relative-to-inter bound would be
+    *    meaningless for near-disjoint pairs);
+    *  - `mono_ok`:   est_union ≥ max(est_a, est_b) — register-max union
+    *    dominance, an exact structural property.
+    * All estimates are pure functions of the input sets, so every
+    * boolean is deterministic and partition-invariant. The production
+    * facade [[sketchOverlap]] never pays the exact self-join the gate
+    * runs beside it; HllSpec keeps the numeric error-bound assertions
+    * against the facade. */
+  val q214SketchOverlap: Q = Q.sql(
+    "q214_sketch_overlap",
+    s"""WITH ${Dedup.oracleDocs},
+       |${Dedup.oracleHashed},
+       |sets AS (
+       |  SELECT DISTINCT d.source AS source, unnest(h.hs) AS h
+       |  FROM hashed h JOIN documents d USING (doc_id)),
+       |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sets GROUP BY source),
+       |inter AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |  FROM sets x JOIN sets y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  a.n AS exact_a, b.n AS exact_b,
+       |  a.n + b.n - COALESCE(i.exact_inter, CAST(0 AS BIGINT)) AS exact_union,
+       |  COALESCE(i.exact_inter, CAST(0 AS BIGINT)) AS exact_inter,
+       |  TRUE AS union_ok, TRUE AS inter_ok, TRUE AS mono_ok
+       |FROM sz a JOIN sz b ON a.source < b.source
+       |LEFT JOIN inter i ON i.source_a = a.source AND i.source_b = b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val shingles = Dedup.hashedShinglesOf(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), explode(col("hs")).as("h"))
-    sketchOverlap(shingles, col("source"), col("h"))
+    val est = sketchOverlap(shingles, col("source"), col("h"))
       .withColumnsRenamed(Map("group_a" -> "source_a", "group_b" -> "source_b"))
+    // exact replay: per-doc shingle lists are distinct already, but the
+    // same shingle recurs ACROSS docs — distinct per (source, h) first
+    val sets = shingles.distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
+    val inter = sets.select(col("source").as("source_a"), col("h"))
+      .join(sets.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(sizes.select(col("source").as("source_a"), col("exact_n").as("exact_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("exact_n").as("exact_b")),
+        Seq("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+      .select(col("source_a"), col("source_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+        (abs(col("est_union") - col("exact_union")) * lit(10L) <= col("exact_union"))
+          .as("union_ok"),
+        (abs(col("est_inter") - col("exact_inter")) * lit(10L) <= col("exact_union"))
+          .as("inter_ok"),
+        (col("est_union") >= greatest(col("est_a"), col("est_b"))).as("mono_ok"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

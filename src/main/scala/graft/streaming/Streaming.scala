@@ -315,11 +315,37 @@ object Streaming {
         call_function("graft_md5long64", col("user_id").cast("string"))).as("est_users"))
       .select(unix_micros(col("window.start")).as("hour_start"), col("est_users"))
 
-  /** Batch registry twin of [[hourlyDistinctUsers]] (sketch → no-oracle;
-    * StreamingSpec proves micro-batched == batch and pins accuracy vs
-    * exact distinct). */
-  val q188StreamDistinct: Q = Q.noOracle("q188_stream_distinct") { (s, dir) =>
-    hourlyDistinctUsers(Tables.events(s, dir)).orderBy(col("hour_start"))
+  /** Batch registry twin of [[hourlyDistinctUsers]] — oracle-paired
+    * since r13 on the estimate's envelope (the q63/q182 discipline):
+    * the gate joins the streaming plan's per-hour sketch estimate to
+    * the exact per-hour distinct and publishes (hour_start, exact_users,
+    * approx_ok) where approx_ok asserts |est − exact|·10 ≤ exact + 10.
+    * The +10 absolute floor covers tiny hours: at single-digit
+    * cardinalities the linear-counting estimate is exact-in-expectation
+    * but integer-rounded, so a pure relative envelope would flip on an
+    * off-by-one at exact < 10 while a drifting sketch still can't hide
+    * (10% + 1 user of slack). Deterministic — the sketch is a pure
+    * function of each hour's user set. The oracle computes the exact
+    * hourly distinct and emits literal TRUE; StreamingSpec keeps the
+    * micro-batched == batch equality and the numeric accuracy pin. */
+  val q188StreamDistinct: Q = Q.sql(
+    "q188_stream_distinct",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY hour_start""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(unix_micros(col("window.start")).as("hour_start"), col("exact_users"))
+    hourlyDistinctUsers(ev).join(exact, Seq("hour_start"))
+      .select(col("hour_start"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) * lit(10L)
+          <= col("exact_users") + lit(10L)).as("approx_ok"))
+      .orderBy(col("hour_start"))
   }
 
   final case class ChatTurn(conv_id: Long, rn: Long, role: String, content: String)
