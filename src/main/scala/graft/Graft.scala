@@ -1077,6 +1077,26 @@ object Graft {
   def sketchOverlap(df: DataFrame, group: Column, value: Column): DataFrame =
     ops.HeavyHitters.sketchOverlap(df, group, value)
 
+  /** Batched BM25 retrieval: `docs` (doc_id, text) × a QUERY TABLE
+    * (query_id, terms: array<string>) → (query_id, rk, doc_id,
+    * score_milli, n_hit), each query's top-k block from ONE corpus pass
+    * (q129's exact fixed-point Okapi kernel — a single-query probe and
+    * a batched run can never disagree on a score). Postings build once
+    * over the union of query terms and fan out to queries via broadcast;
+    * the top-k window sees candidate docs only. The lexical sibling of
+    * [[annTopK]], and the eval-harness / leakage-screen shape. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    ops.Retrieval.bm25TopK(docs, queries, k)
+
+  /** Temperature-flattened domain-mixture plan (p ∝ n^(1/2), the
+    * multilingual-sampling temperature): (source, n_tokens) + a token
+    * budget → per-domain micro-weights, exact integer token quotas
+    * (never over-allocating — the published sum_ok invariant), an
+    * epoch-capped quota (≤ [[ops.Mixture.MaxEpochs]]·n), and the
+    * implied epochs_milli repeat factor. */
+  def temperatureMixturePlan(tokenCounts: DataFrame, budget: Column): DataFrame =
+    ops.Mixture.temperatureMixturePlan(tokenCounts, budget)
+
   /** Streaming twin of [[chatStats]]: incremental per-conversation
     * shape state via mapGroupsWithState — one fixed-size record per
     * OPEN conversation (never the turns), re-emitted in update mode;

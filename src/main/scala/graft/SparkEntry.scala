@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Curate.all ++ ops.Analytics.all ++ ops.Linkage.all ++ ops.Profile.all ++
       ops.HeavyHitters.all ++ ops.ZOrder.all ++ ops.Quality.all ++
       ops.Decontam.all ++ ops.Quantize.all ++ ops.Merge.all ++ ops.Encoding.all ++
-      ops.Eval.all ++ ops.Bpe.all ++ ops.Chat.all
+      ops.Eval.all ++ ops.Bpe.all ++ ops.Chat.all ++ ops.Retrieval.all ++
+      ops.Mixture.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -137,7 +137,9 @@ class RegistrySpec extends AnyFunSuite {
     "q215_cms_freq",           // 1-row CMS-state cross join (probes read cells row-local)
     "q230_pq_adc_frozen",      // 1-row codebook cross joins + bounded probe set × 8-byte codes, <> condition (q27's discipline over 32× less data)
     "q231_ivfpq_search",       // 1-row codebook / k-row centroid cross joins; the search itself is an equi-join on list_id
-    "q233_ivfpq_refresh")      // the same quantizer cross joins on both the stored-table and delta-encode sides
+    "q233_ivfpq_refresh",      // the same quantizer cross joins on both the stored-table and delta-encode sides
+    "q236_batch_retrieval",    // 1-row corpus-stats cross join (q129's N/avgdl discipline, batched)
+    "q237_mixture_plan")       // 1-row weight-total / sum_ok cross joins onto the |domains|-row plan
 
   test("no oracle-paired query can publish a value beyond int64 (gate-representation guard)") {
     // The driver's correctness gate hashes a TYPED representation of the

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batched-BM25 contract: a JVM-side third implementation of q129's
+  * fixed-point kernel on a planted corpus, per-query ranking laws,
+  * batched == single-query kernel equality against [[ops.TextAnalysis]],
+  * and the gate query's block shape at sf0.01. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def qf(rows: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    rows.toDF("query_id", "terms")
+  }
+
+  /** Independent scalar replay of the q129 kernel (all Long division —
+    * the same DIV-at-every-step fixed point). */
+  private def kernel(tf: Long, dfT: Long, n: Long, dl: Long, sumDl: Long): Long = {
+    val avgdlMilli = sumDl * 1000 / n
+    val idfMilli = (2 * n - 2 * dfT + 1) * 1000 / (2 * dfT + 1)
+    val normMilli = 250 + (750 * ((dl * 1000000) / avgdlMilli)) / 1000
+    idfMilli * tf * 2200 / (tf * 1000 + (1200 * normMilli) / 1000)
+  }
+
+  test("planted corpus: scores match a scalar third implementation; ranking laws hold") {
+    // 4 docs, controlled tf/dl; query {x, z}: z is rare (df=1), x common
+    val docs = df(Seq(
+      1L -> "x x x y y",       // tf_x=3, dl=5
+      2L -> "x y y y y y y y", // tf_x=1, dl=8
+      3L -> "z x y y y",       // has the rare term
+      4L -> "y y y y"))        // matches nothing
+    val out = Graft.bm25TopK(docs, qf(Seq(1L -> Seq("x", "z"))), k = 10).collect()
+    // doc 4 shares no term — must be absent
+    assert(!out.exists(_.getLong(2) == 4L))
+    val n = 4L; val sumDl = 5L + 8L + 5L + 4L
+    val expected = Map(
+      1L -> kernel(3, 3, n, 5, sumDl),
+      2L -> kernel(1, 3, n, 8, sumDl),
+      3L -> (kernel(1, 3, n, 5, sumDl) + kernel(1, 1, n, 5, sumDl)))
+    out.foreach { r =>
+      assert(r.getLong(3) == expected(r.getLong(2)),
+        s"doc ${r.getLong(2)}: score ${r.getLong(3)} != ${expected(r.getLong(2))}")
+    }
+    // the rare-term doc must rank first (idf dominance); ranks are 1..3
+    val byRank = out.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(byRank.head == 3L, s"rare-term doc should rank 1st, got $byRank")
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // n_hit counts matched terms
+    assert(out.find(_.getLong(2) == 3L).get.getLong(4) == 2L)
+  }
+
+  test("k truncates per query; ties break by doc_id; a query matching nothing emits nothing") {
+    val docs = df(Seq(1L -> "x y", 2L -> "x y", 3L -> "x y", 4L -> "x x y"))
+    val out = Graft.bm25TopK(docs,
+      qf(Seq(7L -> Seq("x"), 8L -> Seq("zz"))), k = 2).collect()
+    // doc 4 (tf=2, dl=3) outranks the tf=1 ties; then lowest doc_id; q8 absent
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 1L, 4L), (7L, 2L, 1L)))
+  }
+
+  test("batched kernel == q129's single-query kernel on the same corpus") {
+    // one batch query with q129's exact term set must reproduce
+    // bm25Of's (doc_id, score) list — same kernel, two plan shapes
+    val docs = Tables.documents(spark, Sf0001)
+    val single = ops.TextAnalysis.bm25Of(docs, Seq("hash", "join", "scan"), 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val batched = Graft.bm25TopK(docs,
+      qf(Seq(1L -> Seq("hash", "join", "scan"))), k = 50)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toSeq
+    assert(batched == single)
+  }
+
+  test("q236 gate query returns full ranked top-10 blocks at sf0.01") {
+    val rows = SparkEntry.queries("q236_batch_retrieval")(spark, Sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == ops.Retrieval.gateQueries.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q: expected a full top-10, got ${rs.length}")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 10L), s"query $q ranks")
+      val byRk = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(byRk == byRk.sorted.reverse, s"query $q scores not ranked")
+    }
+  }
+}
