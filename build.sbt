@@ -36,7 +36,34 @@ val jdk17AddOpens = Seq(
 //  - Xms = Xmx: no heap-growth pauses mid-run; G1 region sizing is
 //    fixed from the first query instead of drifting with expansion.
 //  - Explicit G1 so the collector never depends on JDK ergonomics.
-val pinnedMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// HEAP CAP (round 13, closing the r12 "89g stall windows" investigation
+// — experiments + mechanism in plans/R13_NOTES.md): the r11/r12 episodic
+// multi-second mutator stalls reproduce ONLY at large heaps, and the r13
+// probes caught the mechanism in the act — first-touch page faults.
+// -Xms commits the heap but the OS (and on shared hosts, the hypervisor)
+// materializes pages on FIRST TOUCH; an -XX:+AlwaysPreTouch probe
+// measured that materialization at ~55 MB/s on the r13 host (≈27 MINUTES
+// for 89 GiB), so every advance of the heap high-water mark strands some
+// task in minutes of kernel fault time — episodic, mutator-side, zero GC
+// pause, arbitrary victim: exactly the r11 q73/q134 and r12 q206
+// signatures. The engine's measured storage peak is ~9 MB and every
+// known-good session (r11-r13, spread_max ≤ 0.5s) ran 8g, so heaps
+// beyond that only buy fault territory: cap what SPARK_DRIVER_MEM can
+// inflate. Experiments can still force a big heap through
+// SPARK_GRAFT_EXTRA_JVM (appended last, overrides -Xmx/-Xms).
+val heapCapGib = 8L
+val pinnedMem = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  val gib = "^(\\d+)([gGmM])$".r.findFirstMatchIn(req.trim).map { m =>
+    val v = m.group(1).toLong
+    if (m.group(2).toLowerCase == "g") v else v / 1024
+  }
+  gib match {
+    case Some(g) if g > heapCapGib => s"${heapCapGib}g"
+    case Some(_)                   => req.trim
+    case None                      => s"${heapCapGib}g" // unparseable → proven default
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
