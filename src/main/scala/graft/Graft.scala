@@ -1088,6 +1088,26 @@ object Graft {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
     ops.Retrieval.bm25TopK(docs, queries, k)
 
+  /** Persist the full BM25 inverted index (postings repartitioned by
+    * term / per-term dfs / 1-row corpus stats; raw text NOT stored) —
+    * the retrieval-sufficient statistic a 100 TB corpus tokenizes ONCE.
+    * The [[writeAnnIndex]] discipline for the lexical family. */
+  def writeBm25Index(docs: DataFrame, path: String): Unit =
+    ops.Retrieval.writeBm25Index(docs, path)
+
+  /** Re-open a [[writeBm25Index]] artifact: (postings, df, stats) —
+    * the pieces [[bm25SearchStored]] serves from. */
+  def readBm25Index(s: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ops.Retrieval.readBm25Index(s, path)
+
+  /** Serve BM25 top-k from the stored index — bit-identical to the
+    * inline [[bm25TopK]] over the same corpus; new query batches never
+    * re-tokenize the corpus. */
+  def bm25SearchStored(index: (DataFrame, DataFrame, DataFrame),
+                       queries: DataFrame, k: Int): DataFrame =
+    ops.Retrieval.bm25SearchStored(index, queries, k)
+
   /** Temperature-flattened domain-mixture plan (p ∝ n^(1/2), the
     * multilingual-sampling temperature): (source, n_tokens) + a token
     * budget → per-domain micro-weights, exact integer token quotas

@@ -49,36 +49,22 @@ object Retrieval {
     7L -> Seq("slow", "filter"),
     8L -> Seq("spark", "table", "column", "key"))
 
-  /** BM25 top-k per query: `docs` (doc_id, text) × `queries` (query_id,
-    * terms: array<string>) → (query_id, rk, doc_id, score_milli, n_hit),
-    * the k best-scoring docs per query in q129's exact milli-unit fixed
-    * point, ties broken by doc_id. Docs sharing no term with a query
-    * never appear (inverted-index semantics); n_hit counts the query's
-    * matched terms. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** The search TAIL shared by the inline gate and the stored-index
+    * path: given index pieces — postings `f` (doc_id, dl, t, tf), term
+    * dfs `dft` (t, df), 1-row corpus `stats` (n, avgdl_milli) — score
+    * and rank `queries`. `f`/`dft` may cover the FULL vocabulary (the
+    * stored form) or just the query terms (the inline form): df and
+    * stats are per-term/corpus facts independent of pruning, so both
+    * serve bit-identical results. `dft` is pruned to the query terms
+    * BEFORE broadcasting — a 100 TB vocabulary never broadcasts. */
+  private[graft] def bm25SearchFrom(f: DataFrame, dft: DataFrame, stats: DataFrame,
+                                    queries: DataFrame, k: Int): DataFrame = {
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("t")).distinct()
-    val allTerms = qt.select(col("t")).distinct()
-    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val stats = d.agg(
-      count(lit(1)).as("n"),
-      expr("(sum(size(w)) * 1000) DIV count(1)").as("avgdl_milli"))
-    // coalesce keeps t non-nullable so the broadcast term filter pushes
-    // no asymmetric isnotnull(t) into one branch (the q164/q129 lesson)
-    val f = d
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("t0"))
-      .select(col("doc_id"), col("dl"), coalesce(col("t0"), lit("")).as("t"))
-      .join(broadcast(allTerms), Seq("t"))
-      .groupBy(col("doc_id"), col("dl"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-    // (doc_id, t) unique in f ⇒ count(*) ≡ countDistinct(doc_id); the
-    // tf >= 1 reference keeps this branch's partial agg shape shared
-    // with the join branch so the f exchange is reused (q129's trick)
-    val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val dftPruned = dft.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
     val scored = f
       .join(broadcast(qt), Seq("t"))
-      .join(broadcast(dft), Seq("t"))
+      .join(broadcast(dftPruned), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         expr("((2*n - 2*df + 1) * 1000) DIV (2*df + 1)").as("idf_milli"),
@@ -99,6 +85,71 @@ object Retrieval {
         col("score_milli"), col("n_hit"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** Build the index pieces over `docs`: postings (doc_id, dl, t, tf),
+    * per-term dfs, 1-row corpus stats. `termFilter` prunes the token
+    * stream scan-side (the inline gate passes the query-term union; the
+    * stored index passes None and keeps the full vocabulary). */
+  private[graft] def bm25IndexPieces(docs: DataFrame, termFilter: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = d.agg(
+      count(lit(1)).as("n"),
+      expr("(sum(size(w)) * 1000) DIV count(1)").as("avgdl_milli"))
+    // coalesce keeps t non-nullable so the broadcast term filter pushes
+    // no asymmetric isnotnull(t) into one branch (the q164/q129 lesson)
+    val toks = d
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("t0"))
+      .select(col("doc_id"), col("dl"), coalesce(col("t0"), lit("")).as("t"))
+    val f = termFilter.fold(toks)(ts => toks.join(broadcast(ts), Seq("t")))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    // (doc_id, t) unique in f ⇒ count(*) ≡ countDistinct(doc_id); the
+    // tf >= 1 reference keeps this branch's partial agg shape shared
+    // with the join branch so the f exchange is reused (q129's trick)
+    val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+    (f, dft, stats)
+  }
+
+  /** BM25 top-k per query: `docs` (doc_id, text) × `queries` (query_id,
+    * terms: array<string>) → (query_id, rk, doc_id, score_milli, n_hit),
+    * the k best-scoring docs per query in q129's exact milli-unit fixed
+    * point, ties broken by doc_id. Docs sharing no term with a query
+    * never appear (inverted-index semantics); n_hit counts the query's
+    * matched terms. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val allTerms = queries.select(explode(col("terms")).as("t")).distinct()
+    val (f, dft, stats) = bm25IndexPieces(docs, Some(allTerms))
+    bm25SearchFrom(f, dft, stats, queries, k)
+  }
+
+  /** Persist the full inverted index: postings/ (doc_id, dl, t, tf —
+    * repartitioned by term so a term's posting list is one partition's
+    * read; at real scale, bucketBy(t) into a table), df/ (t, df), and
+    * the 1-row stats/. Raw text is NOT stored — the index is the
+    * retrieval-sufficient statistic, the writeAnnIndex discipline. */
+  def writeBm25Index(docs: DataFrame, path: String): Unit = {
+    val (f, dft, stats) = bm25IndexPieces(docs, None)
+    f.repartition(col("t")).write.mode("overwrite").parquet(s"$path/postings")
+    dft.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Re-open a [[writeBm25Index]] artifact: (postings, df, stats). */
+  def readBm25Index(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/df"),
+      s.read.parquet(s"$path/stats"))
+
+  /** Serve BM25 top-k from a STORED index — bit-identical to the inline
+    * [[bm25TopK]] over the same corpus (RetrievalSpec proves it): df and
+    * corpus stats are pruning-independent facts, so the full-vocabulary
+    * index and the inline query-term build score every candidate the
+    * same. New queries never re-tokenize the corpus. */
+  def bm25SearchStored(index: (DataFrame, DataFrame, DataFrame),
+                       queries: DataFrame, k: Int): DataFrame =
+    bm25SearchFrom(index._1, index._2, index._3, queries, k)
 
   private def queriesDf(s: SparkSession): DataFrame = {
     import s.implicits._

@@ -77,6 +77,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(batched == single)
   }
 
+  test("stored index round-trip: serve-from-stored == inline, layout law, raw text absent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = "target/fixtures/bm25_index_spec"
+    Graft.writeBm25Index(docs, dir)
+    val idx = Graft.readBm25Index(spark, dir)
+    val queries = qf(ops.Retrieval.gateQueries)
+    val stored = Graft.bm25SearchStored(idx, queries, 10).collect().toSeq
+    val inline = Graft.bm25TopK(docs, queries, 10).collect().toSeq
+    assert(stored == inline, "stored-index search must be bit-identical to inline")
+    // a query batch the index has never seen works too (full vocabulary)
+    val fresh = qf(Seq(99L -> Seq("lineitem", "row", "big")))
+    val storedFresh = Graft.bm25SearchStored(idx, fresh, 5).collect().toSeq
+    val inlineFresh = Graft.bm25TopK(docs, fresh, 5).collect().toSeq
+    assert(storedFresh == inlineFresh)
+    // layout law: 1-row stats, per-term dfs, and NO raw text anywhere
+    assert(idx._3.count() == 1L)
+    assert(idx._2.columns.toSeq == Seq("t", "df"))
+    assert(!idx._1.columns.contains("text") && !idx._2.columns.contains("text"))
+    // df table covers the full vocabulary (index is query-independent)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(idx._2.count() == vocab)
+  }
+
   test("q236 gate query returns full ranked top-10 blocks at sf0.01") {
     val rows = SparkEntry.queries("q236_batch_retrieval")(spark, Sf001).collect()
     val byQ = rows.groupBy(_.getLong(0))
