@@ -51,17 +51,20 @@ val jdk17AddOpens = Seq(
 // beyond that only buy fault territory: cap what SPARK_DRIVER_MEM can
 // inflate. Experiments can still force a big heap through
 // SPARK_GRAFT_EXTRA_JVM (appended last, overrides -Xmx/-Xms).
-val heapCapGib = 8L
+// Cap comparison is in MiB so m-suffixed requests can't slip through a
+// GiB floor-division (e.g. '9215m' ≈ 9.0 GiB used to floor to 8 and
+// evade the cap).
+val heapCapMib = 8L * 1024
 val pinnedMem = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-  val gib = "^(\\d+)([gGmM])$".r.findFirstMatchIn(req.trim).map { m =>
+  val mib = "^(\\d+)([gGmM])$".r.findFirstMatchIn(req.trim).map { m =>
     val v = m.group(1).toLong
-    if (m.group(2).toLowerCase == "g") v else v / 1024
+    if (m.group(2).toLowerCase == "g") v * 1024 else v
   }
-  gib match {
-    case Some(g) if g > heapCapGib => s"${heapCapGib}g"
+  mib match {
+    case Some(m) if m > heapCapMib => s"${heapCapMib}m"
     case Some(_)                   => req.trim
-    case None                      => s"${heapCapGib}g" // unparseable → proven default
+    case None                      => s"${heapCapMib}m" // unparseable → proven default
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

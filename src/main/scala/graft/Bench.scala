@@ -105,6 +105,41 @@ object Bench {
       sweepBlocks()
       q.name -> t
     }.toMap
+    // HOST-CALIBRATION ANCHORS (VERDICT r13 item 3). The r13
+    // 156.7s-vs-103.3s driver-total confusion was only resolvable
+    // because two same-HEAD sessions happened to be committed; these
+    // three PINNED reference workloads make any cross-round total
+    // host-normalizable from the artifact alone: divide a round's
+    // anchor times by another round's to get the host-speed ratio,
+    // independent of what the registry contains. Shapes are fixed
+    // forever (changing them breaks comparability): scan_agg = the
+    // sfDir lineitem scan + one hash agg (storage + scan path);
+    // shuffle = a data-independent 20M-row × 100k-key hash aggregate
+    // (exchange + agg path, identical work on every host and sf);
+    // hash_cpu = xxhash64 over 100M range rows (pure codegen CPU, no
+    // IO). Timed min-of-3 after one warm run, right after the global
+    // warm-up so they sit at a consistent session point every round.
+    import org.apache.spark.sql.functions.{avg => fAvg, col => fCol, sum => fSum, xxhash64 => fXxhash64}
+    val calibration: Seq[(String, Double)] = {
+      def anchor(body: => Unit): Double = {
+        body // warm: its own codegen/JIT
+        Seq.tabulate(3) { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      Seq(
+        "cal_scan_agg_ms" -> anchor {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .agg(fSum(fCol("l_quantity")), fAvg(fCol("l_extendedprice"))).count()
+        },
+        "cal_shuffle_ms" -> anchor {
+          spark.range(20000000L).selectExpr("id % 100000 AS k", "id")
+            .groupBy("k").agg(fSum(fCol("id"))).count()
+        },
+        "cal_hash_cpu_ms" -> anchor {
+          spark.range(100000000L).agg(fSum(fXxhash64(fCol("id")))).count()
+        })
+    }
     final case class R(name: String, tMs: Long, runs: Seq[Double],
                        gcMs: Long, err: Option[String], remeasured: Boolean) {
       def timed: Seq[Double] = runs.sorted
@@ -188,11 +223,15 @@ object Bench {
     val timed = results.filter(_._2 >= 0)
     val (spreadMaxQ, spreadMax) =
       if (timed.isEmpty) ("", 0.0) else { val m = timed.maxBy(_._3); (m._1, m._3) }
+    val calJson = calibration.map { case (k, v) =>
+      jstr(k) + ":" + math.round(v * 1000)
+    }.mkString("{", ",", "}")
     val head =
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Passes,"sf":"$sfDir",""" +
         s""""n_failed":${errors.size},"errors":$errs,""" +
         s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)},""" +
         s""""gc_ms":$gcTotalMs,"storage_peak_mb":$storagePeakMb,""" +
+        s""""calibration":$calJson,""" +
         s""""n_remeasured":${records.count(_.remeasured)},"jvm_opts":${jstr(jvmOpts)}"""
     val gcJson = gcPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     def msI(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString

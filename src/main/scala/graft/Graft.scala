@@ -387,6 +387,39 @@ object Graft {
                         bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
     ops.Decontam.refreshBloomIndex(index, deltaEval, bloomBits, bloomHashes)
 
+  /** Persist the decontamination index at `path`: shingles/ (the eval
+    * suite's distinct shingle hashes, hash-partitioned) + bitmap/ (the
+    * format-stamped Bloom words). No raw eval text in the artifact;
+    * the eval suite is shingled once. The [[writeAnnIndex]] discipline
+    * for the contamination family. */
+  def writeBloomIndex(evalSet: DataFrame, path: String,
+                      bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                      bloomHashes: Int = ops.Decontam.DefaultBloomHashes): Unit =
+    ops.Decontam.writeBloomIndex(evalSet, path, bloomBits, bloomHashes)
+
+  /** Re-open a [[writeBloomIndex]] artifact: (bitmap, shingles) — the
+    * pieces [[bloomDecontaminateStored]] serves from. */
+  def readBloomIndex(s: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    ops.Decontam.readBloomIndex(s, path)
+
+  /** Serve the contamination report from a stored [[writeBloomIndex]]
+    * artifact — bit-identical to the inline [[bloomDecontaminate]];
+    * new corpora never re-shingle the eval suite. */
+  def bloomDecontaminateStored(corpus: DataFrame, index: (DataFrame, DataFrame),
+                               minFrac: Double = 0.1,
+                               bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                               bloomHashes: Int = ops.Decontam.DefaultBloomHashes): DataFrame =
+    ops.Decontam.bloomDecontaminateStored(corpus, index, minFrac, bloomBits, bloomHashes)
+
+  /** Refresh a stored [[writeBloomIndex]] artifact with ADDED eval docs
+    * into a NEW generation at `outPath` — work ∝ |delta|; the bitmap
+    * refresh is byte-identical to a rebuild (bit_or idempotence). */
+  def refreshStoredBloomIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                              deltaEval: DataFrame, outPath: String,
+                              bloomBits: Long = ops.Decontam.DefaultBloomBits,
+                              bloomHashes: Int = ops.Decontam.DefaultBloomHashes): Unit =
+    ops.Decontam.refreshStoredBloomIndex(s, path, deltaEval, outPath, bloomBits, bloomHashes)
+
   /** Contamination span SPLITTING (q222) — the GPT-3 appendix-C
     * alternative to [[decontaminate]]'s whole-doc drop flag: remove a
     * `pad`-word window around every eval-set 5-gram collision, split
@@ -1163,6 +1196,33 @@ object Graft {
     * ∝ |delta|, never a full-corpus rebuild. */
   def refreshBandIndex(index: DataFrame, delta: DataFrame): DataFrame =
     streaming.Streaming.refreshBandIndex(index, delta)
+
+  /** Persist the near-dup band index at `path`, NORMALIZED: docs/
+    * ((doc_id, hs, bkeys) — shingle state once per doc) + bands/
+    * ((doc_id, b, bkey) — the probe rows, partitioned by band key). No
+    * raw text in the artifact; the corpus is shingled once. The
+    * [[writeAnnIndex]] discipline for the LSH family. */
+  def writeBandIndex(standing: DataFrame, path: String): Unit =
+    streaming.Streaming.writeBandIndex(standing, path)
+
+  /** Re-open a [[writeBandIndex]] artifact: (bands, docs) — the pieces
+    * [[nearDupServeStored]] serves from. */
+  def readBandIndex(s: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    streaming.Streaming.readBandIndex(s, path)
+
+  /** [[nearDupStream]] served from a stored [[writeBandIndex]] artifact
+    * — identical alerts, with only LSH-colliding candidates ever
+    * fetching their shingle state from docs/. */
+  def nearDupServeStored(incoming: DataFrame, index: (DataFrame, DataFrame),
+                         minJaccard: Double = 0.8): DataFrame =
+    streaming.Streaming.nearDupServeStored(incoming, index, minJaccard)
+
+  /** Refresh a stored [[writeBandIndex]] artifact from a
+    * [[snapshotDelta]] change feed into a NEW generation at `outPath`
+    * — work ∝ |delta|, refreshed == rebuilt piece-for-piece. */
+  def refreshStoredBandIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                             delta: DataFrame, outPath: String): Unit =
+    streaming.Streaming.refreshStoredBandIndex(s, path, delta, outPath)
 
   /** Streaming ingest decontamination gate: Bloom pre-filter + exact
     * stream-static verify, emitting one (doc_id, n_shingles, h) alert

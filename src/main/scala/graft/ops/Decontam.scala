@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -174,11 +174,18 @@ object Decontam {
     * bitmap is partition-order-invariant by construction (no float, no
     * first(), no ordering anywhere). */
   private[graft] def bloomBitmap(evalHashed: DataFrame, mBits: Long,
-                                 kHashes: Int): DataFrame = {
+                                 kHashes: Int): DataFrame =
+    bloomBitmapFromShingles(
+      evalHashed.select(explode(col("hs")).as("h")).distinct(), mBits, kHashes)
+
+  /** [[bloomBitmap]] from an already-DISTINCT shingle-hash table (h) —
+    * the grain the stored index keeps, so the write path derives the
+    * bitmap from exactly the shingle table it persists. */
+  private[graft] def bloomBitmapFromShingles(shingles: DataFrame, mBits: Long,
+                                             kHashes: Int): DataFrame = {
     val idxs = (0 until kHashes).map(j =>
       pmod(xxhash64(col("h"), lit(j)), lit(mBits)))
-    evalHashed
-      .select(explode(col("hs")).as("h")).distinct()
+    shingles
       .select(explode(array(idxs: _*)).as("idx"))
       .select(shiftright(col("idx"), 6).as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(idx & 63 AS INT))").as("mask"))
@@ -234,6 +241,22 @@ object Decontam {
                                                  minFrac: Double,
                                                  mBits: Long,
                                                  kHashes: Int): DataFrame = {
+    bloomDecontaminateCore(corpusHashed,
+      evalHashed.select(explode(col("hs")).as("h")).distinct(),
+      bitmap, minFrac, mBits, kHashes)
+  }
+
+  /** The shared decontamination kernel over an already-DISTINCT eval
+    * shingle table — the grain both the inline path (explode+distinct
+    * just above) and the STORED index path (the persisted shingles/
+    * piece) feed, so serve-from-stored is the same plan as inline by
+    * construction. */
+  private[graft] def bloomDecontaminateCore(corpusHashed: DataFrame,
+                                            evalShingles: DataFrame,
+                                            bitmap: DataFrame,
+                                            minFrac: Double,
+                                            mBits: Long,
+                                            kHashes: Int): DataFrame = {
     require(mBits >= 1024 && mBits <= (1L << 31),
       s"bloomBits must be in [1024, 2^31], got $mBits")
     require(kHashes >= 1 && kHashes <= 8,
@@ -241,7 +264,6 @@ object Decontam {
     // pre-filter: k broadcast joins, one per hash — each a map-side
     // BroadcastHashJoin probing the ≤ mBits/64-row bitmap; a left-join
     // miss means the word holds no eval bits at all (bits_j null → no hit)
-    val evalShingles = evalHashed.select(explode(col("hs")).as("h")).distinct()
     // exact verification: only candidate shingles reach the equi-join
     val verified = bloomFilterCandidates(
         corpusHashed.select(col("doc_id"), explode(col("hs")).as("h")),
@@ -366,6 +388,76 @@ object Decontam {
         lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"))
   }
 
+  /** Persist the decontamination index — the [[graft.Graft.writeAnnIndex]]
+    * / writeBm25Index discipline for the contamination family: shingles/
+    * (h — the eval suite's DISTINCT 60-bit shingle hashes, hash-
+    * partitioned: the exact-verify side, which at "eval set = a whole
+    * held-out dump" scale is itself big, so no single-file funnel) and
+    * bitmap/ ((word, bits, m_bits, k_hashes) — ≤ mBits/64 rows by
+    * construction, written at its groupBy's own parallelism). Raw eval
+    * TEXT is never stored: the index is the decontamination-sufficient
+    * statistic, and shingle hashes don't invert. The eval suite is
+    * shingled ONCE — the bitmap derives from the shingle table as
+    * persisted, so the two pieces can never disagree. */
+  def writeBloomIndex(evalSet: DataFrame, path: String,
+                      mBits: Long = DefaultBloomBits,
+                      kHashes: Int = DefaultBloomHashes): Unit = {
+    Dedup.hashedShinglesOf(evalSet)
+      .select(explode(col("hs")).as("h")).distinct()
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val stored = evalSet.sparkSession.read.parquet(s"$path/shingles")
+    bloomBitmapFromShingles(stored, mBits, kHashes)
+      .select(col("word"), col("bits"),
+        lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"))
+      .write.mode("overwrite").parquet(s"$path/bitmap")
+  }
+
+  /** Re-open a [[writeBloomIndex]] artifact: (bitmap, shingles). */
+  def readBloomIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/bitmap"), s.read.parquet(s"$path/shingles"))
+
+  /** Serve the q213 contamination report from a STORED index —
+    * bit-identical to the inline [[bloomDecontaminate]] over the same
+    * eval suite (BloomSpec proves it): the bitmap pre-filter and the
+    * exact verify join read the persisted pieces, the corpus is
+    * shingled fresh, and a new corpus never re-shingles the eval suite.
+    * `mBits`/`kHashes` must match the index build — the stored format
+    * columns raise on mismatch. */
+  def bloomDecontaminateStored(corpus: DataFrame,
+                               index: (DataFrame, DataFrame),
+                               minFrac: Double = 0.1,
+                               mBits: Long = DefaultBloomBits,
+                               kHashes: Int = DefaultBloomHashes): DataFrame =
+    bloomDecontaminateCore(Dedup.hashedShinglesOf(corpus),
+      index._2, index._1, minFrac, mBits, kHashes)
+
+  /** Refresh a STORED [[writeBloomIndex]] artifact with ADDED eval docs
+    * — work ∝ |delta|: the delta is shingled alone, novel hashes found
+    * by one anti-join probe of the stored shingle table (bucket-pruned
+    * when shingles/ is a bucketed table at scale), the bitmap ORs the
+    * delta's words in at word grain ([[refreshBloomIndex]] — the
+    * refreshed bitmap is byte-identical to a rebuild because bit_or is
+    * idempotent). Writes a NEW artifact at `outPath` (artifacts are
+    * immutable generations — reading and overwriting the same parquet
+    * path in one job is unsafe). Removals need a rebuild from the
+    * surviving suite, same contract as [[refreshBloomIndex]]. */
+  def refreshStoredBloomIndex(s: SparkSession, path: String,
+                              deltaEval: DataFrame, outPath: String,
+                              mBits: Long = DefaultBloomBits,
+                              kHashes: Int = DefaultBloomHashes): Unit = {
+    require(outPath != path,
+      "refreshStoredBloomIndex writes a new generation: outPath must differ from path")
+    val (bitmap, shingles) = readBloomIndex(s, path)
+    val deltaH = Dedup.hashedShinglesOf(deltaEval)
+      .select(explode(col("hs")).as("h")).distinct()
+    shingles.unionByName(deltaH.join(shingles, Seq("h"), "left_anti"))
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$outPath/shingles")
+    refreshBloomIndex(bitmap, deltaEval, mBits, kHashes)
+      .write.mode("overwrite").parquet(s"$outPath/bitmap")
+  }
+
   /** q213: the Bloom-pre-filtered decontamination path, hash-gated
     * against the SAME exact oracle as q101 — DuckDB computes the exact
     * left-join answer; the engine must reproduce it bit-for-bit through
@@ -373,8 +465,11 @@ object Decontam {
     * Bloom stage admits every true hit and the verify stage removes
     * every false positive. Same eval split convention as q101
     * (doc_id % 20 = 0). */
-  val q213BloomDecontam: Q = Q.sql(
-    "q213_bloom_decontam",
+  /** Shared oracle body for q213 AND q238: the exact left-join
+    * contamination report over the doc_id % 20 eval split — the engine
+    * must reproduce it bit-for-bit whatever machinery (inline Bloom, or
+    * a stored-index round-trip) sits in between. */
+  private val exactDecontamReportSql: String =
     s"""WITH
        |${Dedup.oracleDocs},
        |${Dedup.oracleHashed},
@@ -392,11 +487,38 @@ object Decontam {
        |  CAST(n_hit AS DOUBLE) / n_shingles >= 0.1 AS contaminated
        |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  val q213BloomDecontam: Q = Q.sql(
+    "q213_bloom_decontam", exactDecontamReportSql
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     bloomDecontaminate(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q238: the STORED-index serve path oracle-gated end to end — the
+    * engine WRITES the [[writeBloomIndex]] artifact (shingles/ +
+    * format-stamped bitmap/ parquet on disk), re-OPENS it cold, and
+    * serves the contamination report from the stored pieces; the oracle
+    * is the same exact left-join report as q101/q213. A match proves
+    * the whole round-trip — shingle once, persist, probe the persisted
+    * bitmap, verify against the persisted shingle table — loses nothing
+    * to parquet encoding, partitioning, or the format-stamp plumbing:
+    * the artifact IS the decontamination-sufficient statistic. (The
+    * 100 TB claim this gates: an eval-suite release is indexed once and
+    * every future corpus serves from the artifact.) Fixture path is
+    * FIXED (target/fixtures/q238_bloom_idx) — same single-Verify-at-a-
+    * time caveat as q58/q59. */
+  val q238StoredDecontamServe: Q = Q.sql(
+    "q238_stored_decontam_serve", exactDecontamReportSql
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val path = "target/fixtures/q238_bloom_idx"
+    writeBloomIndex(docs.filter(col("doc_id") % 20 === 0), path)
+    bloomDecontaminateStored(
+      docs.filter(col("doc_id") % 20 =!= 0), readBloomIndex(s, path))
       .orderBy(col("doc_id"))
   }
 
@@ -657,5 +779,5 @@ object Decontam {
   }
 
   val all: Seq[Q] = Seq(q101Decontaminate, q163EvalContainment, q213BloomDecontam,
-    q222DecontamSpans, q232DecontamRefresh)
+    q222DecontamSpans, q232DecontamRefresh, q238StoredDecontamServe)
 }

@@ -26,15 +26,19 @@ import graft.{Q, Tables}
   * needed; everything else is int64-exact DIV arithmetic. Weights are
   * floor(sqrt(n)) at unit scale (relative quantization ≤ 1/√n — at any
   * realistic domain size, sub-0.1%); range guards keep every product
-  * provably under 2⁶³ and raise_error beyond. */
+  * provably under 2⁶³ and raise_error beyond. n_tokens is guarded to
+  * ≥ 1 (an empty domain has no place in a mixture plan), which also
+  * proves both divisors nonzero: n ≥ 1 → w = floor(√n) ≥ 1 → Σw ≥ 1 —
+  * so the non-ANSI `div` can never hit the NULL-vs-error divergence
+  * between Spark and DuckDB. */
 object Mixture {
 
   /** Default epoch cap for [[temperatureMixturePlan]]'s `quota_capped`. */
   val MaxEpochs = 4L
 
-  private def guarded(c: Column, bound: Long, what: String): Column =
-    when(c > bound || c < 0L, raise_error(concat(
-      lit(s"mixture plan: $what outside [0, $bound]: "), c.cast("string"))))
+  private def guarded(c: Column, lo: Long, hi: Long, what: String): Column =
+    when(c > hi || c < lo, raise_error(concat(
+      lit(s"mixture plan: $what outside [$lo, $hi]: "), c.cast("string"))))
       .otherwise(c)
 
   /** (source, n_tokens) + a token budget → the mixture plan:
@@ -47,11 +51,11 @@ object Mixture {
     * invariant part of the gated output). */
   def temperatureMixturePlan(tokenCounts: DataFrame, budget: Column): DataFrame = {
     val counts = tokenCounts
-      .withColumn("n_tokens", guarded(col("n_tokens"), 1000000000000L, "n_tokens"))
+      .withColumn("n_tokens", guarded(col("n_tokens"), 1L, 1000000000000L, "n_tokens"))
       .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = counts.agg(
       sum(col("w")).as("sw"),
-      guarded(budget, 1000000000000L, "budget").as("b"))
+      guarded(budget, 0L, 1000000000000L, "budget").as("b"))
     val planned = counts.crossJoin(broadcast(tot))
       .withColumn("p_micro", expr("(w * 1000000) div sw"))
       .withColumn("quota_tokens", expr("(w * b) div sw"))

@@ -117,7 +117,14 @@ object Retrieval {
     * the k best-scoring docs per query in q129's exact milli-unit fixed
     * point, ties broken by doc_id. Docs sharing no term with a query
     * never appear (inverted-index semantics); n_hit counts the query's
-    * matched terms. */
+    * matched terms. Term-DEDUP semantics: a query's `terms` array is
+    * deduplicated before scoring (the exploded (query_id, t) table is
+    * `.distinct()` in [[bm25SearchFrom]]), so `['x','x']` scores
+    * identically to `['x']` — each distinct term contributes its BM25
+    * term score once, and n_hit = DISTINCT matched terms. This is the
+    * set-of-terms query model (standard boolean-bag BM25), not a
+    * weighted multiset; callers wanting repeat-term weighting should
+    * pre-expand weights into their own scoring column. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val allTerms = queries.select(explode(col("terms")).as("t")).distinct()
     val (f, dft, stats) = bm25IndexPieces(docs, Some(allTerms))
@@ -126,13 +133,17 @@ object Retrieval {
 
   /** Persist the full inverted index: postings/ (doc_id, dl, t, tf —
     * repartitioned by term so a term's posting list is one partition's
-    * read; at real scale, bucketBy(t) into a table), df/ (t, df), and
-    * the 1-row stats/. Raw text is NOT stored — the index is the
-    * retrieval-sufficient statistic, the writeAnnIndex discipline. */
+    * read; at real scale, bucketBy(t) into a table), df/ (t, df —
+    * hash-partitioned by the SAME term key: the vocabulary is billions
+    * of rows at 100 TB, so it gets the same multi-file term-hash layout
+    * as the postings, never a single-task funnel), and the 1-row
+    * stats/ (the only piece small enough to earn coalesce(1)). Raw
+    * text is NOT stored — the index is the retrieval-sufficient
+    * statistic, the writeAnnIndex discipline. */
   def writeBm25Index(docs: DataFrame, path: String): Unit = {
     val (f, dft, stats) = bm25IndexPieces(docs, None)
     f.repartition(col("t")).write.mode("overwrite").parquet(s"$path/postings")
-    dft.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    dft.repartition(col("t")).write.mode("overwrite").parquet(s"$path/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 

@@ -622,6 +622,92 @@ object Streaming {
       .unionByName(standingBandIndex(fresh))
   }
 
+  /** Persist the standing-corpus near-dup index — the writeAnnIndex /
+    * writeBm25Index discipline for the LSH family, NORMALIZED so the
+    * heavy per-doc shingle arrays are stored once, not once per band:
+    * docs/ ((doc_id, hs, bkeys) — the verify-side state, partitioned by
+    * doc_id so candidate fetches hash-prune) and bands/ ((doc_id, b,
+    * bkey) — the probe rows, partitioned by band key so a micro-batch's
+    * probe join reads matching buckets only; at real scale both become
+    * bucketed tables). Raw TEXT is never stored — shingle hashes and
+    * band keys are the dedup-sufficient statistic. The corpus is
+    * shingled ONCE: bands/ derives from docs/ as persisted (one
+    * posexplode of stored arrays), so the pieces can never disagree. */
+  def writeBandIndex(standing: DataFrame, path: String): Unit = {
+    docBands(graft.ops.Dedup.hashedShinglesOf(standing))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    standing.sparkSession.read.parquet(s"$path/docs")
+      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("b", "bkey")))
+      .repartition(col("b"), col("bkey"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Re-open a [[writeBandIndex]] artifact: (bands, docs). */
+  def readBandIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/docs"))
+
+  /** [[nearDupStream]] served from a STORED [[writeBandIndex]] artifact
+    * — identical alerts to the inline gate (StreamingSpec proves the
+    * row sets equal), with the candidate-bounded join order the
+    * normalized layout buys: the incoming batch's band rows probe
+    * bands/ first (rows ∝ LSH collisions), and only the CANDIDATES
+    * fetch their heavy (hs, bkeys) state from docs/ — at 100 TB the
+    * shingle arrays of non-colliding docs are never read, which the
+    * denormalized in-memory frame cannot promise. Both joins are
+    * stream-static equi-joins, append-mode-safe, no state store. */
+  def nearDupServeStored(incoming: DataFrame, index: (DataFrame, DataFrame),
+                         minJaccard: Double = 0.8): DataFrame = {
+    val (bands, docs) = index
+    val n = bandRows(graft.ops.Dedup.hashedShinglesRowLocal(incoming))
+      .select(col("doc_id").as("incoming_id"), col("hs").as("nhs"),
+        col("bkeys").as("nbkeys"), col("b"), col("bkey"))
+    val cand = n.join(bands
+        .select(col("doc_id").as("existing_id"), col("b"), col("bkey")),
+        Seq("b", "bkey"))
+      .filter(col("incoming_id") =!= col("existing_id"))
+    val withState = cand.join(docs
+        .select(col("doc_id").as("existing_id"), col("hs").as("ehs"),
+          col("bkeys").as("ebkeys")), Seq("existing_id"))
+    // same exactly-once-per-pair rule as the inline gate: keep only the
+    // row whose band is the FIRST slot where the two key arrays agree
+    val firstMatch = array_position(
+      zip_with(col("nbkeys"), col("ebkeys"), (x, y) => x === y), true)
+    val inter = size(array_intersect(col("nhs"), col("ehs")))
+    val jac = inter.cast("double") /
+      (size(col("nhs")) + size(col("ehs")) - inter)
+    withState
+      .filter(col("b") + 1 === firstMatch)
+      .select(col("incoming_id"), col("existing_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Refresh a STORED [[writeBandIndex]] artifact from a snapshot delta
+    * ([[refreshBandIndex]]'s contract: (doc_id, status, text)) — work ∝
+    * |delta|: removed/changed ids anti-join out of both pieces, only
+    * the added/changed TEXT is shingled, and the fresh rows append.
+    * Writes a NEW artifact generation at `outPath` (never in-place).
+    * StreamingSpec proves refreshed == rebuilt piece-for-piece. */
+  def refreshStoredBandIndex(s: SparkSession, path: String,
+                             delta: DataFrame, outPath: String): Unit = {
+    require(outPath != path,
+      "refreshStoredBandIndex writes a new generation: outPath must differ from path")
+    val (bands, docs) = readBandIndex(s, path)
+    val drop = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val freshDocs = docBands(graft.ops.Dedup.hashedShinglesOf(
+      delta.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"), col("text"))))
+    docs.join(drop, Seq("doc_id"), "left_anti").unionByName(freshDocs)
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outPath/docs")
+    bands.join(drop, Seq("doc_id"), "left_anti")
+      .unionByName(freshDocs
+        .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("b", "bkey"))))
+      .repartition(col("b"), col("bkey"))
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+  }
+
   /** q207: [[refreshBandIndex]] oracle-gated — the ENGINE builds the
     * gen-2 index INCREMENTALLY (gen-1 index + a [[graft.ops.Merge
     * .snapshotDeltaOf]] change feed), while the ORACLE replays a full
@@ -665,6 +751,54 @@ object Streaming {
       .select(col("doc_id"), col("b"), col("bkey"),
         size(col("hs")).as("n_shingles"))
       .orderBy(col("doc_id"), col("b"))
+  }
+
+  /** q239: the STORED band-index serve path oracle-gated end to end —
+    * the engine WRITES the [[writeBandIndex]] artifact (normalized
+    * docs/ + bands/ parquet on disk), re-opens it cold, and serves the
+    * near-dup ingest gate from the stored pieces against an incoming
+    * batch of re-keyed standing docs (doc_id + 1e6 — identical text, so
+    * the alert set is non-trivially large and every jaccard double gets
+    * hash-compared). The ORACLE replays the WHOLE pipeline in SQL over
+    * the union relation — shingles → minhash sigs → band keys → cross-
+    * side band collisions → exact jaccard ≥ 0.8 — so a match proves the
+    * round-trip (shingle once, persist normalized, probe bands/, fetch
+    * candidate state from docs/) loses nothing to parquet, partitioning
+    * or the candidates-only join order. The engine's first-agreeing-
+    * band filter emits exactly one row per colliding pair; the oracle's
+    * DISTINCT is the same set. Fixture path FIXED
+    * (target/fixtures/q239_band_idx) — the q58/q59 single-Verify
+    * caveat. */
+  val q239StoredNearDupServe: Q = Q.sql(
+    "q239_stored_neardup_serve",
+    s"""WITH rel AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${graft.ops.Dedup.oracleDocsOver("rel")},
+       |${graft.ops.Dedup.oracleHashed},
+       |${graft.ops.Dedup.oracleSigsBandsPairs},
+       |xpairs AS (
+       |  SELECT DISTINCT a.doc_id AS incoming_id, c.doc_id AS existing_id
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+       |  WHERE a.doc_id >= 1000000 AND c.doc_id < 1000000)
+       |SELECT p.incoming_id, p.existing_id,
+       |  CAST(len(list_intersect(di.hs, de.hs)) AS DOUBLE)
+       |    / (len(di.hs) + len(de.hs) - len(list_intersect(di.hs, de.hs))) AS jaccard
+       |FROM xpairs p
+       |JOIN hashed di ON di.doc_id = p.incoming_id
+       |JOIN hashed de ON de.doc_id = p.existing_id
+       |WHERE CAST(len(list_intersect(di.hs, de.hs)) AS DOUBLE)
+       |    / (len(di.hs) + len(de.hs) - len(list_intersect(di.hs, de.hs))) >= 0.8
+       |ORDER BY incoming_id, existing_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val path = "target/fixtures/q239_band_idx"
+    writeBandIndex(docs, path)
+    nearDupServeStored(incoming, readBandIndex(s, path), 0.8)
+      .orderBy(col("incoming_id"), col("existing_id"))
   }
 
   /** [[nearDupStream]] over a PREBUILT standing band index (the
@@ -741,7 +875,11 @@ object Streaming {
   /** (doc_id, hs) → one row per LSH band: (doc_id, hs, bkeys, b, bkey),
     * the full 4-slot key array carried for the first-match filter.
     * Same signatures/banding as the batch q26/q83 path. */
-  private def bandRows(hs: DataFrame): DataFrame = {
+  /** Doc-grain signature frame: (doc_id, hs, bkeys) — one row per doc,
+    * the 4 LSH band keys as an array. The band-EXPLODED probe rows are
+    * [[bandRows]]; the stored index keeps THIS grain for the verify
+    * side (hs arrays once per doc, not once per band). */
+  private def docBands(hs: DataFrame): DataFrame = {
     import graft.ops.Dedup.{MinhashAB, P}
     val aLit = array(MinhashAB.map(ab => lit(ab._1)): _*)
     val bLit = array(MinhashAB.map(ab => lit(ab._2)): _*)
@@ -752,11 +890,14 @@ object Streaming {
         transform(sequence(lit(0), lit(3)), b =>
           concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))
             .cast("array<string>"))).as("bkeys"))
+  }
+
+  private def bandRows(hs: DataFrame): DataFrame =
+    docBands(hs)
       .select(col("doc_id"), col("hs"), col("bkeys"),
         posexplode(col("bkeys")).as(Seq("b", "bkey")))
-  }
 
   val all: Seq[Q] = Seq(q57SessionWindow, q92SlidingWindow, q93FollowWithin,
     q146FunnelDropouts, q188StreamDistinct, q198StreamTopk,
-    q207BandIndexRefresh)
+    q207BandIndexRefresh, q239StoredNearDupServe)
 }

@@ -52,6 +52,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(huge.getLong(4) == huge.getLong(5), "cap must not bind for the huge domain")
   }
 
+  test("zero-token domain fails loudly instead of dividing by zero") {
+    // n_tokens = 0 would make epochs_milli a div-by-zero (and an
+    // all-zero table would zero Σw) — the ≥ 1 guard turns both into a
+    // raise_error before any div runs, so Spark's NULL-on-div-by-zero
+    // can never silently diverge from an erroring oracle.
+    val ex = intercept[Exception] {
+      Graft.temperatureMixturePlan(
+        counts(Seq("ok" -> 1000L, "empty" -> 0L)), sum(col("n_tokens"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("mixture plan: n_tokens")))
+  }
+
   test("range guards fire loudly") {
     val ex = intercept[Exception] {
       Graft.temperatureMixturePlan(
@@ -69,7 +83,7 @@ class MixtureSpec extends AnyFunSuite {
     assert(rows.length == nSources)
     assert(rows.forall(_.getBoolean(7)), "sum_ok must hold")
     rows.foreach { r =>
-      assert(r.getLong(5) <= r.getLong(4), "capped quota can exceed raw quota")
+      assert(r.getLong(5) <= r.getLong(4), "capped quota must not exceed raw quota")
       assert(r.getLong(5) <= r.getLong(1) * ops.Mixture.MaxEpochs)
     }
     val b = rows.map(_.getLong(1)).sum

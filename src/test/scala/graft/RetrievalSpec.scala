@@ -80,7 +80,17 @@ class RetrievalSpec extends AnyFunSuite {
   test("stored index round-trip: serve-from-stored == inline, layout law, raw text absent") {
     val docs = Tables.documents(spark, Sf0001)
     val dir = "target/fixtures/bm25_index_spec"
-    Graft.writeBm25Index(docs, dir)
+    // Pin AQE partition-coalescing OFF for the write: at sf0.001 AQE
+    // rightly folds the tiny term-hash shuffle to one partition, which
+    // would hide the shape under test. With coalescing off, the file
+    // count is the write's OWN shape — repartition(t) fans out across
+    // shuffle partitions, a coalesce(1) funnel stays 1 file regardless,
+    // so the gate distinguishes exactly the banned layout.
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalKey)
+    spark.conf.set(coalKey, "false")
+    try Graft.writeBm25Index(docs, dir)
+    finally spark.conf.set(coalKey, prev)
     val idx = Graft.readBm25Index(spark, dir)
     val queries = qf(ops.Retrieval.gateQueries)
     val stored = Graft.bm25SearchStored(idx, queries, 10).collect().toSeq
@@ -95,6 +105,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(idx._3.count() == 1L)
     assert(idx._2.columns.toSeq == Seq("t", "df"))
     assert(!idx._1.columns.contains("text") && !idx._2.columns.contains("text"))
+    // write-shape law: postings AND df are term-hash partitioned
+    // (multi-file — at 100 TB the vocabulary is billions of rows, so a
+    // coalesce(1) funnel is banned); only the 1-row stats is 1-file
+    def parts(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts("postings") > 1, "postings must be multi-file (term-hash partitioned)")
+    assert(parts("df") > 1, "df must be multi-file (term-hash partitioned, no coalesce(1) funnel)")
+    assert(parts("stats") == 1, "stats is the only coalesce(1)-worthy piece")
     // df table covers the full vocabulary (index is query-independent)
     val vocab = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
     assert(idx._2.count() == vocab)
