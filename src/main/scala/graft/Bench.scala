@@ -61,6 +61,21 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def storageMb(): Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+    // Hypervisor CPU-steal jiffies (aggregate /proc/stat field 8, ×10 →
+    // ms @100Hz): time this VM's vCPUs were runnable but the hypervisor
+    // ran another guest. The r14 burst probe (plans/R14_NOTES.md demand
+    // 2) measured corr(wall, steal) = 0.75 over 400 fixed-query
+    // iterations, with every slow iteration riding a 2.7-3.9 s steal
+    // spike at gc = 0 and PSI-cpu ≈ 0 — steal is the residual-burst
+    // mechanism at the capped 8 GiB heap. Recording the per-burst delta
+    // makes any future spread outlier attributable from the artifact
+    // alone: spread WITH steal = the host, spread WITHOUT = the code.
+    def stealMsNow(): Long =
+      try {
+        val f = new String(Files.readAllBytes(Paths.get("/proc/stat")))
+          .linesIterator.next().trim.split("\\s+")
+        f(8).toLong * 10
+      } catch { case _: Throwable => -1L }
     // Best-of-N (VERDICT r3 item 6): single-pass timings carry ~±15%
     // process noise at sf0.1 (GC, page cache, 200 queries sharing one JVM),
     // which is the same magnitude as a real regression. The headline
@@ -141,7 +156,8 @@ object Bench {
         })
     }
     final case class R(name: String, tMs: Long, runs: Seq[Double],
-                       gcMs: Long, err: Option[String], remeasured: Boolean) {
+                       gcMs: Long, stealMs: Long, err: Option[String],
+                       remeasured: Boolean) {
       def timed: Seq[Double] = runs.sorted
       def min: Double = if (runs.isEmpty) -1.0 else timed.head
       def spread: Double = if (runs.size >= 2) timed(1) - timed.head else 0.0
@@ -151,11 +167,14 @@ object Bench {
       try {
         runOnce(q) // per-query warm: its own codegen + JIT burst
         val gc0 = gcMsNow()
+        val st0 = stealMsNow()
         val ts = Seq.tabulate(Passes)(_ => runOnce(q))
-        R(q.name, t0, ts, gcMsNow() - gc0, None, remeasured)
+        val st1 = stealMsNow()
+        val steal = if (st0 < 0 || st1 < 0) -1L else st1 - st0
+        R(q.name, t0, ts, gcMsNow() - gc0, steal, None, remeasured)
       } catch {
         case e: Throwable =>
-          R(q.name, t0, Seq.empty, 0L,
+          R(q.name, t0, Seq.empty, 0L, 0L,
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"),
             remeasured)
       }
@@ -197,6 +216,8 @@ object Bench {
         // keep BOTH bursts' runs in the artifact (run order: first burst
         // then re-burst); min/spread recompute over the union
         r.copy(runs = r.runs ++ again.runs, gcMs = r.gcMs + again.gcMs,
+          stealMs = if (r.stealMs < 0 || again.stealMs < 0) -1L
+                    else r.stealMs + again.stealMs,
           err = again.err.orElse(r.err), remeasured = true)
       }
     }
@@ -204,6 +225,8 @@ object Bench {
     val errors = records.flatMap(r => r.err.map(r.name -> _)).distinctBy(_._1)
     val gcPairs = records.map(r => r.name -> r.gcMs)
     val gcTotalMs = gcPairs.map(_._2).sum
+    val stealPairs = records.map(r => r.name -> r.stealMs)
+    val stealTotalMs = stealPairs.map(_._2).filter(_ > 0).sum
     val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala
       .filter(a => a.startsWith("-Xm") || a.startsWith("-XX:"))
@@ -230,10 +253,11 @@ object Bench {
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Passes,"sf":"$sfDir",""" +
         s""""n_failed":${errors.size},"errors":$errs,""" +
         s""""spread_max":${num(spreadMax)},"spread_max_query":${jstr(spreadMaxQ)},""" +
-        s""""gc_ms":$gcTotalMs,"storage_peak_mb":$storagePeakMb,""" +
+        s""""gc_ms":$gcTotalMs,"steal_ms":$stealTotalMs,"storage_peak_mb":$storagePeakMb,""" +
         s""""calibration":$calJson,""" +
         s""""n_remeasured":${records.count(_.remeasured)},"jvm_opts":${jstr(jvmOpts)}"""
     val gcJson = gcPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val stealJson = stealPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     def msI(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     val runsJson = records.map { r =>
       jstr(r.name) + ":" + r.runs.map(msI).mkString("[", ",", "]")
@@ -243,7 +267,7 @@ object Bench {
       jstr(q.name) + ":" + msI(warmGlobal.getOrElse(q.name, -1.0))).mkString("{", ",", "}")
     val remeasJson = records.filter(_.remeasured).map(r => jstr(r.name)).mkString("[", ",", "]")
     Files.writeString(Paths.get("/root/repo/bench_out.json"),
-      s"""{$head,"gc_ms_per_query":$gcJson,"spread":$spreads,""" +
+      s"""{$head,"gc_ms_per_query":$gcJson,"steal_ms_per_query":$stealJson,"spread":$spreads,""" +
         s""""runs_ms":$runsJson,"t_ms":$tJson,"warm_ms":$warmJson,""" +
         s""""remeasured":$remeasJson,"queries":$qs}""")
     // The driver snapshots only the LAST 2000 chars of stdout (measured:

@@ -1141,6 +1141,36 @@ object Graft {
                        queries: DataFrame, k: Int): DataFrame =
     ops.Retrieval.bm25SearchStored(index, queries, k)
 
+  /** Refresh a stored [[writeBm25Index]] artifact with ADDED docs into
+    * a NEW generation at `outPath`: only the delta is tokenized —
+    * postings append, per-term dfs merge additively, stats merge
+    * exactly through the stored (n, sum_dl). Refreshed == rebuilt
+    * piece for piece; a delta doc_id already indexed fails loudly
+    * (ADD-only; retire-then-add updates). */
+  def refreshStoredBm25Index(s: org.apache.spark.sql.SparkSession, path: String,
+                             deltaDocs: DataFrame, outPath: String): Unit =
+    ops.Retrieval.refreshStoredBm25Index(s, path, deltaDocs, outPath)
+
+  /** Reciprocal-rank fusion of a lexical and a semantic top-k list:
+    * each leg contributes `1000000 div (rrfK + rank)` milli-points,
+    * docs missing from a leg contribute 0 from it, fused order is
+    * (rrf_milli desc, doc_id). All-integer, engine-order independent.
+    * Legs arrive k-bounded, so fusion cost is |queries|×2k — in
+    * production both come from stored indexes ([[bm25SearchStored]] /
+    * [[annSearchStored]]) and the corpus is never touched. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int, rrfK: Int = 60): DataFrame =
+    ops.Retrieval.rrfFuse(lex, sem, k, rrfK)
+
+  /** Hybrid retrieval: [[bm25TopK]] over `queries.terms` RRF-fused with
+    * the exact-cosine leg over `queries.qv` (queries carry query_id,
+    * terms, qv). Each leg retrieves top-`kRetrieve`, the fused result is
+    * top-`k` per query. The semantic leg here is the EXACT baseline;
+    * swap in the IVF/PQ serve paths at corpus scale and fuse the same
+    * way. */
+  def hybridTopK(docs: DataFrame, vectors: DataFrame, queries: DataFrame,
+                 k: Int, kRetrieve: Int): DataFrame =
+    ops.Retrieval.hybridTopK(docs, vectors, queries, k, kRetrieve)
+
   /** Temperature-flattened domain-mixture plan (p ∝ n^(1/2), the
     * multilingual-sampling temperature): (source, n_tokens) + a token
     * budget → per-domain micro-weights, exact integer token quotas

@@ -93,9 +93,14 @@ object Retrieval {
   private[graft] def bm25IndexPieces(docs: DataFrame, termFilter: Option[DataFrame])
       : (DataFrame, DataFrame, DataFrame) = {
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // sum_dl rides beside the derived average so a stored-index REFRESH
+    // can merge stats EXACTLY (n and sum_dl are additive; avgdl_milli's
+    // DIV is not invertible — the q234/q235 lesson: store what the
+    // refresh contract needs, publish the derived form beside it).
     val stats = d.agg(
-      count(lit(1)).as("n"),
-      expr("(sum(size(w)) * 1000) DIV count(1)").as("avgdl_milli"))
+        count(lit(1)).as("n"),
+        expr("CAST(sum(size(w)) AS BIGINT)").as("sum_dl"))
+      .withColumn("avgdl_milli", expr("(sum_dl * 1000) DIV n"))
     // coalesce keeps t non-nullable so the broadcast term filter pushes
     // no asymmetric isnotnull(t) into one branch (the q164/q129 lesson)
     val toks = d
@@ -153,6 +158,42 @@ object Retrieval {
       s.read.parquet(s"$path/df"),
       s.read.parquet(s"$path/stats"))
 
+  /** Refresh a stored [[writeBm25Index]] artifact with ADDED docs into a
+    * NEW generation at `outPath` — the [[writeAnnIndex]]-family refresh
+    * discipline for the lexical index. Only the DELTA is tokenized:
+    * postings append (an added doc touches no existing posting row), df
+    * merges additively per term, and stats merge exactly through the
+    * stored (n, sum_dl) — `avgdl_milli`'s DIV is recomputed from the
+    * merged sums, so refreshed == rebuilt-from-scratch piece for piece
+    * (RetrievalSpec proves it, serve path included). ADD-only contract:
+    * a delta doc_id already present in the index fails loudly (an
+    * updated doc needs retire-then-add, the q218 discipline — silently
+    * unioning it would double-count its term frequencies). The
+    * collision guard is one semi-join on the postings' distinct doc_ids;
+    * the old artifact's rows are COPIED, never re-derived — work beyond
+    * the copy is ∝ |delta|. */
+  def refreshStoredBm25Index(s: SparkSession, path: String, deltaDocs: DataFrame,
+                             outPath: String): Unit = {
+    val (f0, dft0, stats0) = readBm25Index(s, path)
+    val (fD, dftD, statsD) = bm25IndexPieces(deltaDocs, None)
+    val collisions = f0.select(col("doc_id")).distinct()
+      .join(fD.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .limit(1).count()
+    require(collisions == 0L,
+      "refreshStoredBm25Index: delta contains doc_ids already in the index " +
+        "(ADD-only contract; retire-then-add updated docs)")
+    f0.unionByName(fD)
+      .repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/postings")
+    dft0.unionByName(dftD)
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/df")
+    stats0.select(col("n"), col("sum_dl"))
+      .unionByName(statsD.select(col("n"), col("sum_dl")))
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("avgdl_milli", expr("(sum_dl * 1000) DIV n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/stats")
+  }
+
   /** Serve BM25 top-k from a STORED index — bit-identical to the inline
     * [[bm25TopK]] over the same corpus (RetrievalSpec proves it): df and
     * corpus stats are pruning-independent facts, so the full-vocabulary
@@ -172,14 +213,13 @@ object Retrieval {
       ts.map(t => s"(CAST($id AS BIGINT), '$t')")
     }.mkString(", ")
 
-  /** q236: the batched top-10 for the gate query set. The oracle replays
-    * the whole pipeline — postings, pruned df, the q129 integer kernel,
-    * per-(query, doc) sums, (score desc, doc_id) ranking — so a drifted
-    * constant, a DIV-vs-round mismatch, or an unstable tie-break all
-    * hash-fail. */
-  val q236BatchRetrieval: Q = Q.sql(
-    "q236_batch_retrieval",
-    s"""WITH q(query_id, t) AS (SELECT * FROM (VALUES $oracleQueryValues) v),
+  /** Shared oracle CTE chain for q236 AND q240's lexical leg: gate
+    * queries → postings → pruned df → the q129 integer kernel →
+    * per-(query, doc) sums → the `r` ranked frame with the
+    * (score desc, doc_id) tie-break. Factored so the batched gate and
+    * the hybrid-fusion gate can never drift on the BM25 kernel. */
+  private def oracleBm25RankedCtes: String =
+    s"""q(query_id, t) AS (SELECT * FROM (VALUES $oracleQueryValues) v),
        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |stats AS (
        |  SELECT COUNT(*) AS n, (SUM(len(w)) * 1000) // COUNT(*) AS avgdl_milli FROM d),
@@ -201,12 +241,145 @@ object Retrieval {
        |  SELECT query_id, doc_id, score_milli, n_hit,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score_milli DESC, doc_id) AS rk
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+
+  /** q236: the batched top-10 for the gate query set. The oracle replays
+    * the whole pipeline — postings, pruned df, the q129 integer kernel,
+    * per-(query, doc) sums, (score desc, doc_id) ranking — so a drifted
+    * constant, a DIV-vs-round mismatch, or an unstable tie-break all
+    * hash-fail. */
+  val q236BatchRetrieval: Q = Q.sql(
+    "q236_batch_retrieval",
+    s"""WITH $oracleBm25RankedCtes
        |SELECT query_id, rk, doc_id, score_milli, n_hit FROM r WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
   ) { (s, dir) =>
     bm25TopK(Tables.documents(s, dir), queriesDf(s), k = 10)
   }
 
-  val all: Seq[Q] = Seq(q236BatchRetrieval)
+  /** Reciprocal-rank fusion of a lexical and a semantic ranked list
+    * (Cormack, Clarke & Buettcher, SIGIR 2009 — the fusion Elasticsearch
+    * / OpenSearch / Vespa ship for hybrid search): each leg contributes
+    * `1000000 div (rrfK + rank)` milli-points for every (query, doc) it
+    * ranked, a doc missing from one leg contributes 0 from that leg, and
+    * the fused top-k is ordered (rrf_milli desc, doc_id). All-integer —
+    * bit-identical across engines and partitionings; ties break to the
+    * lower doc_id.
+    *
+    * Inputs: `lex` (query_id, doc_id, rk_lex), `sem` (query_id, doc_id,
+    * rk_sem), ranks 1-based as [[bm25TopK]] / the ANN family emit them.
+    * Output: (query_id, rk, doc_id, rrf_milli, rk_lex, rk_sem), the
+    * leg ranks published 0 when that leg did not retrieve the doc.
+    *
+    * Scale shape: both legs arrive k-bounded (≤ kRetrieve rows per
+    * query), so the fuse works on |queries|×2k rows — the full-outer
+    * join and the per-query window are negligible next to the legs, and
+    * AQE broadcasts one side. In production the legs come from the
+    * STORED indexes ([[bm25SearchStored]]; `annSearchStored` /
+    * `pqTopKFrozen` on the semantic side) — the corpus is tokenized and
+    * encoded once, and fusion never touches it. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    import org.apache.spark.sql.expressions.Window
+    lex.select(col("query_id"), col("doc_id"), col("rk_lex").cast("long").as("rk_lex"))
+      .join(sem.select(col("query_id"), col("doc_id"), col("rk_sem").cast("long").as("rk_sem")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rk_lex"), lit(0L)).as("rk_lex"),
+        coalesce(col("rk_sem"), lit(0L)).as("rk_sem"))
+      .withColumn("rrf_milli",
+        when(col("rk_lex") > 0, expr(s"1000000 DIV ($rrfK + rk_lex)")).otherwise(0L) +
+          when(col("rk_sem") > 0, expr(s"1000000 DIV ($rrfK + rk_sem)")).otherwise(0L))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_milli").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("rrf_milli"), col("rk_lex"), col("rk_sem"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Hybrid retrieval: BM25 over `queries.terms` fused with exact
+    * cosine over `queries.qv` by [[rrfFuse]]. `queries` carries
+    * (query_id, terms: array<string>, qv: array<double>) — the standard
+    * hybrid-search query (keywords + a query embedding); `vectors`
+    * (vec_id, v) are the corpus embeddings keyed like `docs.doc_id`.
+    * Each leg retrieves its own top-`kRetrieve` before fusing to the
+    * final top-`k` — the RRF-over-top-K convention (a doc outside a
+    * leg's top-K gets 0 from that leg).
+    *
+    * Scale shape: the lexical leg is [[bm25TopK]]'s one-corpus-scan
+    * shape; the exact semantic leg broadcasts the bounded query set and
+    * streams candidates unshuffled (the q27 discipline) — it is the
+    * EXACT baseline; swap in the IVF/PQ serve paths for a 100 TB corpus
+    * and fuse the same way (the legs' output contract is identical). */
+  def hybridTopK(docs: DataFrame, vectors: DataFrame, queries: DataFrame,
+                 k: Int, kRetrieve: Int): DataFrame = {
+    require(kRetrieve >= k, s"kRetrieve ($kRetrieve) must be >= k ($k)")
+    val lex = bm25TopK(docs, queries.select(col("query_id"), col("terms")), kRetrieve)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = Similarity.cosineTopKExternal(
+        vectors, queries.select(col("query_id"), col("qv")), kRetrieve)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("rk_sem"))
+    rrfFuse(lex, sem, k)
+  }
+
+  /** q240: the hybrid gate — the q236 lexical kernel and the q27-style
+    * exact cosine leg (query embedding = the embedding row whose vec_id
+    * equals the gate query id), each top-20, RRF-fused to top-10. The
+    * oracle replays BOTH legs and the integer fusion end to end: a rank
+    * drift in either leg, a wrong missing-leg contribution, or an
+    * unstable fused tie-break all hash-fail. */
+  val q240HybridRrf: Q = Q.sql(
+    "q240_hybrid_rrf",
+    s"""WITH $oracleBm25RankedCtes,
+       |lex AS (SELECT query_id, doc_id, rk AS rk_lex FROM r WHERE rk <= 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |qemb AS (
+       |  SELECT q2.query_id, n.v AS qv, n.nrm AS qn
+       |  FROM (SELECT DISTINCT query_id FROM q) q2
+       |  JOIN norms n ON n.vec_id = q2.query_id),
+       |sem0 AS (
+       |  SELECT t.query_id, c.vec_id AS doc_id,
+       |    round(${Similarity.oracleDot.format("t.qv", "c.v")} / (t.qn * c.nrm), 9) AS sim
+       |  FROM qemb t, norms c),
+       |semr AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rk_sem
+       |  FROM sem0),
+       |sem AS (SELECT query_id, doc_id, rk_sem FROM semr WHERE rk_sem <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    CAST(COALESCE(l.rk_lex, 0) AS BIGINT) AS rk_lex,
+       |    CAST(COALESCE(s.rk_sem, 0) AS BIGINT) AS rk_sem,
+       |    CAST(COALESCE(1000000 // (60 + l.rk_lex), 0)
+       |       + COALESCE(1000000 // (60 + s.rk_sem), 0) AS BIGINT) AS rrf_milli
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf_milli, rk_lex, rk_sem,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_milli DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, rk, doc_id, rrf_milli, rk_lex, rk_sem
+       |FROM fr WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val qEmb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    hybridTopK(
+      Tables.documents(s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      queriesDf(s).join(qEmb, "query_id"),
+      k = 10, kRetrieve = 20)
+  }
+
+  val all: Seq[Q] = Seq(q236BatchRetrieval, q240HybridRrf)
 }

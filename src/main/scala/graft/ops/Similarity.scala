@@ -91,6 +91,29 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Exact cosine top-k for EXTERNAL queries — query ids live in their
+    * own id space (a user query set, not corpus members), so there is NO
+    * self-exclusion, unlike [[annTopKOf]]. `vectors` carry (vec_id, v),
+    * `queries` (query_id, qv), both array<double>. Same scale discipline
+    * as the q27 exact baseline: the bounded probe set broadcasts,
+    * candidates stream through the scan unshuffled, and a per-query
+    * window ranks by (round(sim, 9) desc, neighbor_id) — deterministic
+    * across engines and partitionings. The exact leg of
+    * [[graft.ops.Retrieval.hybridTopK]]. */
+  private[graft] def cosineTopKExternal(vectors: DataFrame, queries: DataFrame,
+                                        k: Int): DataFrame = {
+    val n = vectors.withColumn("nrm", norm(col("v")))
+    val q = queries.withColumn("qn", norm(col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(n)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("sim"))
+  }
+
   /** vec_id, v (array<double>), nrm. Float→double widening is exact. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -104,7 +127,7 @@ object Similarity {
 
   // Lambda var deliberately NOT 'p' — it would capture the planes CTE's
   // p column in DuckDB's binder instead of the lambda argument.
-  private val oracleDot =
+  private[graft] val oracleDot =
     "list_reduce(list_transform(list_zip(%s, %s), zz -> zz[1]*zz[2]), (a,b) -> a+b)"
 
   /** Brute-force exact cosine top-k (k=5) for a fixed probe set

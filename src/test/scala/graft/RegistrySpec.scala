@@ -103,6 +103,7 @@ class RegistrySpec extends AnyFunSuite {
     * scale-killer that must fail this suite. */
   private val BnljAllowed = Set(
     "q27_ann_topk",            // bounded probe set × candidates, <> condition
+    "q240_hybrid_rrf",         // bounded probe set × candidates (exact semantic leg) + 1-row corpus stats (BM25 leg)
     "q60_ann_ivf",             // 16-row centroid table cross join
     "q82_collocations",        // 1-row corpus-size cross join
     "q84_mixture_report",      // 1-row totals cross join

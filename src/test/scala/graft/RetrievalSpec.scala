@@ -119,6 +119,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(idx._2.count() == vocab)
   }
 
+  test("stored index refresh: refreshed == rebuilt piece-for-piece; collisions fail loudly") {
+    val all = Tables.documents(spark, Sf0001)
+    val base = all.filter(col("doc_id") % 3 =!= 0)
+    val delta = all.filter(col("doc_id") % 3 === 0)
+    val d1 = "target/fixtures/bm25_refresh_gen1"
+    val d2 = "target/fixtures/bm25_refresh_gen2"
+    val dAll = "target/fixtures/bm25_refresh_rebuild"
+    Graft.writeBm25Index(base, d1)
+    Graft.refreshStoredBm25Index(spark, d1, delta, d2)
+    Graft.writeBm25Index(all, dAll)
+    val ref = Graft.readBm25Index(spark, d2)
+    val reb = Graft.readBm25Index(spark, dAll)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(sorted(ref._1) == sorted(reb._1), "postings: refreshed != rebuilt")
+    assert(sorted(ref._2) == sorted(reb._2), "df: refreshed != rebuilt")
+    assert(sorted(ref._3) == sorted(reb._3), "stats: refreshed != rebuilt (sum_dl merge must be exact)")
+    // serve path agrees too, and with the inline build over the union
+    val queries = qf(ops.Retrieval.gateQueries)
+    val servedRef = Graft.bm25SearchStored(ref, queries, 10).collect().toSeq
+    assert(servedRef == Graft.bm25SearchStored(reb, queries, 10).collect().toSeq)
+    assert(servedRef == Graft.bm25TopK(all, queries, 10).collect().toSeq)
+    // ADD-only contract: an already-indexed doc_id in the delta raises
+    val ex = intercept[IllegalArgumentException] {
+      Graft.refreshStoredBm25Index(spark, d2, all.limit(1), "target/fixtures/bm25_refresh_bad")
+    }
+    assert(ex.getMessage.contains("ADD-only"))
+  }
+
   test("q236 gate query returns full ranked top-10 blocks at sf0.01") {
     val rows = SparkEntry.queries("q236_batch_retrieval")(spark, Sf001).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -14,18 +14,25 @@ object PhaseProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, dir)
 
+    // NO blanket block sweep between phases: later phases read the
+    // `hashed` localCheckpoint built below — unpersisting it mid-probe
+    // yields CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next phase. The
+    // few MB of accumulated probe state at sf0.1 are irrelevant to the
+    // phase timings.
     def t(label: String)(body: => Unit): Unit = {
       body // warm
       val times = Seq.tabulate(2) { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }
       println(f"""{"phase":"$label","sec":${times.min}%.3f}""")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
 
     t("textStats") { ops.TextAnalysis.textStats(spark, dir).count() }
     t("hashedShingles_count") { ops.Dedup.hashedShinglesOf(docs).count() }
-    t("materialize_localckpt") { ops.Components.materialize(ops.Dedup.hashedShinglesOf(docs), reliable = false) }
+    t("materialize_localckpt") {
+      val m = ops.Components.materialize(ops.Dedup.hashedShinglesOf(docs), reliable = false)
+      ops.Components.releaseBlocks(m)
+    }
     val hashed = ops.Components.materialize(ops.Dedup.hashedShinglesOf(docs), reliable = false)
     t("minhashPairs_from_mat") { ops.Dedup.minhashPairsOf(hashed).count() }
     val pairs = ops.Dedup.minhashPairsOf(hashed).select(col("i"), col("j"))
