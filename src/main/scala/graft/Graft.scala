@@ -124,6 +124,16 @@ object Graft {
                       queries: DataFrame, nProbe: Int, topK: Int): DataFrame =
     ops.Quantize.annSearchStored(index, queries, nProbe, topK)
 
+  /** Refresh a stored [[writeAnnIndex]] artifact through a
+    * (vec_id, status, v) change feed into a NEW generation at
+    * `outPath`: quantizers copy verbatim (frozen — a retrain is a
+    * release, not a refresh), only the code table moves, work beyond
+    * the copy ∝ |delta|. Refreshed == gen-2 codes re-derived from
+    * scratch under the same quantizers (AnnIndexSpec). */
+  def refreshStoredAnnIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                            delta: DataFrame, outPath: String): Unit =
+    ops.Quantize.refreshStoredAnnIndex(s, path, delta, outPath)
+
   /** Streaming IVF-PQ ingest: incoming (vec_id, v) rows → the stored
     * index grain (vec_id, list_id, codes) under frozen quantizers.
     * Stateless map-only — append mode, no state store; identical rows

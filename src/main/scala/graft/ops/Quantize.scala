@@ -587,6 +587,28 @@ object Quantize {
                                      queries: DataFrame, nProbe: Int, topK: Int): DataFrame =
     ivfPqSearchFrom(index._1, index._2, index._3, queries, nProbe, topK)
 
+  /** Refresh a stored [[writeAnnIndex]] artifact through a change feed
+    * into a NEW generation at `outPath` — the stored-generation form of
+    * [[refreshIvfPqCodes]], completing the write/read/serve/refresh
+    * quartet the band/Bloom/BM25 indexes have. The quantizers are
+    * FROZEN across generations (copied verbatim — a quantizer retrain
+    * is a release, not a refresh), so only the code table moves:
+    * removed/changed rows anti-join out, added/changed vectors re-list
+    * and re-encode from their new embedding, unchanged rows copy
+    * through. Work beyond the copy ∝ |delta|; refreshed == a gen-2
+    * code table re-derived from scratch under the same frozen
+    * quantizers (AnnIndexSpec proves it piece for piece, serve path
+    * included). */
+  private[graft] def refreshStoredAnnIndex(s: SparkSession, path: String,
+                                           delta: DataFrame, outPath: String): Unit = {
+    val (cents, cbRow, codes) = readAnnIndex(s, path)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    cbRow.coalesce(1).write.mode("overwrite").parquet(s"$outPath/codebook")
+    refreshIvfPqCodes(codes, delta, cents, cbRow)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$outPath/codes")
+  }
+
   /** Incremental maintenance of the stored IVF-PQ code table under the
     * FROZEN quantizers — the q209 discipline extended to the code
     * payload: removed/changed rows anti-join out; added/changed vectors
