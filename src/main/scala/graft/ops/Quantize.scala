@@ -372,8 +372,11 @@ object Quantize {
     * bytes/vector; the search joins a bounded probe set to the code
     * table on list_id (equi-join, cost ∝ probed lists); nothing ever
     * shuffles the raw vectors. */
-  val q231IvfPqSearch: Q = Q.sql(
-    "q231_ivfpq_search",
+  /** Shared oracle body for q231 AND q242: the full frozen-quantizer
+    * IVF-PQ replay (per-label fixed-point coarse centroids, residual PQ
+    * codebook, assignment, encode, 2-probe ADC search, top-5). Factored
+    * so the inline gate and the stored-serve gate can never drift. */
+  private lazy val oracleIvfPqTop5: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
        |cstate AS (
        |  SELECT label, pos.pos AS pos,
@@ -458,10 +461,40 @@ object Quantize {
        |  FROM scored)
        |SELECT query_id, neighbor_id, adc, rk FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
+
+  val q231IvfPqSearch: Q = Q.sql(
+    "q231_ivfpq_search",
+    oracleIvfPqTop5
   ) { (s, dir) =>
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
     ivfPqSearch(emb, probeMax = 10L, nProbe = 2, topK = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q242: the stored-index SERVE path oracle-gated end to end — the
+    * q238/q239/q241 conversion applied to the ANN index (AnnIndexSpec's
+    * bit-for-bit law, promoted to a registered oracle gate). The ENGINE
+    * persists the full IVF-PQ artifact ([[writeAnnIndex]]: centroids/,
+    * codebook/, list-partitioned codes/), re-opens it, and serves the
+    * probe set from the STORED pieces; the ORACLE replays the entire
+    * frozen-quantizer pipeline inline. A code row that drifted through
+    * the parquet round-trip, a mis-partitioned posting list, or a
+    * serve-side probe ranking change all hash-fail. Artifact lives at a
+    * FIXED fixture path (target/fixtures/q242_ann_idx) — written and
+    * read inside one query execution, same single-Verify-at-a-time
+    * caveat as q238/q239/q241 (verify SKILL.md). */
+  val q242StoredAnnServe: Q = Q.sql(
+    "q242_stored_ann_serve",
+    oracleIvfPqTop5
+  ) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val path = "target/fixtures/q242_ann_idx"
+    writeAnnIndex(emb, path)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    annSearchStored(readAnnIndex(s, path), qs, nProbe = 2, topK = 5)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -734,5 +767,6 @@ object Quantize {
   }
 
   val all: Seq[Q] = Seq(q102QuantizeEmb, q173PqAnn, q230PqAdcFrozen, q231IvfPqSearch,
+    q242StoredAnnServe,
     q233IvfPqRefresh)
 }

@@ -381,5 +381,31 @@ object Retrieval {
       k = 10, kRetrieve = 20)
   }
 
-  val all: Seq[Q] = Seq(q236BatchRetrieval, q240HybridRrf)
+  /** q241: the stored-index REFRESH + SERVE path oracle-gated end to
+    * end — the q238/q239 conversion applied to the lexical index. The
+    * ENGINE builds a gen-1 index over 4/5 of the corpus, refreshes it
+    * with the remaining 1/5 through [[refreshStoredBm25Index]] (delta-
+    * only tokenization, additive df/stats merge), and serves the gate
+    * queries from the REFRESHED artifact; the ORACLE replays the q236
+    * kernel over the FULL corpus inline. A dropped posting, a
+    * double-counted df, or a stats merge that loses a token all
+    * hash-fail. Index generations live at FIXED fixture paths
+    * (target/fixtures/q241_bm25_gen{1,2}) — written and read inside one
+    * query execution, same single-Verify-at-a-time caveat as q238/q239
+    * (verify SKILL.md). */
+  val q241StoredBm25RefreshServe: Q = Q.sql(
+    "q241_stored_bm25_refresh_serve",
+    s"""WITH $oracleBm25RankedCtes
+       |SELECT query_id, rk, doc_id, score_milli, n_hit FROM r WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val p1 = "target/fixtures/q241_bm25_gen1"
+    val p2 = "target/fixtures/q241_bm25_gen2"
+    writeBm25Index(docs.filter(col("doc_id") % 5 =!= 0), p1)
+    refreshStoredBm25Index(s, p1, docs.filter(col("doc_id") % 5 === 0), p2)
+    bm25SearchStored(readBm25Index(s, p2), queriesDf(s), k = 10)
+  }
+
+  val all: Seq[Q] = Seq(q236BatchRetrieval, q240HybridRrf, q241StoredBm25RefreshServe)
 }

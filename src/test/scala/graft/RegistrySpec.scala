@@ -104,6 +104,7 @@ class RegistrySpec extends AnyFunSuite {
   private val BnljAllowed = Set(
     "q27_ann_topk",            // bounded probe set × candidates, <> condition
     "q240_hybrid_rrf",         // bounded probe set × candidates (exact semantic leg) + 1-row corpus stats (BM25 leg)
+    "q241_stored_bm25_refresh_serve", // 1-row corpus-stats cross join (the q236/q129 BNLJ, served from the refreshed artifact)
     "q60_ann_ivf",             // 16-row centroid table cross join
     "q82_collocations",        // 1-row corpus-size cross join
     "q84_mixture_report",      // 1-row totals cross join
@@ -138,6 +139,7 @@ class RegistrySpec extends AnyFunSuite {
     "q215_cms_freq",           // 1-row CMS-state cross join (probes read cells row-local)
     "q230_pq_adc_frozen",      // 1-row codebook cross joins + bounded probe set × 8-byte codes, <> condition (q27's discipline over 32× less data)
     "q231_ivfpq_search",       // 1-row codebook / k-row centroid cross joins; the search itself is an equi-join on list_id
+    "q242_stored_ann_serve",   // q231's stored-serve twin: same deliberate quantizer cross joins, codes from the artifact
     "q233_ivfpq_refresh",      // the same quantizer cross joins on both the stored-table and delta-encode sides
     "q236_batch_retrieval",    // 1-row corpus-stats cross join (q129's N/avgdl discipline, batched)
     "q237_mixture_plan")       // 1-row weight-total / sum_ok cross joins onto the |domains|-row plan
