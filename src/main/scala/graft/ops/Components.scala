@@ -116,8 +116,26 @@ object Components {
     // whether or not it is materialized, so batching only added overshoot
     // rounds past convergence and Catalyst analysis of deeper plans.
     // Measured at sf0.1: per-round 1.45s, 4-round batches 2.0-3.1s.)
-    val sym = ckpt(edges.select(col("i").as("src"), col("j").as("dst"))
-      .union(edges.select(col("j").as("src"), col("i").as("dst"))))
+    // Checkpoint the DIRECTED pairs first, then the symmetrized view
+    // FROM THOSE BLOCKS (r14): ckpt-ing the union of the raw pipeline
+    // evaluated the caller's pair pipeline once per union branch —
+    // ReuseExchange dedups the exchanges below, but everything between
+    // the last exchange and the union top (the Jaccard-verification
+    // join with its array_intersect over shingle arrays) ran TWICE per
+    // CC call. Two-step: the pipeline evaluates exactly once (e), the
+    // sym ckpt is a cheap block-to-block union, and every loop round
+    // reads ONE block set; e releases the moment sym materializes.
+    // The sym ckpt is REPARTITIONED BY src (§2.4 "share one exchange"):
+    // localCheckpoint preserves output partitioning in the LogicalRDD,
+    // so the seed aggregation and EVERY round's propagation join read
+    // the blocks exchange-free instead of re-shuffling the edge set
+    // once per round. (The labels side is already id-partitioned by its
+    // own round checkpoint for the same reason.)
+    val e = ckpt(edges.select(col("i"), col("j")))
+    val sym = ckpt(e.select(col("i").as("src"), col("j").as("dst"))
+      .union(e.select(col("j").as("src"), col("i").as("dst")))
+      .repartition(col("src")))
+    releaseBlocks(e)
     // Seed labels at min(self, direct neighbors): the node-collection
     // aggregation has to shuffle the edge list by src anyway, so folding
     // round 1's min-propagation into it is free — star-shaped near-dup
@@ -267,7 +285,15 @@ object Components {
     * removed docs. */
   def refreshComponents(comps: DataFrame, newPairs: DataFrame): DataFrame = {
     val c = comps.select(col("doc_id"), col("component"))
-    val p = newPairs.select(col("i"), col("j"))
+    // Checkpoint the (possibly expensive) new-pair pipeline ONCE (r14):
+    // `p` fans into the contracted graph (evaluated inside the inner
+    // connectedComponents' edge checkpoint) AND both newlyLabeled
+    // branches — three full replays of the two-sided band join
+    // otherwise. p is ∝ |batch| rows by the incremental contract, so the
+    // blocks are small wherever this is affordable to call at all.
+    val rel = sessionReliable(newPairs)
+    if (rel) requireCheckpointDir(newPairs)
+    val p = materialize(newPairs.select(col("i"), col("j")), rel)
     val contracted = p
       .join(c.select(col("doc_id").as("i"), col("component").as("__graft_ci")),
         Seq("i"), "left")
@@ -316,7 +342,15 @@ object Components {
     "q208_component_refresh",
     oracleFullClosure
   ) { (s, dir) =>
-    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    // checkpoint the hashed-shingle frame ONCE (r14, the q143 lesson):
+    // the generation filters below push through the by-doc_id barrier
+    // and defeat ReuseExchange, so every pair-pipeline consumer (~10
+    // references across the standing/incoming/cross legs) re-shingled
+    // the corpus from parquet otherwise
+    val __raw = graft.Tables.documents(s, dir)
+    val __rel = sessionReliable(__raw)
+    if (__rel) requireCheckpointDir(__raw)
+    val docs = materialize(Dedup.hashedShinglesOf(__raw), __rel)
     val standing = docs.filter(col("doc_id") % 3 =!= 0)
     val incoming = docs.filter(col("doc_id") % 3 === 0)
     val comps = connectedComponents(
@@ -401,7 +435,15 @@ object Components {
     "q218_component_retire",
     oracleClosureOver("(SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0)")
   ) { (s, dir) =>
-    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    // checkpoint the hashed-shingle frame ONCE (r14, the q143 lesson):
+    // the generation filters below push through the by-doc_id barrier
+    // and defeat ReuseExchange, so every pair-pipeline consumer (~10
+    // references across the standing/incoming/cross legs) re-shingled
+    // the corpus from parquet otherwise
+    val __raw = graft.Tables.documents(s, dir)
+    val __rel = sessionReliable(__raw)
+    if (__rel) requireCheckpointDir(__raw)
+    val docs = materialize(Dedup.hashedShinglesOf(__raw), __rel)
     val comps = connectedComponents(
         Dedup.minhashPairsOf(docs).select(col("i"), col("j")))
       .select(col("id").as("doc_id"), col("label").as("component"))
@@ -475,7 +517,15 @@ object Components {
     "q217_incremental_ingest",
     oracleFullSurvivors
   ) { (s, dir) =>
-    val docs = Dedup.hashedShinglesOf(graft.Tables.documents(s, dir))
+    // checkpoint the hashed-shingle frame ONCE (r14, the q143 lesson):
+    // the generation filters below push through the by-doc_id barrier
+    // and defeat ReuseExchange, so every pair-pipeline consumer (~10
+    // references across the standing/incoming/cross legs) re-shingled
+    // the corpus from parquet otherwise
+    val __raw = graft.Tables.documents(s, dir)
+    val __rel = sessionReliable(__raw)
+    if (__rel) requireCheckpointDir(__raw)
+    val docs = materialize(Dedup.hashedShinglesOf(__raw), __rel)
     val standing = docs.filter(col("doc_id") % 3 =!= 0)
     val incoming = docs.filter(col("doc_id") % 3 === 0)
     val comps = connectedComponents(
@@ -541,7 +591,15 @@ object Components {
     * member, scored by [[TextAnalysis.statsOf]]'s composite. */
   private[graft] def bestSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
-    val quality = TextAnalysis.statsOf(docs.withColumn("lang", lit("")))
+    // quality is consumed through an INNER join with comps below, so
+    // only component members' scores survive — pre-restricting the
+    // stats pass with a semi-join on the (checkpointed, duplication-
+    // bounded) component ids skips the split/distinct/stopword work for
+    // every non-duplicated doc (r14; result unchanged by construction)
+    val quality = TextAnalysis.statsOf(
+        docs.join(comps.select(col("id").as("__graft_m")),
+          docs("doc_id") === col("__graft_m"), "left_semi")
+          .withColumn("lang", lit("")))
       .select(col("doc_id").as("id"), col("quality"))
     // argmax by (quality, -id): quality ties fall back to the min id,
     // making the winner — and thus the output — a total-order function
@@ -775,19 +833,28 @@ object Components {
     val rel = sessionReliable(edges)
     if (rel) requireCheckpointDir(edges)
     // evaluate the (possibly expensive) upstream edge pipeline ONCE —
-    // it is referenced in every iteration
+    // it is referenced in every iteration. `outdeg` rides ON the edge
+    // row (r14): it is a loop invariant the old shape re-aggregated and
+    // re-joined EVERY iteration; a window count inside the same single
+    // checkpoint action removes one join + one aggregation per
+    // iteration outright (§2.4), for zero extra actions.
     val e = materialize(
       edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-        .distinct(), rel)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .distinct()
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))),
+      rel)
+    // the node set is a loop invariant too (seed + every round's left
+    // join) — checkpoint it once (r14) instead of re-shuffling the full
+    // edge set into a distinct per iteration; node-grain, the same state
+    // size as the rank table itself
+    val nodes = materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), rel)
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     var ranksCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
       val in = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
       val next = materialize(
@@ -800,8 +867,10 @@ object Components {
       ranksCkpt = next
       ranks = next
     }
-    // the final ranks are checkpointed — the edge frame is dead
+    // the final ranks are checkpointed — the edge frame and the node
+    // invariant are dead
     releaseBlocks(e)
+    releaseBlocks(nodes)
     ranks
   }
 

@@ -699,8 +699,15 @@ object Decontam {
   private[graft] def refreshDecontamSpans(corpus: DataFrame, pieces: DataFrame,
                                           evalH1: DataFrame, deltaEval: DataFrame,
                                           pad: Int = 2, minWords: Int = 3): DataFrame = {
-    val dh = evalShingleHashes(deltaEval)
-    val affected = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // checkpoint the delta hash set and the affected-doc set ONCE (r14):
+    // dh fans into the detection probe AND the E₁ ∪ Δ re-cut union,
+    // affected into the re-cut semi-join AND the pass-through anti-join
+    // — each re-derived its aggregation per consumer otherwise. Both are
+    // ∝ |delta| / |affected| by the refresh contract.
+    val rel = Components.sessionReliable(corpus)
+    if (rel) Components.requireCheckpointDir(corpus)
+    val dh = Components.materialize(evalShingleHashes(deltaEval), rel)
+    val affected0 = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), explode(transform(
         expr("sequence(0, size(w) - 5)"), i =>
@@ -708,6 +715,7 @@ object Decontam {
             get(col("w"), i + 2), get(col("w"), i + 3), get(col("w"), i + 4))))).as("h"))
       .join(broadcast(dh), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
+    val affected = Components.materialize(affected0, rel)
     val recut = decontamSpansHashed(
       corpus.join(affected, Seq("doc_id"), "left_semi"),
       evalH1.unionByName(dh).distinct(), pad, minWords)
@@ -772,7 +780,11 @@ object Decontam {
     val corpus = docs.filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 20 =!= 10)
     val eval1 = docs.filter(col("doc_id") % 20 === 0)
     val delta = docs.filter(col("doc_id") % 20 === 10)
-    val evalH1 = evalShingleHashes(eval1)
+    // E₁'s hash set feeds the standing span cut AND the refresh's hash
+    // union — checkpoint once (r14)
+    val __rel = Components.sessionReliable(docs)
+    if (__rel) Components.requireCheckpointDir(docs)
+    val evalH1 = Components.materialize(evalShingleHashes(eval1), __rel)
     val pieces1 = decontamSpansHashed(corpus, evalH1)
     refreshDecontamSpans(corpus, pieces1, evalH1, delta)
       .orderBy(col("doc_id"), col("piece_id"))

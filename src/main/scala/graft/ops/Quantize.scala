@@ -329,7 +329,12 @@ object Quantize {
   private[graft] def pqAdcFrozen(vectors: DataFrame, probeMax: Long, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     import org.apache.spark.sql.expressions.Window
-    val cbRow = frozenPqCodebook(vectors)
+    // the 1-row codebook fans into TWO broadcasts (encode + probe
+    // tables) — without a checkpoint each broadcast re-runs the full
+    // posexplode codebook aggregation over the corpus (r14)
+    val rel = Components.sessionReliable(vectors)
+    if (rel) Components.requireCheckpointDir(vectors)
+    val cbRow = Components.materialize(frozenPqCodebook(vectors), rel)
     val encoded = pqEncodeFrozen(vectors, cbRow)
       .select(col("vec_id"), col("codes"))
     val dt = transform(col("cb"), (cbS, i) =>
@@ -535,9 +540,21 @@ object Quantize {
 
   private[graft] def ivfPqSearch(emb: DataFrame, probeMax: Long,
                                  nProbe: Int, topK: Int): DataFrame = {
-    val cents = coarseListsOf(emb)
-    val res = ivfResiduals(emb.select(col("vec_id"), col("v")), cents)
-    val cbRow = frozenPqCodebook(res.select(col("vec_id"), col("v")))
+    // checkpoint the index-build invariants ONCE each (r14): cents is
+    // consumed by the residual join AND the query probe assignment (each
+    // re-ran the full per-label posexplode centroid aggregation); res by
+    // the codebook aggregation AND the encode pass (each re-ran coarse
+    // assignment + residual subtraction over the corpus); the 1-row
+    // codebook by the encode and probe-table broadcasts. cents and cbRow
+    // are index-constant grain; res is one row per vector — exactly the
+    // pieces a production build would persist anyway (writeAnnIndex).
+    val rel = Components.sessionReliable(emb)
+    if (rel) Components.requireCheckpointDir(emb)
+    val cents = Components.materialize(coarseListsOf(emb), rel)
+    val res = Components.materialize(
+      ivfResiduals(emb.select(col("vec_id"), col("v")), cents), rel)
+    val cbRow = Components.materialize(
+      frozenPqCodebook(res.select(col("vec_id"), col("v"))), rel)
     val encoded = ivfPqEncode(res, cbRow)
     val qs = emb.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -593,14 +610,26 @@ object Quantize {
     * from; [[refreshIvfPqCodes]] maintains `codes/` under a delta feed
     * with the quantizers frozen. */
   private[graft] def writeAnnIndex(emb: DataFrame, path: String): Unit = {
-    val cents = coarseListsOf(emb)
-    val res = ivfResiduals(emb.select(col("vec_id"), col("v")), cents)
-    val cbRow = frozenPqCodebook(res.select(col("vec_id"), col("v")))
+    // checkpoint the build invariants once (r14, the ivfPqSearch
+    // discipline): the three write ACTIONS otherwise each re-derive
+    // their upstream pieces (cents ×3, res ×2, cbRow ×2 full-corpus
+    // passes). All actions finish inside this call, so the blocks are
+    // released before returning.
+    val rel = Components.sessionReliable(emb)
+    if (rel) Components.requireCheckpointDir(emb)
+    val cents = Components.materialize(coarseListsOf(emb), rel)
+    val res = Components.materialize(
+      ivfResiduals(emb.select(col("vec_id"), col("v")), cents), rel)
+    val cbRow = Components.materialize(
+      frozenPqCodebook(res.select(col("vec_id"), col("v"))), rel)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     cbRow.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     ivfPqEncode(res, cbRow)
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/codes")
+    Components.releaseBlocks(cents)
+    Components.releaseBlocks(res)
+    Components.releaseBlocks(cbRow)
   }
 
   /** Re-open a [[writeAnnIndex]] artifact: (centroids, codebook row,
@@ -744,9 +773,17 @@ object Quantize {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
     val g1 = emb.filter(col("vec_id") % 7 =!= 0)
-    val cents = coarseListsOf(g1)
-    val res1 = ivfResiduals(g1.select(col("vec_id"), col("v")), cents)
-    val cbRow = frozenPqCodebook(res1.select(col("vec_id"), col("v")))
+    // same build-invariant checkpointing as ivfPqSearch (r14): cents /
+    // res1 / cbRow each fan into several consumers (codes1 AND the
+    // refresh's delta re-listing + re-encode), re-running full corpus
+    // passes per reference otherwise
+    val rel = Components.sessionReliable(emb)
+    if (rel) Components.requireCheckpointDir(emb)
+    val cents = Components.materialize(coarseListsOf(g1), rel)
+    val res1 = Components.materialize(
+      ivfResiduals(g1.select(col("vec_id"), col("v")), cents), rel)
+    val cbRow = Components.materialize(
+      frozenPqCodebook(res1.select(col("vec_id"), col("v"))), rel)
     val codes1 = ivfPqEncode(res1, cbRow)
     // the change feed, by the same generation rules the oracle derives
     // g2 from; v carries the NEW (gen-2) embedding for added/changed

@@ -146,10 +146,20 @@ object Retrieval {
     * text is NOT stored — the index is the retrieval-sufficient
     * statistic, the writeAnnIndex discipline. */
   def writeBm25Index(docs: DataFrame, path: String): Unit = {
-    val (f, dft, stats) = bm25IndexPieces(docs, None)
+    // checkpoint the postings ONCE (r14): the postings and df writes are
+    // separate ACTIONS, so the full-vocabulary tokenize + (doc, term)
+    // aggregation otherwise ran twice (df derives from f). Derivation of
+    // df from the materialized frame is the identical expression
+    // bm25IndexPieces builds; blocks release before returning.
+    val (f0, _, stats) = bm25IndexPieces(docs, None)
+    val rel = graft.ops.Components.sessionReliable(docs)
+    if (rel) graft.ops.Components.requireCheckpointDir(docs)
+    val f = graft.ops.Components.materialize(f0, rel)
+    val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
     f.repartition(col("t")).write.mode("overwrite").parquet(s"$path/postings")
     dft.repartition(col("t")).write.mode("overwrite").parquet(s"$path/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    graft.ops.Components.releaseBlocks(f)
   }
 
   /** Re-open a [[writeBm25Index]] artifact: (postings, df, stats). */
@@ -175,7 +185,14 @@ object Retrieval {
   def refreshStoredBm25Index(s: SparkSession, path: String, deltaDocs: DataFrame,
                              outPath: String): Unit = {
     val (f0, dft0, stats0) = readBm25Index(s, path)
-    val (fD, dftD, statsD) = bm25IndexPieces(deltaDocs, None)
+    // checkpoint the delta postings ONCE (r14): fD otherwise re-derives
+    // the delta tokenize + aggregation for each of the collision check,
+    // the postings write, and the df write (dftD derives from fD)
+    val (fD0, _, statsD) = bm25IndexPieces(deltaDocs, None)
+    val rel = graft.ops.Components.sessionReliable(deltaDocs)
+    if (rel) graft.ops.Components.requireCheckpointDir(deltaDocs)
+    val fD = graft.ops.Components.materialize(fD0, rel)
+    val dftD = fD.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
     val collisions = f0.select(col("doc_id")).distinct()
       .join(fD.select(col("doc_id")).distinct(), Seq("doc_id"))
       .limit(1).count()
@@ -192,6 +209,7 @@ object Retrieval {
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
       .withColumn("avgdl_milli", expr("(sum_dl * 1000) DIV n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/stats")
+    graft.ops.Components.releaseBlocks(fD)
   }
 
   /** Serve BM25 top-k from a STORED index — bit-identical to the inline

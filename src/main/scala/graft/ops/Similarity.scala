@@ -420,10 +420,18 @@ object Similarity {
     require(nPlanes >= 1 && nPlanes <= 24,
       s"nPlanes must be in [1, 24], got $nPlanes")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
-    val n = vectors.select(col("vec_id"), col("v"))
+    // checkpoint the bucketed-norm frame ONCE (r14): the pre-count is an
+    // eager pass over it anyway, and downstream it fans into the size
+    // aggregate, the centroid aggregate (skewed branch), and both join
+    // sides — each re-deriving the scan + projections otherwise (the
+    // self-join's exchange dedups, but everything below the first
+    // exchange re-ran per reference)
+    val rel = Components.sessionReliable(vectors)
+    if (rel) Components.requireCheckpointDir(vectors)
+    val n = Components.materialize(vectors.select(col("vec_id"), col("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
-      .withColumn("bucket", bucket(col("v"), nPlanes))
+      .withColumn("bucket", bucket(col("v"), nPlanes)), rel)
     val anyOversized = !n.groupBy(col("bucket")).agg(count(lit(1)).as("__graft_bsz"))
       .filter(col("__graft_bsz") > maxBucketSize).isEmpty
     val pairCols = (extra: Column) => Seq(
@@ -737,8 +745,10 @@ object Similarity {
   ) { (s, dir) =>
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
-    // frozen quantizer: per-label fixed-point centroids (q209's recipe)
-    val cents = emb.select(col("label"), posexplode(col("v")))
+    // frozen quantizer: per-label fixed-point centroids (q209's recipe);
+    // materialized below (k-row grain) so the assignment and the
+    // sub-bucket centers read one evaluation of the posexplode pass
+    val cents0 = emb.select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(round(col("col") * 1048576).cast("long")) /
         (count(lit(1)) * lit(1048576.0))).as("mu"))
@@ -751,9 +761,18 @@ object Similarity {
         .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
       .unionByName(s.range(1).select(lit(999999L).as("vec_id"),
         array_repeat(lit(0.0), Dim).as("v")))
-    val indexed = ivfAssign(corpus, cents)
+    // checkpoint the assignment frame ONCE (r14): it fans into the
+    // zero-norm branch, the rep window, and (through reps) the bucket
+    // machinery and the sweep's member join — each re-ran the
+    // per-label centroid aggregation + argmin assignment over the
+    // corpus otherwise (32 static scans). cents rides inside the one
+    // materialized evaluation; centers reads it back at k-row grain.
+    val __rel = Components.sessionReliable(emb)
+    if (__rel) Components.requireCheckpointDir(emb)
+    val cents = Components.materialize(cents0, __rel)
+    val indexed = Components.materialize(ivfAssign(corpus, cents)
       .withColumn("nrm", norm(col("v")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id").as("cluster"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id").as("cluster")), __rel)
     val centers = cents.select(col("list_id").as("cluster"), col("centroid").as("mu"))
     val (members, bucketed, zeroNorm) = semDedupPrepAssigned(indexed, centers, 1 << 20)
     semDedupSweep(members, bucketed, zeroNorm, tau = 0.3)
