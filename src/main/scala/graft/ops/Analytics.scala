@@ -966,9 +966,19 @@ object Analytics {
     // C(maxBasketSize, 2) per row: mega-baskets are dropped from the
     // pair branch only (see [[MaxBasketSize]]). Item frequencies and
     // the basket total derive from the same frame and stay exact.
-    val baskets = df
-      .groupBy(basket.as("__graft_basket"))
-      .agg(sort_array(collect_set(item)).as("items"))
+    // The basket frame is CHECKPOINTED once (r15, guide §2.4): it fans
+    // into THREE actions' subtrees — the pair branch, the item-
+    // frequency table, and the basket total — whose differing column
+    // prunings (n_orders needs no items array) make the aggregate
+    // subtrees unequal, defeating ReuseExchange; without the
+    // materialization each consumer re-scanned the input and re-ran
+    // the collect_set aggregation (3 scans / 3 basket exchanges
+    // statically at r15 baseline).
+    val rel = Components.sessionReliable(df)
+    if (rel) Components.requireCheckpointDir(df)
+    val baskets = Components.materialize(
+      df.groupBy(basket.as("__graft_basket"))
+        .agg(sort_array(collect_set(item)).as("items")), rel)
     val pc = baskets
       .select(explode(col("items")).as("__graft_item"))
       .groupBy(col("__graft_item")).agg(count(lit(1)).as("n"))

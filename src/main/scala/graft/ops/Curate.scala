@@ -54,10 +54,22 @@ object Curate {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
   ) { (s, dir) =>
+    // the hashed-shingle frame fans into BOTH minhashPairs consumers
+    // (signatures + the two verification-array join sides) with an
+    // isnotnull(doc_id) pushdown splitting the subtrees, so execution
+    // re-shingled the corpus per consumer. Checkpoint it ONCE (r15 —
+    // the q143/q197 discipline applied to the plain curation chain).
+    val docs = graft.Tables.documents(s, dir)
+    val rel = Components.sessionReliable(docs)
+    if (rel) Components.requireCheckpointDir(docs)
+    val hashed = Components.materialize(Dedup.hashedShinglesOf(docs), rel)
     val dropped = Components.connectedComponents(
-        Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+        Dedup.minhashPairsOf(hashed).select(col("i"), col("j")))
       .filter(col("id") =!= col("label"))
       .select(col("id"))
+    // connectedComponents checkpoints its input eagerly, so the shingle
+    // blocks are dead the moment it returns — release, don't leak
+    Components.releaseBlocks(hashed)
     TextAnalysis.textStats(s, dir)
       .filter(col("quality") >= MinQuality && col("n_words") >= MinWords)
       .join(dropped, col("doc_id") === col("id"), "left_anti")

@@ -1487,10 +1487,41 @@ object Dedup {
        |JOIN wsets wj ON wj.doc_id = np.j
        |ORDER BY np.i, np.j""".stripMargin
   ) { (s, dir) =>
-    val wsets = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    // r15 (guide §2.3/§2.4, the r14-deferred item): the pair frame is
+    // CHECKPOINTED (∝ verified duplicates, ≪ corpus) so the endpoint id
+    // set can bound the word-set pass; the word-set frame is built
+    // behind a LEFT-SEMI join on the pair endpoints and checkpointed
+    // once, feeding BOTH the wi and wj join sides. Before: each side
+    // re-derived the full-corpus tokenize + array_distinct (wsets
+    // referenced twice on different keys — no shareable exchange), so
+    // the corpus paid two extra text passes; now the tokenize work is
+    // pair-endpoint-bounded and runs once. Both joins are INNER on the
+    // pair's ids, so restricting wsets to exactly those ids cannot
+    // change a row (result-invariant by construction; the oracle
+    // replays the unrestricted SQL and must still hash-match).
+    // Measured cost at sf0.1: ~+0.2 s — the pair checkpoint's job
+    // barrier outweighs the saved tokenize at a scale where the corpus
+    // fits in page cache; the trade exists FOR the 100 TB shape, where
+    // two full-corpus tokenize passes dwarf one duplication-bounded
+    // materialization (accepted deliberately, OPTIMIZATION_r15.md).
+    val docs = Tables.documents(s, dir)
+    val rel = graft.ops.Components.sessionReliable(docs)
+    if (rel) graft.ops.Components.requireCheckpointDir(docs)
+    // (the pair pipeline itself evaluates exactly once inside this
+    // materialization, so no extra shingle checkpoint is needed here —
+    // measured net-negative at sf0.1: the block write/read of the
+    // corpus-sized shingle arrays cost more than the ReuseExchange-
+    // covered re-reference it saved)
+    val pairs = graft.ops.Components.materialize(
+      minhashPairs(s, dir).select(col("i"), col("j")), rel)
+    val ids = pairs.select(col("i").as("doc_id"))
+      .union(pairs.select(col("j").as("doc_id"))).distinct()
+    val wsets = graft.ops.Components.materialize(
+      docs
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws")), rel)
     val shared = size(array_intersect(col("wi"), col("wj")))
-    minhashPairs(s, dir).select(col("i"), col("j"))
+    pairs
       .join(wsets.select(col("doc_id").as("i"), col("ws").as("wi")), "i")
       .join(wsets.select(col("doc_id").as("j"), col("ws").as("wj")), "j")
       .select(col("i"), col("j"),

@@ -276,24 +276,36 @@ object Eval {
   private[graft] def bootstrapMeanOf(rows: DataFrame, b: Int): DataFrame = {
     require(b >= 4, s"need at least 4 replicates for the 2nd/2nd-last CI, got $b")
     val px = rows.select(col("id").cast("string").as("id"), col("cents"))
-    val rep = px.withColumn("r", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("u9",
-        call_function("graft_md5long64",
-          concat_ws(":", col("id"), col("r").cast("string"))) % 1000000000L)
-      .withColumn("wgt", poissonWeight(col("u9")))
-    val m = rep.groupBy(col("r"))
-      .agg(sum(col("wgt")).as("nr"), sum(col("wgt") * col("cents")).as("sr"))
-      .select(col("r"),
-        round(col("sr").cast("double") / (col("nr") * 100.0), 6).as("mean_r"))
-    // b-row constant frame; pmod(r,1)=0 partition keeps WindowExec quiet
-    val mw = Window.partitionBy(pmod(col("r"), lit(1)))
-      .orderBy(col("mean_r"), col("r"))
-    val ranked = m.withColumn("rn", row_number().over(mw))
-    val lo = ranked.filter(col("rn") === 2).select(col("mean_r").as("ci_lo"))
-    val hi = ranked.filter(col("rn") === b - 1).select(col("mean_r").as("ci_hi"))
-    val pt = px.agg(count(lit(1)).as("n"),
-      round(sum(col("cents")).cast("double") / (count(lit(1)) * 100.0), 6).as("mean"))
-    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // ONE aggregate pass, no row expansion (r15, guide §2.3 "aggregate
+    // before you shuffle"): the b replicates used to ride an explode —
+    // b× the corpus materialized as rows, shuffled into a b-group
+    // aggregate, then a window + two cross joins to pick the CI
+    // brackets, with the point estimate re-scanning the input. Each
+    // replicate's weight is a pure row-local function of (id, r), so
+    // the b weighted sums fold into ONE grouping-free aggregate (2b+2
+    // int64 buffers) over the un-expanded scan: identical md5 count,
+    // zero Generate, one exchange (the 1-row partial-agg merge), and
+    // the point estimate shares the same pass. The CI brackets are the
+    // 2nd/2nd-last of the b replicate means — array_sort of a b-wide
+    // array inside the single result row, replacing the window (same
+    // values: the old (mean_r, r) tie-break only ordered EQUAL means).
+    def wgt(r: Int): Column = poissonWeight(
+      call_function("graft_md5long64",
+        concat_ws(":", col("id"), lit(r.toString))) % 1000000000L)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("cents")).as("s_cents")) ++
+      (0 until b).flatMap { r =>
+        val w = wgt(r)
+        Seq(sum(w).as(s"nr_$r"), sum(w * col("cents")).as(s"sr_$r"))
+      }
+    val one = px.agg(aggs.head, aggs.tail: _*)
+    val meanR = (0 until b).map(r =>
+      round(col(s"sr_$r").cast("double") / (col(s"nr_$r") * 100.0), 6))
+    val sortedMeans = array_sort(array(meanR: _*))
+    one.select(
+      col("n"),
+      round(col("s_cents").cast("double") / (col("n") * 100.0), 6).as("mean"),
+      element_at(sortedMeans, 2).as("ci_lo"),
+      element_at(sortedMeans, b - 1).as("ci_hi"))
   }
 
   /** The shared benchmark task both queries evaluate: the composite

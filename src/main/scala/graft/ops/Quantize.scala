@@ -609,12 +609,30 @@ object Quantize {
     * quantizers plus codes, exactly what [[ivfPqSearchFrom]] serves
     * from; [[refreshIvfPqCodes]] maintains `codes/` under a delta feed
     * with the quantizers frozen. */
+  /** Conf key: sub-splits per posting list for the `codes/` write.
+    * `repartition(list_id)` alone funnels each list into ONE task and
+    * ONE file — at 100 TB a hot list is tens of GB, both a write
+    * straggler and a file-size violation (guide §6: 128 MB–1 GB
+    * files). `codesSlices` > 1 salts the repartition with a
+    * deterministic vec_id hash so a list spreads over that many
+    * tasks/files; the local default 1 keeps the one-file-per-list
+    * shape the sf-scale bench and specs see. Production sets it to
+    * ceil(corpus_codes_bytes / (k lists × target_file_size)). */
+  private[graft] val CodesSlicesKey = "spark.graft.ann.codesSlices"
+
+  private def codesSlices(df: DataFrame): Int = {
+    val n = df.sparkSession.conf.getOption(CodesSlicesKey).map(_.trim.toInt).getOrElse(1)
+    require(n >= 1, s"$CodesSlicesKey must be >= 1, got $n")
+    n
+  }
+
   private[graft] def writeAnnIndex(emb: DataFrame, path: String): Unit = {
     // checkpoint the build invariants once (r14, the ivfPqSearch
     // discipline): the three write ACTIONS otherwise each re-derive
     // their upstream pieces (cents ×3, res ×2, cbRow ×2 full-corpus
     // passes). All actions finish inside this call, so the blocks are
-    // released before returning.
+    // released before returning — in a finally (r15, ADVICE r14): a
+    // failed write must not pin the blocks for the rest of the session.
     val rel = Components.sessionReliable(emb)
     if (rel) Components.requireCheckpointDir(emb)
     val cents = Components.materialize(coarseListsOf(emb), rel)
@@ -622,14 +640,18 @@ object Quantize {
       ivfResiduals(emb.select(col("vec_id"), col("v")), cents), rel)
     val cbRow = Components.materialize(
       frozenPqCodebook(res.select(col("vec_id"), col("v"))), rel)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cbRow.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    ivfPqEncode(res, cbRow)
-      .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/codes")
-    Components.releaseBlocks(cents)
-    Components.releaseBlocks(res)
-    Components.releaseBlocks(cbRow)
+    try {
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      cbRow.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      ivfPqEncode(res, cbRow)
+        .repartition(col("list_id"),
+          pmod(xxhash64(col("vec_id")), lit(codesSlices(emb).toLong)))
+        .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/codes")
+    } finally {
+      Components.releaseBlocks(cents)
+      Components.releaseBlocks(res)
+      Components.releaseBlocks(cbRow)
+    }
   }
 
   /** Re-open a [[writeAnnIndex]] artifact: (centroids, codebook row,
@@ -667,7 +689,8 @@ object Quantize {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
     cbRow.coalesce(1).write.mode("overwrite").parquet(s"$outPath/codebook")
     refreshIvfPqCodes(codes, delta, cents, cbRow)
-      .repartition(col("list_id"))
+      .repartition(col("list_id"),
+        pmod(xxhash64(col("vec_id")), lit(codesSlices(delta).toLong)))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$outPath/codes")
   }
 

@@ -58,10 +58,23 @@ object Retrieval {
     * serve bit-identical results. `dft` is pruned to the query terms
     * BEFORE broadcasting — a 100 TB vocabulary never broadcasts. */
   private[graft] def bm25SearchFrom(f: DataFrame, dft: DataFrame, stats: DataFrame,
-                                    queries: DataFrame, k: Int): DataFrame = {
+                                    queries: DataFrame, k: Int,
+                                    dftAdditive: Boolean = false): DataFrame = {
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("t")).distinct()
-    val dftPruned = dft.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
+    // `dftAdditive` (r15): a stored index refreshed through
+    // [[refreshStoredBm25Index]] keeps one df segment per generation
+    // (delta-proportional writes, guide §6), so a term present in
+    // several generations arrives as several ADDITIVE rows — the
+    // stored-serve path merges them AFTER the broadcast query-term
+    // prune (bounded by |query terms| × |segments| rows; the full
+    // vocabulary is never aggregated at serve time). Inline builds
+    // derive df from the postings with t already unique, so they skip
+    // the merge's extra (tiny) exchange and keep their r14 plan.
+    val dftQ = dft.join(broadcast(qt.select(col("t")).distinct()), Seq("t"))
+    val dftPruned =
+      if (dftAdditive) dftQ.groupBy(col("t")).agg(sum(col("df")).as("df"))
+      else dftQ
     val scored = f
       .join(broadcast(qt), Seq("t"))
       .join(broadcast(dftPruned), Seq("t"))
@@ -150,23 +163,67 @@ object Retrieval {
     // separate ACTIONS, so the full-vocabulary tokenize + (doc, term)
     // aggregation otherwise ran twice (df derives from f). Derivation of
     // df from the materialized frame is the identical expression
-    // bm25IndexPieces builds; blocks release before returning.
+    // bm25IndexPieces builds; blocks release before returning (try/
+    // finally so a failed write cannot pin them for the session).
     val (f0, _, stats) = bm25IndexPieces(docs, None)
     val rel = graft.ops.Components.sessionReliable(docs)
     if (rel) graft.ops.Components.requireCheckpointDir(docs)
     val f = graft.ops.Components.materialize(f0, rel)
-    val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
-    f.repartition(col("t")).write.mode("overwrite").parquet(s"$path/postings")
-    dft.repartition(col("t")).write.mode("overwrite").parquet(s"$path/df")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    graft.ops.Components.releaseBlocks(f)
+    try {
+      val dft = f.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+      f.repartition(col("t")).write.mode("overwrite").parquet(s"$path/postings")
+      dft.repartition(col("t")).write.mode("overwrite").parquet(s"$path/df")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      writeSegmentManifest(docs.sparkSession, path, Seq(path))
+    } finally graft.ops.Components.releaseBlocks(f)
   }
 
-  /** Re-open a [[writeBm25Index]] artifact: (postings, df, stats). */
-  def readBm25Index(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
-    (s.read.parquet(s"$path/postings"),
-      s.read.parquet(s"$path/df"),
+  /** The generation's SEGMENT manifest (r15, guide §6): `segments/`
+    * lists the roots whose `postings/` + `df/` files make up this
+    * generation, oldest first — the Lucene-segment / Iceberg-manifest
+    * discipline that lets [[refreshStoredBm25Index]] write only
+    * delta-proportional data while older generations' files are
+    * REFERENCED, never copied or rewritten. |segments| rows — a
+    * refresh cadence count, never data-sized. */
+  private def writeSegmentManifest(s: SparkSession, path: String,
+                                   segs: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments.txt")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** A generation's segment roots, manifest order. Plain newline-
+    * separated text read through the Hadoop FS API — manifest metadata
+    * (|segments| short strings, like a file listing), deliberately NOT
+    * a Spark job: a parquet manifest cost one scheduled job per
+    * read/write, measurable against a delta-sized refresh. */
+  private def readSegmentManifest(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments.txt")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      Iterator.continually(in.read(tmp)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(tmp, 0, n))
+      buf.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Re-open a [[writeBm25Index]] artifact: (postings, df, stats).
+    * Postings and df are the UNION of the generation's segments (one
+    * per refresh since the base build); a term refreshed across
+    * generations therefore carries one additive df row per segment —
+    * [[bm25SearchFrom]] merges them after its query-term prune. */
+  def readBm25Index(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val segs = readSegmentManifest(s, path)
+    (segs.map(p => s.read.parquet(s"$p/postings")).reduce(_.unionByName(_)),
+      segs.map(p => s.read.parquet(s"$p/df")).reduce(_.unionByName(_)),
       s.read.parquet(s"$path/stats"))
+  }
 
   /** Refresh a stored [[writeBm25Index]] artifact with ADDED docs into a
     * NEW generation at `outPath` — the [[writeAnnIndex]]-family refresh
@@ -184,7 +241,9 @@ object Retrieval {
     * the copy is ∝ |delta|. */
   def refreshStoredBm25Index(s: SparkSession, path: String, deltaDocs: DataFrame,
                              outPath: String): Unit = {
-    val (f0, dft0, stats0) = readBm25Index(s, path)
+    require(outPath != path,
+      "refreshStoredBm25Index writes a new generation: outPath must differ from path")
+    val (f0, _, stats0) = readBm25Index(s, path)
     // checkpoint the delta postings ONCE (r14): fD otherwise re-derives
     // the delta tokenize + aggregation for each of the collision check,
     // the postings write, and the df write (dftD derives from fD)
@@ -192,24 +251,35 @@ object Retrieval {
     val rel = graft.ops.Components.sessionReliable(deltaDocs)
     if (rel) graft.ops.Components.requireCheckpointDir(deltaDocs)
     val fD = graft.ops.Components.materialize(fD0, rel)
-    val dftD = fD.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
-    val collisions = f0.select(col("doc_id")).distinct()
-      .join(fD.select(col("doc_id")).distinct(), Seq("doc_id"))
-      .limit(1).count()
-    require(collisions == 0L,
-      "refreshStoredBm25Index: delta contains doc_ids already in the index " +
-        "(ADD-only contract; retire-then-add updated docs)")
-    f0.unionByName(fD)
-      .repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/postings")
-    dft0.unionByName(dftD)
-      .groupBy(col("t")).agg(sum(col("df")).as("df"))
-      .repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/df")
-    stats0.select(col("n"), col("sum_dl"))
-      .unionByName(statsD.select(col("n"), col("sum_dl")))
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
-      .withColumn("avgdl_milli", expr("(sum_dl * 1000) DIV n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/stats")
-    graft.ops.Components.releaseBlocks(fD)
+    try {
+      val dftD = fD.groupBy(col("t")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+      val collisions = f0.select(col("doc_id")).distinct()
+        .join(fD.select(col("doc_id")).distinct(), Seq("doc_id"))
+        .limit(1).count()
+      require(collisions == 0L,
+        "refreshStoredBm25Index: delta contains doc_ids already in the index " +
+          "(ADD-only contract; retire-then-add updated docs)")
+      // DELTA-PROPORTIONAL write (r15, guide §6 / §2.4): the new
+      // generation persists ONLY the delta's postings + df as its own
+      // segment and lists the base generation's segments in its
+      // manifest — an added doc touches no existing posting row and df
+      // merges additively, so the base's corpus-sized pieces never
+      // re-shuffle, re-encode, or even re-read (the r14 code rewrote
+      // the MERGED postings and vocabulary: O(corpus) write volume per
+      // refresh). Readers union the segments; [[bm25SearchFrom]] sums
+      // the per-segment df rows after its query-term prune. Only the
+      // 1-row stats piece merges at write time (exact, via the stored
+      // additive (n, sum_dl)). Base segments are referenced by path:
+      // a generation must outlive every generation refreshed from it.
+      fD.repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/postings")
+      dftD.repartition(col("t")).write.mode("overwrite").parquet(s"$outPath/df")
+      stats0.select(col("n"), col("sum_dl"))
+        .unionByName(statsD.select(col("n"), col("sum_dl")))
+        .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+        .withColumn("avgdl_milli", expr("(sum_dl * 1000) DIV n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/stats")
+      writeSegmentManifest(s, outPath, readSegmentManifest(s, path) :+ outPath)
+    } finally graft.ops.Components.releaseBlocks(fD)
   }
 
   /** Serve BM25 top-k from a STORED index — bit-identical to the inline
@@ -219,7 +289,7 @@ object Retrieval {
     * same. New queries never re-tokenize the corpus. */
   def bm25SearchStored(index: (DataFrame, DataFrame, DataFrame),
                        queries: DataFrame, k: Int): DataFrame =
-    bm25SearchFrom(index._1, index._2, index._3, queries, k)
+    bm25SearchFrom(index._1, index._2, index._3, queries, k, dftAdditive = true)
 
   private def queriesDf(s: SparkSession): DataFrame = {
     import s.implicits._

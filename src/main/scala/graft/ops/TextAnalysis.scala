@@ -490,14 +490,23 @@ object TextAnalysis {
     * the groups of `groupCol` — see [[q142LangOverlap]]. Emits
     * (group_a, group_b, shared, jaccard); zero-overlap pairs absent. */
   private[graft] def shingleOverlapOf(docs: DataFrame, groupCol: String): DataFrame = {
-    val wl = docs
+    // the distinct (group, shingle-hash) vocabulary fans into THREE
+    // consumers — both self-join sides and the per-group size table —
+    // whose differing prunings/pushdowns defeat ReuseExchange, so the
+    // corpus was re-scanned (split + explode + md5 per pass) per
+    // consumer. CHECKPOINT it once (r15, guide §2.4): the self-join and
+    // sizes then read the materialized (g, h) blocks — exactly the
+    // per-subcorpus vocabulary table a production overlap run persists.
+    val rel = Components.sessionReliable(docs)
+    if (rel) Components.requireCheckpointDir(docs)
+    val wl = Components.materialize(docs
       .select(col(groupCol).as("__graft_g"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("__graft_g"), explode(expr(
         """transform(sequence(0, size(w) - 5), i ->
           |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))""".stripMargin)).as("sh"))
       .select(col("__graft_g"), Hashes.hexLong(col("sh")).as("h"))
-      .distinct()
+      .distinct(), rel)
     val sz = wl.groupBy(col("__graft_g")).agg(count(lit(1)).as("n"))
     wl.as("a")
       .join(wl.as("b"),

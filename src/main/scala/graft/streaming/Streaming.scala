@@ -634,8 +634,12 @@ object Streaming {
     * shingled ONCE: bands/ derives from docs/ as persisted (one
     * posexplode of stored arrays), so the pieces can never disagree. */
   def writeBandIndex(standing: DataFrame, path: String): Unit = {
+    // no repartition(doc_id) before the docs/ write (r15, guide §2.4):
+    // hashedShinglesOf ends in a groupBy(doc_id) aggregation, so the
+    // frame is ALREADY hash-partitioned by doc_id — the explicit
+    // repartition re-shuffled the heaviest payload in the index (the
+    // per-doc shingle arrays) a second time for an identical layout.
     docBands(graft.ops.Dedup.hashedShinglesOf(standing))
-      .repartition(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/docs")
     standing.sparkSession.read.parquet(s"$path/docs")
       .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("b", "bkey")))

@@ -9,7 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 object PlanFloors {
   val executedScanFloors: Map[String, Int] = Map(
     "q164_dsir_select" -> 1,
-    "q168_novelty" -> 1, "q142_lang_overlap" -> 1, "q160_leakage_safe_split" -> 1,
+    // q142 r15: the (lang, shingle-hash) vocabulary checkpoints once —
+    // the registered query's own action reads blocks, zero parquet scans
+    "q168_novelty" -> 1, "q142_lang_overlap" -> 0, "q160_leakage_safe_split" -> 1,
     "q152_bigram_rarity" -> 2, "q129_bm25" -> 2, "q121_ranked_search" -> 2,
     "q82_collocations" -> 2, "q106_cohort_retention" -> 2,
     "q162_source_cap" -> 2, "q163_eval_containment" -> 2,
@@ -19,7 +21,9 @@ object PlanFloors {
     // score-grain diamonds (q180: offsets + prefix share one exchange;
     // q185: all four cell-frame consumers serve from one scan)
     "q180_auc" -> 1, "q183_calibration" -> 1, "q185_chi2_assoc" -> 1,
-    "q181_pr_curve" -> 2, "q184_bootstrap_ci" -> 2,
+    // r15: the bootstrap folded to ONE grouping-free aggregate pass —
+    // one scan serves the point estimate and all 32 replicates
+    "q181_pr_curve" -> 2, "q184_bootstrap_ci" -> 1,
     // q187: the count branch + the doc-id grid branch prune to different
     // column sets, so the two scans are genuinely different reads
     "q187_phash_groups" -> 2,
