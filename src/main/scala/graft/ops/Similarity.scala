@@ -414,7 +414,18 @@ object Similarity {
     * driver because the choice changes the PLAN, not a partition
     * strategy); at 100 TB it is one aggregate-only corpus pass, paid
     * to keep band/sig columns out of the pair shuffle the other 99%
-    * of runs. Zero-norm vectors carry no cosine, excluded up front. */
+    * of runs. Zero-norm vectors carry no cosine, excluded up front.
+    *
+    * BLOCK-LIFETIME CONTRACT (ADVICE r14, shared by every API that
+    * returns a LAZY frame over a localCheckpoint — ivfPqSearch,
+    * refreshComponents, refreshDecontamSpans): the returned frame reads
+    * the bucketed-norm frame's checkpoint blocks, so they cannot be
+    * released here. They stay pinned until the caller drops every
+    * derived frame and unpersists (the Bench sweeps
+    * `getPersistentRDDs.values.foreach(_.unpersist())` between
+    * bursts). A long-lived session calling these APIs in a loop must
+    * sweep between calls or blocks accumulate for the session's life —
+    * the r10 leak mode documented at [[Components.releaseBlocks]]. */
   private def guardedBucketJoin(vectors: DataFrame, nPlanes: Int, maxBucketSize: Int)
                                (keep: (Column, Column) => Column): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 24,
